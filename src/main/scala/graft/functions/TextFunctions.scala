@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, shingling, MinHash signatures, SimHash, bottom-k
+  * fingerprints, language-ID and quality heuristics.
+  *
+  * All composed from Spark built-ins (codegen'd, no UDFs) and designed to be
+  * re-expressible in ANSI-ish SQL so every operator has a DuckDB oracle.
+  * Hashes are md5-based (hex string arithmetic) — deterministic and
+  * portable across engines, unlike JVM `hashCode`/xxhash64.
+  */
+object TextFunctions {
+  /** Whitespace tokens with empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Contiguous n-gram (word shingle) strings, space-joined. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - (n - 1)
+    when(count <= 0, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), count - 1), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+
+  /** First 15 hex chars of md5 as a non-negative BIGINT (60 bits).
+    * Identical to DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash signature: `numHashes` values, hash_j = min over shingles of
+    * md5(j || '|' || shingle) (compared as the 60-bit integer above). */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingleCol, s =>
+        md5Long(concat(lit(j.toString), lit("|"), s))))
+    }: _*)
+
+  /** 64-bit-ish SimHash over tokens, restricted to `bits` ≤ 60 bits of the
+    * md5-derived integer: bit b is 1 iff Σ_tokens (bit_b(md5(tok)) ? 1 : -1)
+    * is positive. Returns BIGINT. */
+  def simhash(toksCol: Column, bits: Int = 32): Column = {
+    val hashes = transform(toksCol, t => md5Long(t))
+    val bitCols = (0 until bits).map { b =>
+      val votes = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L)))
+      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash BIGINTs. */
+  def hammingDistance(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b)).cast("long")
+
+  /** Bottom-k document fingerprint: the k smallest shingle hashes, sorted —
+    * a compact sketch whose overlap estimates Jaccard similarity
+    * (winnowing-style content fingerprint). */
+  def bottomKFingerprint(shingleCol: Column, k: Int): Column =
+    slice(array_sort(array_distinct(transform(shingleCol, s => md5Long(s)))), 1, k)
+
+  /** Exact Jaccard similarity between two token/shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Marker-word score for one language: fraction of tokens in the marker
+    * set. Used by the n-gram-free language-ID heuristic. */
+  def markerRatio(toksCol: Column, markers: Seq[String]): Column = {
+    val markerArr = array(markers.map(lit): _*)
+    when(size(toksCol) === 0, lit(0.0))
+      .otherwise(size(array_intersect(array_distinct(toksCol), markerArr)).cast("double")
+        / size(array_distinct(toksCol)).cast("double"))
+  }
+
+  /** Heuristic quality score in [0,1]: combines length band, mean token
+    * length band, and alpha-ratio. Deterministic + SQL-expressible. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val lenScore = when(nTok >= 5 && nTok <= 1000, lit(1.0)).otherwise(lit(0.0))
+    val meanTokLen = when(nTok === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+    val tokLenScore = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.0))
+    val alphaRatio = when(length(text) === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
+        / length(text).cast("double"))
+    round((lenScore + tokLenScore + alphaRatio) / 3.0, 6)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One catalog entry = one operator from SURVEY.md §2, expressed as a
+  * Spark query over `/root/testdata` plus (when SQL-expressible) an
+  * equivalent DuckDB oracle query. The driver hash-compares the two at
+  * sf0.01 (`CORRECTNESS_r{N}.json`).
+  *
+  * Parity rules (both sides, always):
+  *   - identical output column names (driver sorts columns by name);
+  *   - deterministic row set: every LIMIT/top-k is tie-broken by a unique
+  *     key, and both sides end in the same ORDER BY;
+  *   - computed doubles are `round(...)`ed identically to absorb
+  *     summation-order ulps; timestamps are formatted to strings;
+  *   - integer-typed outputs cast to BIGINT on both sides.
+  */
+case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Tables {
+  /** Session config required to read the test tables: `events.ts` is
+    * TIMESTAMP(NANOS) parquet, which Spark 4 only reads as a long. */
+  val requiredConf: Map[String, String] =
+    Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      // ns-since-epoch long → µs timestamp; integer `div` keeps full
+      // precision (a double division would lose it at ~1.7e18)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

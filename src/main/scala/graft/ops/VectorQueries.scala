@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Embedding-similarity operators over the `embeddings` table: norms,
+  * brute-force exact k-NN (the oracle path, ref `lopq/lopq/eval.py:7-38`),
+  * cosine near-duplicate pairs, and a deterministic random-hyperplane-LSH
+  * bucketed variant (the 100 TB scale path — candidates from bucket
+  * equi-joins instead of the O(n²) cross join).
+  *
+  * All dot products fold left-to-right in double precision on both engines
+  * and every emitted distance is rounded to 6 dp, so the DuckDB oracle
+  * hash-matches bit-for-bit.
+  */
+object VectorQueries {
+  import Tables.{apply => t}
+
+  /** DuckDB: embedding cast to DOUBLE list. */
+  private val dv = "list_transform(embedding, x -> x::DOUBLE)"
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  private val NearDupSim = 0.4
+  private val NumTables = 4  // LSH: L hash tables ...
+  private val BitsPerTable = 4 // ... of k sign bits each
+
+  /** Deterministic ±1 hyperplanes, seeded from md5 so they are
+    * reproducible and can be inlined as literals into the oracle SQL. */
+  private[ops] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
+    val mdi = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { i =>
+      val h = mdi.digest(s"$table:$bit:$i".getBytes("UTF-8"))
+      if ((h(0) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  private def signBit(vec: Column, plane: Array[Double]): Column = {
+    val planeLit = array(plane.map(lit): _*)
+    when(dotProduct(vec, planeLit) > 0, 1L).otherwise(0L)
+  }
+
+  /** LSH bucket id for one table: k sign bits packed into a BIGINT. */
+  private def bucketId(vec: Column, table: Int, dim: Int): Column =
+    (0 until BitsPerTable).map { b =>
+      signBit(vec, hyperplane(table, b, dim)) * lit(1L << b)
+    }.reduce(_ + _)
+
+  private def bucketSql(table: Int, dim: Int): String = {
+    val bits = (0 until BitsPerTable).map { b =>
+      val plane = hyperplane(table, b, dim)
+      val terms = plane.zipWithIndex
+        .map { case (sgn, i) => s"${if (sgn > 0) "" else "-"}embedding[${i + 1}]::DOUBLE" }
+        .mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1L << b} ELSE 0 END)"
+    }
+    bits.mkString(" + ")
+  }
+
+  private val Dim = 64 // embeddings table vector width (TESTDATA)
+
+  val defs: Seq[QueryDef] = Seq(
+    // vector norms — the L2-normalize primitive (ref featsio.py:13-22)
+    QueryDef(
+      "q30_vector_norms",
+      (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            round(l2Norm(col("embedding")), 6).as("norm"))
+          .orderBy("vec_id"),
+      Some(s"""SELECT vec_id, label::BIGINT AS label,
+              |  round(sqrt(list_dot_product($dv, $dv)), 6) AS norm
+              |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // brute-force exact top-5 cosine neighbors for the first 10 vectors
+    // (cross join + per-query ranking — the eval.py oracle shape)
+    QueryDef(
+      "q31_knn_brute",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val dist = lit(1.0) - cosineSimilarity(col("q_vec"), col("embedding"))
+        val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
+        e.join(broadcast(q), col("q_id") =!= col("vec_id"))
+          .withColumn("dist", dist)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+            round(col("dist"), 6).as("dist"))
+          .orderBy("q_id", "rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $dv AS v FROM embeddings)
+              |SELECT q_id, rank, n_id, round(dist, 6) AS dist FROM (
+              |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+              |    1.0 - (${cosSql("q.v", "n.v")}) AS dist,
+              |    row_number() OVER (PARTITION BY q.vec_id
+              |      ORDER BY 1.0 - (${cosSql("q.v", "n.v")}), n.vec_id)::BIGINT AS rank
+              |  FROM e q JOIN e n ON q.vec_id < 10 AND n.vec_id <> q.vec_id)
+              |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin),
+      bench = true),
+
+    // embedding-cosine near-duplicate pairs (exact, all-pairs — correctness
+    // baseline for the LSH variant below)
+    QueryDef(
+      "q32_embed_neardup",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val sim = cosineSimilarity(col("va"), col("vb"))
+        a.join(broadcast(b), col("id_a") < col("id_b"))
+          .where(sim >= NearDupSim)
+          .select(col("id_a"), col("id_b"), round(sim, 6).as("cos_sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, $dv AS v FROM embeddings)
+              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |       round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+              |FROM e a JOIN e b ON a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.v", "b.v")} >= $NearDupSim
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
+
+    // LSH-bucketed near-dup candidates: L=4 sign-hash tables of k=4 bits;
+    // pairs colliding in ANY table, then exact verification. Deterministic
+    // hyperplanes → full oracle parity. At 100 TB this replaces the cross
+    // join with L shuffle-bounded equi-joins on (table, bucket).
+    QueryDef(
+      "q33_lsh_neardup",
+      (s, d) => {
+        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        val bucketStructs = array((0 until NumTables).map { tb =>
+          struct(lit(tb.toLong).as("tbl"), bucketId(col("embedding"), tb, Dim).as("bucket"))
+        }: _*)
+        val buckets = e.select(col("vec_id"), explode(bucketStructs).as("bb"))
+          .select(col("vec_id"), col("bb.tbl").as("tbl"), col("bb.bucket").as("bucket"))
+        val cand = buckets.as("x")
+          .join(buckets.as("y"),
+            col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket")
+              && col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+          .distinct()
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val sim = cosineSimilarity(col("va"), col("vb"))
+        cand.join(a, "id_a").join(b, "id_b")
+          .where(sim >= NearDupSim)
+          .select(col("id_a"), col("id_b"), round(sim, 6).as("cos_sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val bucketSelects = (0 until NumTables).map { tb =>
+          s"SELECT vec_id, ${tb}::BIGINT AS tbl, (${bucketSql(tb, Dim)})::BIGINT AS bucket FROM embeddings"
+        }.mkString(" UNION ALL ")
+        s"""WITH e AS (SELECT vec_id, $dv AS v FROM embeddings),
+           |buckets AS ($bucketSelects),
+           |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+           |         FROM buckets x JOIN buckets y
+           |           ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+           |SELECT id_a, id_b, round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+           |FROM cand JOIN e a ON a.vec_id = id_a JOIN e b ON b.vec_id = id_b
+           |WHERE ${cosSql("a.v", "b.v")} >= $NearDupSim
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+      bench = true)
+  )
+}

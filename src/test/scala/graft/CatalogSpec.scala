@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks of the query catalog at sf0.001 (the DuckDB
+  * hash-parity gate runs driver-side at sf0.01; these assert the semantics
+  * hold independent of the oracle). */
+class CatalogSpec extends SparkSpec {
+
+  test("every catalog query runs at sf0.001 and yields a stable schema") {
+    SparkEntry.catalog.foreach { q =>
+      val df = q.run(spark, sf)
+      val n = df.count()
+      assert(n >= 0, s"${q.name} failed")
+      assert(df.columns.nonEmpty, s"${q.name} no columns")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys and non-empty") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(SparkEntry.oracleSql.nonEmpty)
+  }
+
+  test("q05 aggregates match a hand computation") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val expected = li.where(col("l_returnflag") === "A").count()
+    val got = SparkEntry.queries("q05_group_agg")(spark, sf)
+      .where(col("l_returnflag") === "A")
+      .agg(sum("cnt")).head.getLong(0)
+    assert(got === expected)
+  }
+
+  test("q25 LSH pairs all meet the jaccard threshold and are canonical") {
+    val df = SparkEntry.queries("q25_minhash_lsh_pairs")(spark, sf)
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.5)
+    }
+  }
+
+  test("q33 LSH near-dup candidates are a subset of exact near-dups (q32)") {
+    val lsh = SparkEntry.queries("q33_lsh_neardup")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("q32_embed_neardup")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("q31 brute-force kNN distances are nonnegative and ranked") {
+    val rows = SparkEntry.queries("q31_knn_brute")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { g =>
+      val ds = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("dist"))
+      assert(ds.forall(_ >= 0.0))
+      assert(ds.sameElements(ds.sorted))
+    }
+  }
+}
