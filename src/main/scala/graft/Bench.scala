@@ -13,6 +13,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs0 = SparkEntry.queries
+    // Warmup at the smallest SF: compiles every query's whole-stage codegen
+    // and JITs the hot loops, so the timed section measures steady-state
+    // throughput (what a long-lived cluster job sees), not JVM startup.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.benchQueries.foreach { name =>
+        try qs0(name)(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.benchQueries.map { name =>
       val fn = qs0(name)
       val t0 = System.nanoTime()

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: run one catalog query at a given SF dir, print timing and
+  * (optionally) the formatted physical plan.
+  * Usage: runMain graft.Probe <sfDir> <queryName> [explain]
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args(1).split(",").toSeq
+    val doExplain = args.length > 2 && args(2) == "explain"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      if (doExplain) df.explain("formatted")
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] $name rows=$n time=$sec%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,116 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.CellMath
+import graft.functions.VectorFunctions
+
+/** Encode + query path of the LOPQ index, Spark-first.
+  *
+  * Encode (ref `searcher_lopqhbase.py:482-524` compute_codes +
+  * `lopq/lopq/model.py:543-602` predict): one distributed pass with the
+  * broadcast model; output is the codes DataFrame
+  * `(id, coarse0, coarse1, fine ARRAY<SHORT>, cell_id)`, written
+  * `partitionBy("cell_id")` so queries prune to visited cells
+  * (the Spark analogue of the reference's LMDB cell-prefix scans,
+  * `lopq/lopq/search.py:445-499`).
+  *
+  * Search (ref `lopq/lopq/search.py:179-224`):
+  *   1. driver: squared distances from the query halves to every coarse
+  *      centroid → multisequence walk of cells in nondecreasing distance
+  *      until the retrieval quota is covered (`search.py:110-135`);
+  *   2. driver: ADC subquantizer distance tables for each VISITED cell only
+  *      (memoized per coarse pair in the reference, `search.py:151-164`);
+  *      shipped as one map literal — O(cells·M·S) doubles;
+  *   3. cluster: partition-pruned scan of the visited cells, per-row ADC
+  *      lookup-sum (codegen'd built-ins), `TakeOrderedAndProject` top-k;
+  *   4. optional exact rerank of the prefix by joining raw vectors back by
+  *      id (ref `searcher_lopqhbase.py:862-912`).
+  */
+object LopqSearcher {
+
+  /** Distributed encode: `(idCol, vecCol)` → codes rows. */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: LopqModel): DataFrame = {
+    val modelB = df.sparkSession.sparkContext.broadcast(model)
+    val predictU = udf { (vec: Seq[Float]) =>
+      val m = modelB.value
+      val ((c0, c1), fine) = m.predict(vec.toArray)
+      (c0, c1, fine.toSeq, m.cellIdFor((c0, c1)))
+    }
+    df.select(col(idCol).as("id"), predictU(col(vecCol)).as("p"))
+      .select(col("id"), col("p._1").as("coarse0"), col("p._2").as("coarse1"),
+        col("p._3").as("fine"), col("p._4").as("cell_id"))
+  }
+
+  /** Driver-side cell selection: walk cells best-first until the visited
+    * cells hold ≥ quota items (whole-cell retrieval semantics of the
+    * reference, `search.py:110-135`). `cellCounts` is the index's cell
+    * histogram — collect it once per index build, it has at most
+    * |distinct cells| ≤ n entries. */
+  def selectCells(model: LopqModel, query: Array[Float], quota: Int,
+      cellCounts: Map[Int, Long]): Seq[Int] = {
+    val (d0, d1) = model.coarseDistances(query)
+    val it = CellMath.multisequence(d0, d1)
+    val cells = Seq.newBuilder[Int]
+    var retrieved = 0L
+    var exhausted = false
+    while (!exhausted && retrieved < quota && it.hasNext) {
+      val ((c0, c1), _) = it.next()
+      val cell = CellMath.cellId(c0, c1, model.v)
+      val cnt = cellCounts.getOrElse(cell, 0L)
+      if (cnt > 0) { cells += cell; retrieved += cnt }
+      exhausted = !it.hasNext
+    }
+    cells.result()
+  }
+
+  /** ADC distance tables for each visited cell, as a map-literal Column:
+    * cell_id → ARRAY<ARRAY<DOUBLE>> of per-subquantizer distances. */
+  private def tablesMapLit(model: LopqModel, query: Array[Float], cells: Seq[Int]): Column = {
+    val entries = cells.map { cell =>
+      val cc = CellMath.unpackCell(cell, model.v)
+      val tables = model.subquantizerDistances(query, cc)
+      struct(lit(cell).as("key"),
+        array(tables.map(t => array(t.map(lit): _*)): _*).as("value"))
+    }
+    map_from_entries(array(entries: _*))
+  }
+
+  /** Approximate top-k by ADC over the visited cells. Returns
+    * `(id, cell_id, adc_dist)`, ranked, tie-broken by id. */
+  def searchApprox(codes: DataFrame, model: LopqModel, query: Array[Float],
+      quota: Int, k: Int, cellCounts: Map[Int, Long]): DataFrame = {
+    val cells = selectCells(model, query, quota, cellCounts)
+    if (cells.isEmpty)
+      return codes.sparkSession.emptyDataFrame
+        .withColumn("id", lit(0L)).withColumn("cell_id", lit(0))
+        .withColumn("adc_dist", lit(0.0)).limit(0)
+    val tables = tablesMapLit(model, query, cells)
+    codes
+      .where(col("cell_id").isin(cells: _*)) // → partition pruning on disk
+      .withColumn("adc_dist", VectorFunctions.adcDistance(col("fine"),
+        element_at(tables, col("cell_id"))))
+      .orderBy(col("adc_dist"), col("id")) // + limit → TakeOrderedAndProject
+      .limit(k)
+      .select("id", "cell_id", "adc_dist")
+  }
+
+  /** Full query: ADC top-`rerankK` then exact-L2 rerank of the prefix via a
+    * broadcast join back to the raw vectors, final top-`k`
+    * (ref rerank join, `searcher_lopqhbase.py:862-912`). */
+  def search(codes: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,
+      model: LopqModel, query: Array[Float], quota: Int, k: Int, rerankK: Int,
+      cellCounts: Map[Int, Long]): DataFrame = {
+    val approx = searchApprox(codes, model, query, quota, rerankK, cellCounts)
+    val qLit = array(query.map(lit): _*)
+    // rerank prefix is ≤ rerankK rows → broadcast it against the (large)
+    // vector table; the scan side streams, nothing big shuffles
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(approx), "id")
+      .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(qLit, col("vec"))))
+      .orderBy(col("exact_dist"), col("id"))
+      .limit(k)
+      .select(col("id"), col("adc_dist"), col("exact_dist"))
+  }
+}

@@ -1,0 +1,214 @@
+package graft.engine
+
+import breeze.linalg.{eigSym, DenseMatrix => BDM}
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.{Vector => MLVector}
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.core.{CellMath, VectorOps}
+
+/** LOPQ training parameters (ref defaults `lopq/lopq/model.py:448`:
+  * V=8, M=4, 256 subquantizer clusters). */
+case class LopqParams(
+    v: Int = 8,
+    m: Int = 4,
+    subClusters: Int = 256,
+    seed: Long = 42L,
+    kmeansMaxIter: Int = 20) {
+  require(m % 2 == 0, "M must be even (M/2 subquantizers per coarse split)")
+}
+
+/** Per-cluster covariance accumulator state: count, Σr, Σ r·rᵀ (row-major
+  * flattened). The canonical partial+final aggregation — map-side partials
+  * per executor, merged at the reducer, so the full residual set never
+  * concentrates anywhere (ref single-node loop
+  * `lopq/lopq/model.py:109-157`, SURVEY §2.4). */
+case class CovBuffer(var count: Long, sum: Array[Double], outer: Array[Double])
+
+/** Final per-cluster statistics handed to the driver (V rows total). */
+case class CovStats(count: Long, sum: Array[Double], outer: Array[Double])
+
+/** Typed Aggregator over residual vectors producing [[CovStats]]. */
+class CovarianceAgg(d: Int) extends Aggregator[Seq[Double], CovBuffer, CovStats] {
+  override def zero: CovBuffer =
+    CovBuffer(0L, new Array[Double](d), new Array[Double](d * d))
+
+  override def reduce(b: CovBuffer, r: Seq[Double]): CovBuffer = {
+    val x = r.toArray
+    b.count += 1
+    var i = 0
+    while (i < d) {
+      b.sum(i) += x(i)
+      val xi = x(i)
+      val row = i * d
+      var j = 0
+      while (j < d) { b.outer(row + j) += xi * x(j); j += 1 }
+      i += 1
+    }
+    b
+  }
+
+  override def merge(a: CovBuffer, b: CovBuffer): CovBuffer = {
+    a.count += b.count
+    var i = 0
+    while (i < d * d) { a.outer(i) += b.outer(i); i += 1 }
+    i = 0
+    while (i < d) { a.sum(i) += b.sum(i); i += 1 }
+    a
+  }
+
+  override def finish(b: CovBuffer): CovStats = CovStats(b.count, b.sum, b.outer)
+  override def bufferEncoder = Encoders.product[CovBuffer]
+  override def outputEncoder = Encoders.product[CovStats]
+}
+
+/** Spark-first LOPQ training (ref `lopq/lopq/model.py:339-437`):
+  * per coarse split — `spark.ml` KMeans for the V coarse centroids, a typed
+  * covariance [[CovarianceAgg]] grouped by cluster for the per-cluster
+  * rotation estimators, driver-side `eigSym` + eigenvalue-balanced
+  * permutation (V matrices of (D/2)², tiny), then `spark.ml` KMeans per
+  * subquantizer block on the locally-projected residuals.
+  *
+  * Scale: the only driver-side state is O(V·D²) (centroids + rotations);
+  * every pass over the data is a distributed scan with map-side combine.
+  * At the reference's release shape (V=4096, D=256 post-PCA) that is
+  * 4096·128² floats ≈ 256 MB — broadcastable, as the reference itself
+  * demonstrates by running exactly this flow on Spark historically
+  * (`lopq/lopq/model.py:914-917`).
+  */
+object LopqTrainer {
+
+  /** Train a [[LopqModel]] from `df(idCol, vecCol: ARRAY<FLOAT>)`. */
+  def train(df: DataFrame, vecCol: String, p: LopqParams): LopqModel = {
+    val spark = df.sparkSession
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim % 2 == 0, s"dim $dim must be even")
+    val halfDim = dim / 2
+    require(halfDim % (p.m / 2) == 0, s"halfDim $halfDim not divisible by M/2=${p.m / 2}")
+
+    val n = df.count()
+    // Clamp cluster counts so tiny corpora still train (k ≤ n is a hard
+    // KMeans requirement); production SFs never hit the clamp.
+    val v = math.max(2, math.min(p.v, (n / 4).toInt))
+    val subClusters = math.max(2, math.min(p.subClusters, (n / 2).toInt))
+
+    val halves = df.select(
+      slice(col(vecCol), 1, halfDim).as("h0"),
+      slice(col(vecCol), halfDim + 1, halfDim).as("h1"))
+      .cache()
+
+    val perSplit = Array(0, 1).map { split =>
+      trainSplit(halves.select(col(s"h$split").as("h")), halfDim, v, subClusters, p, split)
+    }
+    halves.unpersist()
+
+    LopqModel(
+      coarse = perSplit.map(_._1),
+      rotations = perSplit.map(_._2),
+      mus = perSplit.map(_._3),
+      subquantizers = perSplit.map(_._4))
+  }
+
+  private type SplitModel = (Array[Array[Float]], Array[Array[Array[Float]]],
+    Array[Array[Float]], Array[Array[Array[Float]]])
+
+  private def trainSplit(half: DataFrame, halfDim: Int, v: Int, subClusters: Int,
+      p: LopqParams, split: Int): SplitModel = {
+    val spark = half.sparkSession
+    import spark.implicits._
+
+    // 1. Coarse codebook: V centroids via spark.ml KMeans
+    //    (ref train_coarse, model.py:290-318).
+    val km = new KMeans().setK(v).setSeed(p.seed + split)
+      .setMaxIter(p.kmeansMaxIter).setFeaturesCol("fv")
+    val withVec = half.withColumn("fv", array_to_vector(col("h")))
+    val coarse: Array[Array[Float]] =
+      km.fit(withVec).clusterCenters.map(_.toArray.map(_.toFloat))
+
+    // 2. Grouped covariance accumulators over residuals
+    //    (ref accumulate_covariance_estimators, model.py:109-157).
+    val centB = spark.sparkContext.broadcast(coarse)
+    val assign = udf { (h: Seq[Float]) =>
+      val x = h.toArray
+      val c = VectorOps.argminL2(x, centB.value)
+      (c, VectorOps.subtract(x, centB.value(c)).map(_.toDouble).toSeq)
+    }
+    val covAgg = udaf(new CovarianceAgg(halfDim))
+    val residuals = half
+      .select(assign(col("h")).as("a"))
+      .select(col("a._1").as("cluster"), col("a._2").as("residual"))
+    val stats = residuals
+      .groupBy("cluster")
+      .agg(covAgg(col("residual")).as("s"))
+      .select(col("cluster"), col("s.count"), col("s.sum"), col("s.outer"))
+      .collect()
+      .map(r => r.getInt(0) -> CovStats(r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getSeq[Double](3).toArray))
+      .toMap
+
+    // 3. Driver-side per-cluster rotations: symmetrized covariance
+    //    estimator, eigSym, eigenvalue-balanced permutation of eigenvectors
+    //    (ref compute_rotations_from_accumulators, model.py:160-206;
+    //    cov = (A + Aᵀ)/(2(n−1)) − mu·muᵀ; R rows = permuted eigvecs).
+    val mus = new Array[Array[Float]](v)
+    val rotations = new Array[Array[Array[Float]]](v)
+    for (c <- 0 until v) {
+      val d = halfDim
+      stats.get(c) match {
+        case Some(st) if st.count >= d =>
+          val cnt = st.count.toDouble
+          val mu = st.sum.map(_ / cnt)
+          val cov = BDM.tabulate(d, d) { (i, j) =>
+            (st.outer(i * d + j) + st.outer(j * d + i)) / (2.0 * (cnt - 1.0)) - mu(i) * mu(j)
+          }
+          val es = eigSym(cov) // ascending eigenvalues, eigenvectors in columns
+          val perm = CellMath.eigenvalueAllocation(p.m / 2, es.eigenvalues.toArray)
+          rotations(c) = Array.tabulate(d, d) { (k, i) =>
+            es.eigenvectors(i, perm(k)).toFloat
+          }.map(_.toArray)
+          mus(c) = mu.map(_.toFloat)
+        case Some(st) =>
+          // fewer points than dims → identity rotation (ref model.py:196-200)
+          rotations(c) = Array.tabulate(d, d)((i, j) => if (i == j) 1.0f else 0.0f)
+          mus(c) = st.sum.map(x => (x / math.max(1L, st.count)).toFloat)
+        case None =>
+          rotations(c) = Array.tabulate(d, d)((i, j) => if (i == j) 1.0f else 0.0f)
+          mus(c) = new Array[Float](d)
+      }
+    }
+
+    // 4. Subquantizers: project residuals into each cluster's local frame,
+    //    split into M/2 blocks, KMeans each block
+    //    (ref project_residuals_to_local + train_subquantizers,
+    //    model.py:209-238,321-336).
+    val rotB = spark.sparkContext.broadcast(rotations)
+    val muB = spark.sparkContext.broadcast(mus)
+    val projectU = udf { (cluster: Int, residual: Seq[Double]) =>
+      val r = residual.toArray
+      val mu = muB.value(cluster)
+      val centered = new Array[Float](r.length)
+      var i = 0
+      while (i < r.length) { centered(i) = (r(i) - mu(i)).toFloat; i += 1 }
+      VectorOps.matVec(rotB.value(cluster), centered).toSeq
+    }
+    val projected = residuals
+      .select(projectU(col("cluster"), col("residual")).as("proj"))
+      .cache()
+
+    val numFine = p.m / 2
+    val subDim = halfDim / numFine
+    val subquantizers = Array.tabulate(numFine) { f =>
+      val block = projected.select(
+        array_to_vector(slice(col("proj"), f * subDim + 1, subDim)).as("fv"))
+      val skm = new KMeans().setK(subClusters).setSeed(p.seed + 31 * (split * numFine + f) + 7)
+        .setMaxIter(p.kmeansMaxIter).setFeaturesCol("fv")
+      skm.fit(block).clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+    projected.unpersist()
+
+    (coarse, rotations, mus, subquantizers)
+  }
+}

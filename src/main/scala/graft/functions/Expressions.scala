@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions, with whole-stage codegen, for the vector
+  * hot path (SURVEY.md §4: "custom Expression with codegen in v1").
+  *
+  * These replace the higher-order-function forms in [[VectorFunctions]] on
+  * the per-pair inner loops (near-dup cross joins, kNN, ADC): a single
+  * fused primitive loop over the two arrays instead of an interpreted
+  * lambda per element, which is the difference between O(n²·d) interpreted
+  * calls and one tight codegen'd loop per pair.
+  *
+  * Numeric contract (oracle parity): sequential left-to-right fold in
+  * double precision — bit-identical to
+  * `aggregate(zip_with(a, b, (x,y) => f(x,y)), 0.0, _+_)` and to DuckDB's
+  * `list_dot_product` fold, so swapping implementations never changes a
+  * query's hash.
+  *
+  * Reference semantics implemented: exact L2 rerank distance
+  * (`cufacesearch/searcher/searcher_lopqhbase.py:887,998`), dot product for
+  * cosine similarity (`lopq/lopq/eval.py:20-25` uses scipy cdist over the
+  * same math).
+  */
+abstract class VectorFoldExpr extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT|DOUBLE> arguments, " +
+        s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  /** Scala fold step: contribution of one element pair (interpreted path). */
+  protected def step(x: Double, y: Double): Double
+
+  /** Java source of the fold step over double vars `x`/`y` (codegen path).
+    * Must compute exactly [[step]]. */
+  protected def stepCode(x: String, y: String): String
+
+  /** Mismatched lengths → null (zip_with pads with null, and a null element
+    * nulls the whole fold — same end result, kept explicit here). */
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val arrA = a.asInstanceOf[ArrayData]
+    val arrB = b.asInstanceOf[ArrayData]
+    val n = arrA.numElements()
+    if (n != arrB.numElements()) return null
+    val fA = isFloat(left)
+    val fB = isFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (arrA.isNullAt(i) || arrB.isNullAt(i)) return null
+      val x = if (fA) arrA.getFloat(i).toDouble else arrA.getDouble(i)
+      val y = if (fB) arrB.getFloat(i).toDouble else arrB.getDouble(i)
+      s += step(x, y)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getA = if (isFloat(left)) "getFloat" else "getDouble"
+    val getB = if (isFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = (double) $a.$getA($i);
+         |    final double $y = (double) $b.$getB($i);
+         |    $s += ${stepCode(x, y)};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+}
+
+/** Σᵢ aᵢ·bᵢ in double precision. */
+case class DotProductExpr(left: Expression, right: Expression) extends VectorFoldExpr {
+  override def prettyName: String = "graft_dot"
+  override protected def step(x: Double, y: Double): Double = x * y
+  override protected def stepCode(x: String, y: String): String = s"$x * $y"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Σᵢ (aᵢ−bᵢ)² in double precision — exact squared L2 distance. */
+case class L2DistSqExpr(left: Expression, right: Expression) extends VectorFoldExpr {
+  override def prettyName: String = "graft_l2sq"
+  override protected def step(x: Double, y: Double): Double = { val d = x - y; d * d }
+  override protected def stepCode(x: String, y: String): String = s"($x - $y) * ($x - $y)"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Registration of the graft expressions, two ways:
+  *   - [[GraftFunctions.register]]: imperative, idempotent, works on any
+  *     existing session (every catalog query calls it via `Tables.apply`);
+  *   - [[GraftExtensions]]: `spark.sql.extensions`-style injection for
+  *     sessions built with the library on the classpath.
+  */
+object GraftFunctions {
+  private def info(name: String): ExpressionInfo =
+    new ExpressionInfo(classOf[VectorFoldExpr].getName, name)
+
+  val all: Seq[(String, FunctionBuilder)] = Seq(
+    "graft_dot" -> ((c: Seq[Expression]) => DotProductExpr(c(0), c(1))),
+    "graft_l2sq" -> ((c: Seq[Expression]) => L2DistSqExpr(c(0), c(1))))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (n, b) =>
+    if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(n)))
+      spark.sessionState.functionRegistry.registerFunction(FunctionIdentifier(n), info(n), b)
+  }
+
+  private[functions] def description(name: String): ExpressionInfo = info(name)
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (n, b) =>
+      ext.injectFunction((FunctionIdentifier(n), GraftFunctions.description(n), b))
+    }
+}

@@ -31,12 +31,38 @@ object TextFunctions {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature: `numHashes` values, hash_j = min over shingles of
-    * md5(j || '|' || shingle) (compared as the 60-bit integer above). */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingleCol, s =>
-        md5Long(concat(lit(j.toString), lit("|"), s))))
+  /** MinHash universe: hashes live in [0, 2³¹−1) so an affine rehash
+    * `(a·h + b) mod P` stays inside BIGINT (h·a < 2⁶²) on both engines. */
+  val MinhashPrime: Long = 2147483647L // 2^31 − 1 (Mersenne prime)
+
+  /** Scala-side mirror of [[md5Long]] (first 15 md5 hex chars as a long) —
+    * used to derive the per-permutation affine coefficients, which are then
+    * inlined as literals into both the Spark plan and the oracle SQL. */
+  def md5Long60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  /** Deterministic (a_j, b_j) affine coefficients for permutation j. */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { j =>
+      (1L + md5Long60(s"a|$j") % (MinhashPrime - 1), md5Long60(s"b|$j") % MinhashPrime)
+    }
+
+  /** Base hash per shingle: md5-derived 60-bit value reduced mod P. One md5
+    * per shingle TOTAL — each MinHash permutation is then a cheap affine
+    * rehash of this array, not a fresh md5 (16× less hashing than the naive
+    * md5(j||'|'||shingle) scheme at identical statistical quality). */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => md5Long(s) % MinhashPrime)
+
+  /** MinHash signature from pre-hashed shingles ([[shingleHashes]]):
+    * sig_j = min over shingles of (a_j·h + b_j) mod P — the classic
+    * universal-hash MinHash (Broder '97). */
+  def minhashFromHashes(hashCol: Column, numHashes: Int): Column =
+    array(minhashCoeffs(numHashes).map { case (a, b) =>
+      array_min(transform(hashCol, h => (h * a + b) % MinhashPrime))
     }: _*)
 
   /** 64-bit-ish SimHash over tokens, restricted to `bits` ≤ 60 bits of the

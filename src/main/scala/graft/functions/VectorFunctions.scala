@@ -3,9 +3,12 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ARRAY<FLOAT|DOUBLE>` columns, composed from Spark
-  * built-in higher-order functions so the whole hot path stays inside
-  * whole-stage codegen (no Scala UDF boxing per element).
+/** Vector math over `ARRAY<FLOAT|DOUBLE>` columns. The per-pair fold
+  * primitives (dot product, squared L2) go through the native codegen
+  * expressions in [[Expressions.scala]]; everything else composes Spark
+  * built-ins. All folds are sequential left-to-right in double precision —
+  * bit-compatible with the DuckDB oracle's list folds, and with the `Hof`
+  * variants kept below for the equivalence spec.
   *
   * Reference semantics: exact L2 rerank distance
   * (`searcher/searcher_lopqhbase.py:887,998`), L2 normalize
@@ -13,9 +16,13 @@ import org.apache.spark.sql.functions._
   * (`lopq/lopq/search.py:166-177`, tables `lopq/lopq/model.py:673-704`).
   */
 object VectorFunctions {
-  /** Σ a_i * b_i in double precision, sequential left-to-right fold —
-    * bit-compatible with the DuckDB oracle's list fold. */
-  def dotProduct(a: Column, b: Column): Column =
+  /** Σ a_i * b_i in double precision (codegen'd loop — resolves against the
+    * `graft_dot` function registered by [[GraftFunctions.register]]). */
+  def dotProduct(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Interpreted higher-order-function form of [[dotProduct]] — identical
+    * numerics, needs no function registration. */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
@@ -25,8 +32,11 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(l2NormSq(a))
 
-  /** Exact squared L2 distance between two vectors. */
-  def l2DistanceSq(a: Column, b: Column): Column =
+  /** Exact squared L2 distance between two vectors (codegen'd loop). */
+  def l2DistanceSq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+
+  /** Interpreted higher-order-function form of [[l2DistanceSq]]. */
+  def l2DistanceSqHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => {
         val d = x.cast("double") - y.cast("double")

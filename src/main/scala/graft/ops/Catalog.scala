@@ -29,6 +29,9 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Idempotent; makes graft_* native expressions resolvable on ANY session
+    // the driver hands us (not just ones built with GraftExtensions).
+    graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       // ns-since-epoch long → µs timestamp; integer `div` keeps full

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators (SURVEY §2.8 + the training-data-pipeline
+  * surface): media as opaque BINARY columns with typed metadata, the
+  * feature-at-rest base64 codec, per-partition batch "decode"
+  * (`mapPartitions` — the heavy-UDF pattern used for the reference's CNN
+  * featurizers, `featurizer/generic_featurizer.py:58-71`), and JSON
+  * property extraction (`api/api.py:199-213` request parsing).
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB:
+  * a deterministic md5-derived fake (clearly marked below). Everything
+  * Spark-side — binary schema, partition batching, per-partition init,
+  * output shape — is the real plumbing a libjpeg/ffmpeg UDF would use.
+  */
+object MultimodalOps {
+  import Tables.{apply => t}
+
+  /** DuckDB md5-hex-substring → BIGINT (same trick as TextOps.hx). */
+  private def hxSub(expr: String, from: Int, len: Int): String =
+    s"('0x' || substr(md5($expr), $from, $len))::BIGINT"
+
+  /** STUB image decode: header fields derived from the md5 of the payload
+    * bytes — stands in for a real codec (deterministic, oracle-checkable).
+    * A production build swaps `decodeStub` for a real header parser
+    * (ref `imgio/imgio.py:42-111` parses JPEG/PNG/GIF headers). */
+  private[ops] def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(bytes).map("%02x".format(_)).mkString
+    def hx(from: Int, len: Int): Long =
+      java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+    val formats = Array("JPEG", "PNG", "GIF")
+    val fmt = formats((hx(0, 2) % 3).toInt)
+    val width = (32L * (1L + hx(2, 4) % 64L)).toInt
+    val height = (32L * (1L + hx(6, 4) % 64L)).toInt
+    (fmt, width, height)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // §2.8 feature/bytes-at-rest codec: binary payload, content hash,
+    // base64 encode + verified round-trip (ref featsio.py:4-22 b64 codec,
+    // imgio.py:23-39 sha1-of-bytes identity — sha256 here because both
+    // engines expose it).
+    QueryDef(
+      "q36_binary_codec",
+      (s, d) => {
+        val bin = col("text").cast("binary")
+        t(s, d, "documents")
+          .select(
+            col("doc_id"),
+            sha2(bin, 256).as("sha256"),
+            length(bin).cast("long").as("n_bytes"),
+            // Spark's base64 MIME-chunks long output with \r\n; strip to the
+            // canonical RFC-4648 form (what DuckDB/python produce)
+            regexp_replace(base64(bin), "\r\n", "").as("b64"),
+            (unbase64(base64(bin)).cast("string") === col("text")).as("roundtrip_ok"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, sha256(text) AS sha256,
+             |       octet_length(text::BLOB)::BIGINT AS n_bytes,
+             |       to_base64(text::BLOB) AS b64,
+             |       (from_base64(to_base64(text::BLOB)) = text::BLOB) AS roundtrip_ok
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal decode plumbing: opaque binary payload → per-partition
+    // batch decode via mapPartitions (decoder initialized once per
+    // partition, like loading a CNN/codec once per executor task —
+    // ref DaemonBatchExtractor, extractor/generic_extractor.py:26-163).
+    QueryDef(
+      "q37_image_meta",
+      (s, d) => {
+        import s.implicits._
+        val ds = t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        ds.mapPartitions { it =>
+          // per-partition decoder init happens HERE (once per task, not per
+          // row) — the stub needs none, a real codec would allocate here
+          it.map { case (id, payload) =>
+            val (fmt, w, h) = decodeStub(payload)
+            (id, fmt, w.toLong, h.toLong, payload.length.toLong)
+          }
+        }.toDF("doc_id", "format", "width", "height", "n_bytes")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  CASE ${hxSub("text", 1, 2)} % 3 WHEN 0 THEN 'JPEG' WHEN 1 THEN 'PNG' ELSE 'GIF' END AS format,
+              |  (32 * (1 + ${hxSub("text", 3, 4)} % 64))::BIGINT AS width,
+              |  (32 * (1 + ${hxSub("text", 7, 4)} % 64))::BIGINT AS height,
+              |  octet_length(text::BLOB)::BIGINT AS n_bytes
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // §2.8 JSON parse: extract typed properties from the JSON props column
+    // (ref from_json ingest messages, extraction_checker.py:160-163) and
+    // aggregate over the extracted key.
+    QueryDef(
+      "q38_json_extract",
+      (s, d) =>
+        t(s, d, "events")
+          .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("k")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("k"),
+      Some("""SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS cnt
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin))
+  )
+}

@@ -187,19 +187,24 @@ object Relational {
              |ORDER BY p_partkey""".stripMargin)),
 
     // §2.3 brute-force NN oracle = cross join + per-row top-1
-    // (ref lopq/eval.py:7-38 full pairwise cdist)
+    // (ref lopq/eval.py:7-38 full pairwise cdist). Physical shape: instead
+    // of a window sort over the full |S|×|C| pair space, take the
+    // lexicographic min of (dist, c_custkey) per supplier — a hash
+    // aggregation with map-side partial combine, so only |S| groups ever
+    // shuffle. Same result (struct min = ORDER BY dist, c_custkey LIMIT 1).
     QueryDef(
       "q11_cross_top1",
       (s, d) => {
         val sup = t(s, d, "supplier").select("s_suppkey", "s_acctbal")
         val cust = t(s, d, "customer").select("c_custkey", "c_acctbal")
-        val w = Window.partitionBy("s_suppkey")
-          .orderBy(col("dist"), col("c_custkey"))
         sup.crossJoin(broadcast(cust))
-          .withColumn("dist", abs(col("s_acctbal") - col("c_acctbal")))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") === 1)
-          .select(col("s_suppkey"), col("c_custkey"), round(col("dist"), 6).as("dist"))
+          .select(col("s_suppkey"),
+            struct(abs(col("s_acctbal") - col("c_acctbal")).as("dist"),
+              col("c_custkey").as("c_custkey")).as("sc"))
+          .groupBy("s_suppkey")
+          .agg(min("sc").as("m"))
+          .select(col("s_suppkey"), col("m.c_custkey").as("c_custkey"),
+            round(col("m.dist"), 6).as("dist"))
           .orderBy("s_suppkey")
       },
       Some("""SELECT s_suppkey, c_custkey, round(dist, 6) AS dist FROM (
@@ -256,6 +261,96 @@ object Relational {
       Some("""SELECT year(o_orderdate)::BIGINT AS order_year, count(*) AS cnt,
              |       round(sum(o_totalprice), 2) AS sum_price
              |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin)),
+
+    // §2.3 semi join — "has at least one qualifying row" filter, the dual
+    // of q04's anti join (ref processed-flag re-checks,
+    // extraction_processor.py:247-262)
+    QueryDef(
+      "q15_semi_join",
+      (s, d) =>
+        t(s, d, "customer")
+          .join(t(s, d, "orders").where(col("o_totalprice") > 250000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Gap-based sessionization over the event stream — the training-data-
+    // pipeline twin of the reference's update batching (flush after
+    // max_delay gap, extraction_checker.py:341-386): lag() to detect
+    // >30-min silences, running sum to number sessions, then per-session
+    // rollup. All event-time, µs-precision integers on both engines.
+    QueryDef(
+      "q18_sessionize",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val prevTs = lag(unix_micros(col("ts")), 1).over(byUser)
+        val gapUs = lit(30L * 60 * 1000000)
+        t(s, d, "events")
+          .withColumn("new_sess",
+            when(prevTs.isNull || (unix_micros(col("ts")) - prevTs) > gapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            ((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / lit(1000000L))
+              .cast("long").as("duration_sec"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, epoch_us(ts) AS us,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts, us,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |                        ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM flagged)
+             |SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       ((max(us) - min(us)) // 1000000)::BIGINT AS duration_sec
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin)),
+
+    // As-of join: each click matched to the user's most recent purchase at
+    // or before it — running last_value(… IGNORE NULLS) over event time, no
+    // self-join, no shuffle beyond the one partitioning by user
+    // (ref positional repair joins, searcher_lopqhbase.py:916-947,
+    // generalized to temporal alignment)
+    QueryDef(
+      "q19_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val lastPurchase =
+          last(when(col("event_type") === "purchase", unix_micros(col("ts"))), ignoreNulls = true)
+            .over(w)
+        t(s, d, "events")
+          .withColumn("purch_us", lastPurchase)
+          .where(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("click_us"),
+            col("purch_us"),
+            ((unix_micros(col("ts")) - col("purch_us")) / lit(1000000L)).cast("long")
+              .as("secs_since_purchase"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, click_us, purch_us,
+             |       ((click_us - purch_us) // 1000000)::BIGINT AS secs_since_purchase
+             |FROM (
+             |  SELECT event_id, user_id, event_type, epoch_us(ts) AS click_us,
+             |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS UNBOUNDED PRECEDING) AS purch_us
+             |  FROM events)
+             |WHERE event_type = 'click' ORDER BY event_id""".stripMargin)),
 
     // §2.3 rerank join: approximate top-N by one metric, exact re-score of
     // the prefix, re-sort (ref searcher_lopqhbase.py:862-912)

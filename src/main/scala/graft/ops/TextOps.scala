@@ -35,8 +35,17 @@ object TextOps {
       "ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS s " +
       "FROM toks)"
 
-  private def minhashExprSql(j: Int): String =
-    s"list_aggregate(list_transform(s, x -> ${hx(s"'$j' || '|' || x")}), 'min')"
+  /** DuckDB side of [[graft.functions.TextFunctions.shingleHashes]]:
+    * one md5 per shingle, reduced mod P. */
+  private def hshCte: String =
+    s"hsh AS (SELECT doc_id, s, list_transform(s, x -> ${hx("x")} % $MinhashPrime) AS h FROM sh)"
+
+  /** DuckDB side of [[graft.functions.TextFunctions.minhashFromHashes]]:
+    * affine rehash of the pre-hashed shingle list. */
+  private def minhashExprSql(j: Int): String = {
+    val (a, b) = minhashCoeffs(NumHashes)(j)
+    s"list_aggregate(list_transform(h, v -> (v * $a + $b) % $MinhashPrime), 'min')"
+  }
 
   private val NumHashes = 16
   private val Bands = 4
@@ -117,19 +126,21 @@ object TextOps {
               |  (list_sort(list_distinct(list_transform(s, x -> ${hx("x")}))))[1:5], ',') AS fingerprint
               |FROM sh ORDER BY doc_id""".stripMargin)),
 
-    // MinHash signatures (16 md5-based permutations over 3-shingles)
+    // MinHash signatures: 16 affine permutations over md5-hashed 3-shingles
+    // (one md5 per shingle; see TextFunctions.minhashFromHashes)
     QueryDef(
       "q24_minhash_sig",
       (s, d) => {
         val sh = array_distinct(shingles(col("text"), 3))
         t(s, d, "documents")
+          .select(col("doc_id"), shingleHashes(sh).as("hsh"))
           .select(col("doc_id"),
-            concat_ws(",", minhashSignature(sh, NumHashes)).as("sig"))
+            concat_ws(",", minhashFromHashes(col("hsh"), NumHashes)).as("sig"))
           .orderBy("doc_id")
       },
-      Some(s"""WITH $toksCte, $shCte
+      Some(s"""WITH $toksCte, $shCte, $hshCte
               |SELECT doc_id, array_to_string([${(0 until NumHashes).map(minhashExprSql).mkString(", ")}], ',') AS sig
-              |FROM sh ORDER BY doc_id""".stripMargin),
+              |FROM hsh ORDER BY doc_id""".stripMargin),
       bench = true),
 
     // MinHash-LSH near-duplicate pairs: band-bucket join for candidates,
@@ -138,9 +149,19 @@ object TextOps {
       "q25_minhash_lsh_pairs",
       (s, d) => {
         val docs = t(s, d, "documents")
+        // The shingle sets and band signatures are INDEX ARTIFACTS — computed
+        // once per corpus and then joined against, exactly like the
+        // reference's per-update codes pickles (generic_searcher.py:216-225).
+        // localCheckpoint materializes them (lineage-truncated, GC-cleaned):
+        // without this the self-join evaluates the md5/minhash pipeline once
+        // per JOIN SIDE (and the optimizer can inline it into the join),
+        // which measured 40×+ slower at sf0.1. At 100 TB this materialization
+        // is a signatures table persisted alongside the corpus.
         val sh = docs.select(col("doc_id"),
           array_distinct(shingles(col("text"), 3)).as("sh"))
-        val sig = sh.withColumn("sig", minhashSignature(col("sh"), NumHashes))
+          .localCheckpoint()
+        val sig = sh.select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
+          .withColumn("sig", minhashFromHashes(col("hsh"), NumHashes))
         val bandStructs = array((0 until Bands).map { b =>
           struct(lit(b.toLong).as("band"),
             concat_ws(":", (0 until RowsPerBand).map(r =>
@@ -148,6 +169,7 @@ object TextOps {
         }: _*)
         val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
           .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+          .localCheckpoint()
         val cand = bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
@@ -169,8 +191,8 @@ object TextOps {
             .map(r => s"sig[${b * RowsPerBand + r}]::VARCHAR").mkString(" || ':' || ")
           s"SELECT doc_id, ${b}::BIGINT AS band, $parts AS bsig FROM sig"
         }.mkString(" UNION ALL ")
-        s"""WITH $toksCte, $shCte,
-           |sig AS (SELECT doc_id, s, [$sigList] AS sig FROM sh),
+        s"""WITH $toksCte, $shCte, $hshCte,
+           |sig AS (SELECT doc_id, s, [$sigList] AS sig FROM hsh),
            |bands AS ($bandSelects),
            |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
            |         FROM bands a JOIN bands b
@@ -218,6 +240,24 @@ object TextOps {
               |SELECT md5(array_to_string(t[1:5], ' ')) AS prefix_hash,
               |       count(*) AS cnt, min(doc_id) AS canonical_id
               |FROM toks GROUP BY 1 HAVING count(*) >= 2 ORDER BY prefix_hash""".stripMargin)),
+
+    // BPE-ish regex tokenizer stats: split into letter-runs / digit-runs /
+    // single punctuation (the pre-tokenization rule BPE vocabularies use),
+    // count pieces + distinct pieces per document
+    QueryDef(
+      "q29_regex_tokens",
+      (s, d) => {
+        val pieces = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
+        t(s, d, "documents")
+          .select(col("doc_id"), pieces.as("p"))
+          .select(col("doc_id"), size(col("p")).cast("long").as("n_pieces"),
+            size(array_distinct(col("p"))).cast("long").as("n_unique"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS n_pieces,
+             |  len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')))::BIGINT AS n_unique
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // n-gram Jaccard similarity of adjacent-id doc pairs (windowed exact
     // dedup check — bounded pair set, no LSH)
