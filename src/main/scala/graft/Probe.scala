@@ -20,13 +20,17 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (doExplain) df.explain("formatted")
-      val t0 = System.nanoTime()
-      val n = df.count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe] $name rows=$n time=$sec%.3f s")
+    sfDir.split(",").foreach { dir =>
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir)
+        if (doExplain) df.explain("formatted")
+        val tBuilt = System.nanoTime()
+        val n = df.count()
+        val tDone = System.nanoTime()
+        println(f"[probe] $dir $name rows=$n build=${(tBuilt - t0) / 1e9}%.3f s " +
+          f"exec=${(tDone - tBuilt) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }

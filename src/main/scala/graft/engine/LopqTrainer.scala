@@ -95,7 +95,11 @@ object LopqTrainer {
     val v = math.max(2, math.min(p.v, (n / 4).toInt))
     val subClusters = math.max(2, math.min(p.subClusters, (n / 2).toInt))
 
-    val halves = df.select(
+    // Small corpora drown in per-task scheduling overhead (each KMeans
+    // iteration is a job): compact to a few partitions below 512k rows.
+    // Large corpora keep their natural partitioning.
+    val compacted = if (n < 512 * 1024) df.coalesce(8) else df
+    val halves = compacted.select(
       slice(col(vecCol), 1, halfDim).as("h0"),
       slice(col(vecCol), halfDim + 1, halfDim).as("h1"))
       .cache()
@@ -122,8 +126,10 @@ object LopqTrainer {
 
     // 1. Coarse codebook: V centroids via spark.ml KMeans
     //    (ref train_coarse, model.py:290-318).
+    // random init: one pass fewer than k-means|| (init quality is
+    // irrelevant for a quantizer codebook after Lloyd iterations)
     val km = new KMeans().setK(v).setSeed(p.seed + split)
-      .setMaxIter(p.kmeansMaxIter).setFeaturesCol("fv")
+      .setMaxIter(p.kmeansMaxIter).setInitMode("random").setFeaturesCol("fv")
     val withVec = half.withColumn("fv", array_to_vector(col("h")))
     val coarse: Array[Array[Float]] =
       km.fit(withVec).clusterCenters.map(_.toArray.map(_.toFloat))
@@ -204,7 +210,7 @@ object LopqTrainer {
       val block = projected.select(
         array_to_vector(slice(col("proj"), f * subDim + 1, subDim)).as("fv"))
       val skm = new KMeans().setK(subClusters).setSeed(p.seed + 31 * (split * numFine + f) + 7)
-        .setMaxIter(p.kmeansMaxIter).setFeaturesCol("fv")
+        .setMaxIter(p.kmeansMaxIter).setInitMode("random").setFeaturesCol("fv")
       skm.fit(block).clusterCenters.map(_.toArray.map(_.toFloat))
     }
     projected.unpersist()

@@ -35,7 +35,8 @@ object EngineOps {
   private val indexCache =
     TrieMap.empty[(SparkSession, String), (LopqModel, DataFrame, Map[Int, Long])]
 
-  private[ops] def index(s: SparkSession, d: String): (LopqModel, DataFrame, Map[Int, Long]) =
+  /** Public so Bench can prewarm the (offline) index build. */
+  def index(s: SparkSession, d: String): (LopqModel, DataFrame, Map[Int, Long]) =
     indexCache.getOrElseUpdate((s, d), {
       val e = t(s, d, "embeddings")
       val model = LopqTrainer.train(e, "embedding", P)

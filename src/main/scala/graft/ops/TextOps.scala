@@ -157,8 +157,11 @@ object TextOps {
         // per JOIN SIDE (and the optimizer can inline it into the join),
         // which measured 40×+ slower at sf0.1. At 100 TB this materialization
         // is a signatures table persisted alongside the corpus.
-        val sh = docs.select(col("doc_id"),
-          array_distinct(shingles(col("text"), 3)).as("sh"))
+        // repartition first: the corpus arrives as one small parquet file
+        // (1 input split) and the md5/shingle pipeline is CPU-bound — spread
+        // it across the executors instead of hashing on a single core
+        val sh = docs.repartition(col("doc_id"))
+          .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
           .localCheckpoint()
         val sig = sh.select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
           .withColumn("sig", minhashFromHashes(col("hsh"), NumHashes))
