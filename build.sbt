@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // long-lived sessions compile thousands of generated classes (whole-stage
+  // codegen per query); the JDK default 240m code cache can fill and turn
+  // the JIT off, silently dropping hot interpreted paths to bytecode speed
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -1,5 +1,24 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: one JSON line with per-query wall-clock at
+  * `SPARK_GRAFT_SF_DIR`, strictly serial.
+  *
+  * Measurement rules (hard-learned in round 2, see VERDICT r02 "What's
+  * wrong" #2):
+  *   - each query is timed on a `format("noop")` write — a full
+  *     materialization of EVERY output column through the real plan.
+  *     `.count()` lets Catalyst prune the computed columns and times a row
+  *     count instead of the operator;
+  *   - failures are RECORDED (`errors` map, negative time) — never
+  *     swallowed into a bogus near-zero measurement;
+  *   - the LOPQ index build is asserted to have completed before q34 is
+  *     timed (it is the reference's offline train/encode step; the timed
+  *     number is the ONLINE search path, matching BASELINE.md's <1 s
+  *     query-latency envelope);
+  *   - nothing runs concurrently with the timed section.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,31 +31,67 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val qs0 = SparkEntry.queries
+
+    def materialize(name: String): Either[String, Unit] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right(())
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+
     // Warmup at the smallest SF: compiles every query's whole-stage codegen
     // and JITs the hot loops, so the timed section measures steady-state
-    // throughput (what a long-lived cluster job sees), not JVM startup.
+    // throughput, not JVM startup.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.benchQueries.foreach { name =>
-        try qs0(name)(spark, warmDir).count() catch { case _: Throwable => () }
+        try SparkEntry.queries(name)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
       }
-    // LOPQ index build is an OFFLINE step (the reference trains its 2M-
-    // feature model and encodes updates out-of-band; queries hit the built
-    // index). Build it here so the timed q34 measures the ONLINE search
-    // path — multisequence + pruned ADC scan + rerank — like the
-    // reference's <1 s query-latency envelope (BASELINE.md).
-    try graft.ops.EngineOps.index(spark, sfDir) catch { case _: Throwable => () }
+
+    // LOPQ index build is OFFLINE (the reference trains its 2M-feature
+    // model out-of-band; queries hit the built index). Build it now and
+    // ASSERT it took: if this fails, q34/q35 must be reported as errors,
+    // not silently measured as train+search.
+    val prewarm: Either[String, Unit] =
+      try { graft.ops.EngineOps.prewarm(spark, sfDir); Right(()) }
+      catch { case e: Throwable =>
+        Left(s"index prewarm failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
+      }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.benchQueries.map { name =>
-      val fn = qs0(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      val dependsOnIndex = name.startsWith("q34") || name.startsWith("q35")
+      (prewarm, dependsOnIndex) match {
+        case (Left(err), true) =>
+          errors(name) = err
+          name -> -1.0
+        case _ =>
+          val t0 = System.nanoTime()
+          materialize(name) match {
+            case Right(_) => name -> (System.nanoTime() - t0) / 1e9
+            case Left(err) =>
+              errors(name) = err
+              name -> -1.0
+          }
+      }
+    }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,13 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run one catalog query at a given SF dir, print timing and
   * (optionally) the formatted physical plan.
-  * Usage: runMain graft.Probe <sfDir> <queryName> [explain]
+  * Usage: runMain graft.Probe <sfDir> <queryName> [explain|noop]
+  *   - `noop`: materialize via a noop write (all columns computed — what
+  *     Bench times) instead of count() (which lets Catalyst prune).
   */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val doExplain = args.length > 2 && args(2) == "explain"
+    val doNoop = args.length > 2 && args(2) == "noop"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +29,9 @@ object Probe {
         val df = SparkEntry.queries(name)(spark, dir)
         if (doExplain) df.explain("formatted")
         val tBuilt = System.nanoTime()
-        val n = df.count()
+        val n =
+          if (doNoop) { df.write.format("noop").mode("overwrite").save(); -1L }
+          else df.count()
         val tDone = System.nanoTime()
         println(f"[probe] $dir $name rows=$n build=${(tBuilt - t0) / 1e9}%.3f s " +
           f"exec=${(tDone - tBuilt) / 1e9}%.3f s")

@@ -1,0 +1,257 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One parquet row per model vector; `part` selects the component.
+  * Top-level (not nested/private) so Spark's encoder codegen can reach the
+  * accessors instead of falling back to interpreted mode. */
+private[engine] case class ModelRow(part: String, split: Int, a: Int, b: Int, vec: Seq[Double])
+
+/** A loaded, servable LOPQ index: the broadcastable model (+ optional PCA
+  * front-end), the codes table READ FROM DISK (partitioned by `cell_id`, so
+  * every query's visited-cell filter becomes on-disk partition pruning),
+  * and the per-cell histogram that drives the multisequence quota walk. */
+final case class LopqIndex(
+    model: LopqModel,
+    pca: Option[LopqPca],
+    codes: DataFrame,
+    cellCounts: Map[Int, Long],
+    dir: String) {
+  def codesPath: String = s"$dir/codes"
+}
+
+/** Durable storage of the LOPQ index — the Spark-native replacement for the
+  * reference's pickled model + LMDB code store + per-update code pickles:
+  *
+  *   - model ⇄ parquet rows + flat JSON metadata (ref pickled model,
+  *     `searcher/searcher_lopqhbase.py:192`; proto export
+  *     `lopq/lopq/model.py:748-820`);
+  *   - codes written `partitionBy("cell_id")` (ref LMDB cell-prefix layout,
+  *     `lopq/lopq/search.py:425-470` — a `get_cell` prefix scan becomes a
+  *     partition-pruned parquet read);
+  *   - per-cell counts materialized at build/append time (the reference
+  *     keeps this in memory; at 100 TB recomputing it per session is a full
+  *     index scan, so it is part of the store);
+  *   - an update manifest with exact-id dedup + a lexicographic
+  *     high-watermark for incremental refresh (ref `load_codes` scanning
+  *     from `last_indexed_update`, `searcher_lopqhbase.py:632-770`).
+  *
+  * Layout under `dir/`:
+  * {{{
+  *   meta.json      flat params + fingerprint (v, m, S, seed, n, dim, pca)
+  *   model/         parquet of (part, split, a, b, vec ARRAY<DOUBLE>)
+  *   codes/         parquet partitionBy(cell_id): (id, coarse0, coarse1, fine)
+  *   cell_counts/   parquet (cell_id, cnt)
+  *   manifest/      parquet (update_id, n_rows)
+  * }}}
+  */
+object LopqIndexStore {
+
+  // ---------------------------------------------------------------- meta
+
+  /** Flat string map ⇄ meta.json (hand-rolled: values are identifiers and
+    * integers only, no escaping needed). */
+  private def writeMeta(dir: String, kv: Map[String, String]): Unit = {
+    val json = kv.toSeq.sorted
+      .map { case (k, v) => s""""$k": "$v"""" }
+      .mkString("{\n  ", ",\n  ", "\n}\n")
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(Paths.get(s"$dir/meta.json"), json)
+  }
+
+  private def readMeta(dir: String): Option[Map[String, String]] = {
+    val p = Paths.get(s"$dir/meta.json")
+    if (!Files.exists(p)) None
+    else {
+      val kvRe = """"([^"]+)":\s*"([^"]*)"""".r
+      Some(kvRe.findAllMatchIn(Files.readString(p)).map(m => m.group(1) -> m.group(2)).toMap)
+    }
+  }
+
+  private def metaFor(p: LopqParams, n: Long, dim: Int, pca: Option[LopqPca]): Map[String, String] =
+    Map(
+      "v" -> p.v.toString, "m" -> p.m.toString,
+      "subClusters" -> p.subClusters.toString, "seed" -> p.seed.toString,
+      "n" -> n.toString, "dim" -> dim.toString,
+      "pcaDims" -> pca.map(_.pcaDims).getOrElse(0).toString,
+      "renorm" -> pca.exists(_.renorm).toString)
+
+  // ----------------------------------------------------------- model I/O
+
+  def saveModel(spark: SparkSession, dir: String, model: LopqModel,
+      pca: Option[LopqPca]): Unit = {
+    import spark.implicits._
+    val rows = Seq.newBuilder[ModelRow]
+    for (s <- 0 until model.numCoarseSplits; c <- 0 until model.v) {
+      rows += ModelRow("coarse", s, c, -1, model.coarse(s)(c).map(_.toDouble).toSeq)
+      rows += ModelRow("mu", s, c, -1, model.mus(s)(c).map(_.toDouble).toSeq)
+      for (k <- 0 until model.halfDim)
+        rows += ModelRow("rot", s, c, k, model.rotations(s)(c)(k).map(_.toDouble).toSeq)
+    }
+    for (s <- 0 until model.numCoarseSplits; f <- 0 until model.numFineSplits;
+         sc <- model.subquantizers(s)(f).indices)
+      rows += ModelRow("subq", s, f, sc, model.subquantizers(s)(f)(sc).map(_.toDouble).toSeq)
+    pca.foreach { px =>
+      rows += ModelRow("pca_mu", 0, -1, -1, px.mu.toSeq)
+      for (j <- 0 until px.pcaDims) rows += ModelRow("pca_p", 0, j, -1, px.p(j).toSeq)
+    }
+    rows.result().toDF()
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/model")
+  }
+
+  def loadModel(spark: SparkSession, dir: String): (LopqModel, Option[LopqPca]) = {
+    val meta = readMeta(dir).getOrElse(sys.error(s"no meta.json under $dir"))
+    val v = meta("v").toInt
+    val mTotal = meta("m").toInt
+    val renorm = meta.getOrElse("renorm", "false").toBoolean
+    val rows = spark.read.parquet(s"$dir/model")
+      .select("part", "split", "a", "b", "vec").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Double](4).toArray))
+
+    def floats(part: String): Map[(Int, Int, Int), Array[Float]] =
+      rows.filter(_._1 == part)
+        .map(r => (r._2, r._3, r._4) -> r._5.map(_.toFloat)).toMap
+
+    val coarseM = floats("coarse")
+    val muM = floats("mu")
+    val rotM = floats("rot")
+    val subqM = floats("subq")
+    val halfDim = coarseM((0, 0, -1)).length
+    val fineSplits = mTotal / 2
+    val subClusters = subqM.keys.map(_._3).max + 1
+
+    val model = LopqModel(
+      coarse = Array.tabulate(2, v)((s, c) => coarseM((s, c, -1))),
+      rotations = Array.tabulate(2, v, halfDim)((s, c, k) => rotM((s, c, k))),
+      mus = Array.tabulate(2, v)((s, c) => muM((s, c, -1))),
+      subquantizers = Array.tabulate(2, fineSplits, subClusters)((s, f, sc) => subqM((s, f, sc))))
+
+    val pcaDims = meta.getOrElse("pcaDims", "0").toInt
+    val pca =
+      if (pcaDims == 0) None
+      else {
+        val doubles = rows.filter(r => r._1 == "pca_mu" || r._1 == "pca_p")
+          .map(r => (r._1, r._3) -> r._5).toMap
+        Some(LopqPca(
+          mu = doubles(("pca_mu", -1)),
+          p = Array.tabulate(pcaDims)(j => doubles(("pca_p", j))),
+          renorm = renorm))
+      }
+    (model, pca)
+  }
+
+  // ------------------------------------------------------------- codes
+
+  private def writeCounts(spark: SparkSession, dir: String): Unit =
+    spark.read.parquet(s"$dir/codes")
+      .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/cell_counts")
+
+  private def readCounts(spark: SparkSession, dir: String): Map[Int, Long] =
+    spark.read.parquet(s"$dir/cell_counts").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Build (or rebuild) the full index at `dir` from a trained model and
+    * its encoded codes. Overwrites any previous index. */
+  def build(spark: SparkSession, dir: String, model: LopqModel, pca: Option[LopqPca],
+      codes: DataFrame, params: LopqParams, n: Long, dim: Int,
+      initialUpdateId: String = "full_build_000000"): LopqIndex = {
+    import spark.implicits._
+    codes.write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(s"$dir/codes")
+    saveModel(spark, dir, model, pca)
+    writeCounts(spark, dir)
+    Seq((initialUpdateId, n)).toDF("update_id", "n_rows")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    writeMeta(dir, metaFor(params, n, dim, pca))
+    load(spark, dir).get
+  }
+
+  /** Initialize an EMPTY index at `dir` (model + empty manifest, no codes
+    * yet) — the starting point for a purely incremental build via
+    * [[appendUpdate]]. */
+  def initEmpty(spark: SparkSession, dir: String, model: LopqModel,
+      pca: Option[LopqPca], params: LopqParams, dim: Int): Unit = {
+    import spark.implicits._
+    saveModel(spark, dir, model, pca)
+    Seq.empty[(String, Long)].toDF("update_id", "n_rows")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
+    writeMeta(dir, metaFor(params, 0L, dim, pca))
+  }
+
+  /** Load the index at `dir`, or None if absent. */
+  def load(spark: SparkSession, dir: String): Option[LopqIndex] =
+    readMeta(dir).map { _ =>
+      val (model, pca) = loadModel(spark, dir)
+      val codes = spark.read.parquet(s"$dir/codes")
+      LopqIndex(model, pca, codes, readCounts(spark, dir), dir)
+    }
+
+  /** Load only if the stored fingerprint matches `(params, n)` — a changed
+    * corpus or parameterization forces a rebuild instead of silently
+    * serving stale codes. */
+  def loadIfValid(spark: SparkSession, dir: String, params: LopqParams, n: Long,
+      expectPcaDims: Int = 0): Option[LopqIndex] =
+    readMeta(dir) match {
+      case Some(meta)
+          if meta.get("v").contains(params.v.toString) &&
+            meta.get("m").contains(params.m.toString) &&
+            meta.get("subClusters").contains(params.subClusters.toString) &&
+            meta.get("seed").contains(params.seed.toString) &&
+            meta.get("n").contains(n.toString) &&
+            meta.get("pcaDims").contains(expectPcaDims.toString) =>
+        load(spark, dir)
+      case _ => None
+    }
+
+  // ------------------------------------------- incremental maintenance
+
+  /** Lexicographic high-watermark of applied updates (ref
+    * `last_indexed_update`, `searcher_lopqhbase.py:632-653`): callers scan
+    * the updates table for ids strictly above this. */
+  def watermark(spark: SparkSession, dir: String): Option[String] = {
+    val m = spark.read.parquet(s"$dir/manifest")
+    m.agg(max("update_id")).head() match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getString(0))
+    }
+  }
+
+  private def appliedUpdates(spark: SparkSession, dir: String): Set[String] =
+    spark.read.parquet(s"$dir/manifest")
+      .select("update_id").collect().map(_.getString(0)).toSet
+
+  /** Encode one update batch and append it to the codes table — the
+    * incremental refresh of `load_codes` (`searcher_lopqhbase.py:655-770`)
+    * without the full rescan: only the new batch is encoded, the append is
+    * a partition-wise parquet write, and replaying an already-applied
+    * `updateId` is a no-op (idempotent at-least-once ingest, ref the
+    * skip-already-indexed check at `searcher_lopqhbase.py:600-617`).
+    *
+    * Returns true if the batch was applied, false if it was a duplicate. */
+  def appendUpdate(spark: SparkSession, dir: String, batch: DataFrame,
+      idCol: String, vecCol: String, updateId: String): Boolean = {
+    import spark.implicits._
+    if (appliedUpdates(spark, dir).contains(updateId)) return false
+    val (model, pca) = loadModel(spark, dir)
+    val input = pca match {
+      case None => batch
+      case Some(px) =>
+        val pcaB = spark.sparkContext.broadcast(px)
+        val applyU = udf((v: Seq[Float]) => pcaB.value(v.toArray).toSeq)
+        batch.withColumn(vecCol, applyU(col(vecCol)))
+    }
+    val codes = LopqSearcher.encode(input, idCol, vecCol, model)
+    val n = codes.count()
+    codes.write.mode(SaveMode.Append).partitionBy("cell_id").parquet(s"$dir/codes")
+    Seq((updateId, n)).toDF("update_id", "n_rows")
+      .write.mode(SaveMode.Append).parquet(s"$dir/manifest")
+    writeCounts(spark, dir)
+    true
+  }
+}

@@ -21,8 +21,10 @@ import graft.functions.VectorFunctions
   *      centroid → multisequence walk of cells in nondecreasing distance
   *      until the retrieval quota is covered (`search.py:110-135`);
   *   2. driver: ADC subquantizer distance tables for each VISITED cell only
-  *      (memoized per coarse pair in the reference, `search.py:151-164`);
-  *      shipped as one map literal — O(cells·M·S) doubles;
+  *      (memoized per coarse pair in the reference, `search.py:151-164`),
+  *      shipped as a tiny per-cell DataFrame broadcast-joined on `cell_id`
+  *      — O(cells·M·S) doubles of DATA, constant-size plan (at the release
+  *      shape V=4096/S=256 a literal map would be a codegen bomb);
   *   3. cluster: partition-pruned scan of the visited cells, per-row ADC
   *      lookup-sum (codegen'd built-ins), `TakeOrderedAndProject` top-k;
   *   4. optional exact rerank of the prefix by joining raw vectors back by
@@ -65,16 +67,18 @@ object LopqSearcher {
     cells.result()
   }
 
-  /** ADC distance tables for each visited cell, as a map-literal Column:
-    * cell_id → ARRAY<ARRAY<DOUBLE>> of per-subquantizer distances. */
-  private def tablesMapLit(model: LopqModel, query: Array[Float], cells: Seq[Int]): Column = {
-    val entries = cells.map { cell =>
+  /** ADC distance tables for each visited cell as a tiny DataFrame
+    * `(cell_id, adc_tables ARRAY<ARRAY<DOUBLE>>)` — broadcast-joined to the
+    * pruned scan so the query PLAN stays constant-size regardless of
+    * V/S/cells (the data rides the broadcast, not the codegen). */
+  def adcTablesDf(codes: DataFrame, model: LopqModel, query: Array[Float],
+      cells: Seq[Int]): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    cells.map { cell =>
       val cc = CellMath.unpackCell(cell, model.v)
-      val tables = model.subquantizerDistances(query, cc)
-      struct(lit(cell).as("key"),
-        array(tables.map(t => array(t.map(lit): _*)): _*).as("value"))
-    }
-    map_from_entries(array(entries: _*))
+      (cell, model.subquantizerDistances(query, cc).map(_.toSeq).toSeq)
+    }.toDF("cell_id", "adc_tables")
   }
 
   /** Approximate top-k by ADC over the visited cells. Returns
@@ -86,11 +90,10 @@ object LopqSearcher {
       return codes.sparkSession.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("cell_id", lit(0))
         .withColumn("adc_dist", lit(0.0)).limit(0)
-    val tables = tablesMapLit(model, query, cells)
     codes
       .where(col("cell_id").isin(cells: _*)) // → partition pruning on disk
-      .withColumn("adc_dist", VectorFunctions.adcDistance(col("fine"),
-        element_at(tables, col("cell_id"))))
+      .join(broadcast(adcTablesDf(codes, model, query, cells)), "cell_id")
+      .withColumn("adc_dist", VectorFunctions.adcDistance(col("fine"), col("adc_tables")))
       .orderBy(col("adc_dist"), col("id")) // + limit → TakeOrderedAndProject
       .limit(k)
       .select("id", "cell_id", "adc_dist")
@@ -98,11 +101,18 @@ object LopqSearcher {
 
   /** Full query: ADC top-`rerankK` then exact-L2 rerank of the prefix via a
     * broadcast join back to the raw vectors, final top-`k`
-    * (ref rerank join, `searcher_lopqhbase.py:862-912`). */
+    * (ref rerank join, `searcher_lopqhbase.py:862-912`).
+    *
+    * With `pca` set (the release `lopq_pca` shape), the approximate stage
+    * runs in PCA space — `apply_PCA` on the query, ref
+    * `lopq/lopq/search.py:198-200` — while the rerank recomputes exact L2
+    * against the FULL-dimension vectors, like the reference reranking with
+    * the raw features re-read from HBase. */
   def search(codes: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,
       model: LopqModel, query: Array[Float], quota: Int, k: Int, rerankK: Int,
-      cellCounts: Map[Int, Long]): DataFrame = {
-    val approx = searchApprox(codes, model, query, quota, rerankK, cellCounts)
+      cellCounts: Map[Int, Long], pca: Option[LopqPca] = None): DataFrame = {
+    val approxQuery = pca.map(_.apply(query)).getOrElse(query)
+    val approx = searchApprox(codes, model, approxQuery, quota, rerankK, cellCounts)
     val qLit = array(query.map(lit): _*)
     // rerank prefix is ≤ rerankK rows → broadcast it against the (large)
     // vector table; the scan side streams, nothing big shuffles

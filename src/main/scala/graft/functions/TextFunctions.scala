@@ -13,18 +13,33 @@ import org.apache.spark.sql.functions._
   * portable across engines, unlike JVM `hashCode`/xxhash64.
   */
 object TextFunctions {
+  /** Evaluate `arr` ONCE per row and let `f` consume it as a lambda
+    * variable — the expression-level analogue of a `val` in generated code.
+    *
+    * Why this exists: higher-order-function lambdas evaluate their argument
+    * EXPRESSION at every reference site when a Column expression (rather
+    * than an attribute) is passed in. An O(tokens) `split` inlined into an
+    * O(shingles·n) loop turns quadratic per row — measured 40×+ on the
+    * shingle pipeline at sf0.1. Wrapping the array in a 1-element array and
+    * referencing it through `transform`'s lambda variable forces a single
+    * evaluation, like the reference materializing its token list in a local
+    * (everything downstream indexes the materialized array). */
+  def bindOnce(arr: Column, f: Column => Column): Column =
+    element_at(transform(array(arr), a => f(a)), 1)
+
   /** Whitespace tokens with empty strings removed. */
   def tokens(text: Column): Column =
     filter(split(text, " "), t => t =!= "")
 
-  /** Contiguous n-gram (word shingle) strings, space-joined. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - (n - 1)
-    when(count <= 0, array(concat_ws(" ", toks)))
-      .otherwise(transform(sequence(lit(0), count - 1), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-  }
+  /** Contiguous n-gram (word shingle) strings, space-joined. The token
+    * array is bound once; each shingle is n O(1) lookups into it. */
+  def shingles(text: Column, n: Int): Column =
+    bindOnce(tokens(text), toks => {
+      val count = size(toks) - (n - 1)
+      when(count <= 0, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), count - 1), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+    })
 
   /** First 15 hex chars of md5 as a non-negative BIGINT (60 bits).
     * Identical to DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`. */
@@ -59,24 +74,26 @@ object TextFunctions {
 
   /** MinHash signature from pre-hashed shingles ([[shingleHashes]]):
     * sig_j = min over shingles of (a_j·h + b_j) mod P — the classic
-    * universal-hash MinHash (Broder '97). */
+    * universal-hash MinHash (Broder '97). The hash array is bound once —
+    * the `numHashes` permutations scan the same materialized array. */
   def minhashFromHashes(hashCol: Column, numHashes: Int): Column =
-    array(minhashCoeffs(numHashes).map { case (a, b) =>
-      array_min(transform(hashCol, h => (h * a + b) % MinhashPrime))
-    }: _*)
+    bindOnce(hashCol, hs =>
+      array(minhashCoeffs(numHashes).map { case (a, b) =>
+        array_min(transform(hs, h => (h * a + b) % MinhashPrime))
+      }: _*))
 
   /** 64-bit-ish SimHash over tokens, restricted to `bits` ≤ 60 bits of the
     * md5-derived integer: bit b is 1 iff Σ_tokens (bit_b(md5(tok)) ? 1 : -1)
     * is positive. Returns BIGINT. */
-  def simhash(toksCol: Column, bits: Int = 32): Column = {
-    val hashes = transform(toksCol, t => md5Long(t))
-    val bitCols = (0 until bits).map { b =>
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  def simhash(toksCol: Column, bits: Int = 32): Column =
+    bindOnce(transform(toksCol, t => md5Long(t)), hashes => {
+      val bitCols = (0 until bits).map { b =>
+        val votes = aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L)))
+        when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+      }
+      bitCols.reduce(_ + _)
+    })
 
   /** Hamming distance between two simhash BIGINTs. */
   def hammingDistance(a: Column, b: Column): Column =
@@ -99,23 +116,26 @@ object TextFunctions {
     * set. Used by the n-gram-free language-ID heuristic. */
   def markerRatio(toksCol: Column, markers: Seq[String]): Column = {
     val markerArr = array(markers.map(lit): _*)
-    when(size(toksCol) === 0, lit(0.0))
-      .otherwise(size(array_intersect(array_distinct(toksCol), markerArr)).cast("double")
-        / size(array_distinct(toksCol)).cast("double"))
+    // empty toks ⇔ empty distinct set, so binding the distinct array keeps
+    // the guard semantics while evaluating the tokenization once
+    bindOnce(array_distinct(toksCol), dt =>
+      when(size(dt) === 0, lit(0.0))
+        .otherwise(size(array_intersect(dt, markerArr)).cast("double")
+          / size(dt).cast("double")))
   }
 
   /** Heuristic quality score in [0,1]: combines length band, mean token
     * length band, and alpha-ratio. Deterministic + SQL-expressible. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks).cast("double")
-    val lenScore = when(nTok >= 5 && nTok <= 1000, lit(1.0)).otherwise(lit(0.0))
-    val meanTokLen = when(nTok === 0, lit(0.0))
-      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
-    val tokLenScore = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.0))
-    val alphaRatio = when(length(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
-        / length(text).cast("double"))
-    round((lenScore + tokLenScore + alphaRatio) / 3.0, 6)
-  }
+  def qualityScore(text: Column): Column =
+    bindOnce(tokens(text), toks => {
+      val nTok = size(toks).cast("double")
+      val lenScore = when(nTok >= 5 && nTok <= 1000, lit(1.0)).otherwise(lit(0.0))
+      val meanTokLen = when(nTok === 0, lit(0.0))
+        .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+      val tokLenScore = when(meanTokLen >= 2 && meanTokLen <= 12, lit(1.0)).otherwise(lit(0.0))
+      val alphaRatio = when(length(text) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double")
+          / length(text).cast("double"))
+      round((lenScore + tokLenScore + alphaRatio) / 3.0, 6)
+    })
 }

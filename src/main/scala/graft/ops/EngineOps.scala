@@ -2,19 +2,25 @@ package graft.ops
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.engine.{LopqModel, LopqParams, LopqSearcher, LopqTrainer}
+import graft.core.{CellMath, VectorOps}
+import graft.engine.{LopqIndex, LopqIndexStore, LopqModel, LopqParams, LopqPca, LopqSearcher, LopqTrainer}
 import graft.functions.VectorFunctions._
 
-/** The LOPQ ANN engine surface as catalog queries: train → encode → search
-  * end-to-end (SURVEY §3.3 + §3.1), and the retrieval-quality eval of the
-  * reference's harness (`lopq/lopq/eval.py:92-142`). Not ANSI-SQL-
-  * expressible (KMeans + multisequence), so these omit `oracle` — the
-  * driver records rows-only; quality is asserted by `LopqSpec` (recall vs
-  * the brute-force oracle) instead.
+/** The LOPQ ANN engine surface as catalog queries: train → encode →
+  * PERSIST → search end-to-end (SURVEY §3.3 + §3.1), plus the retrieval
+  * eval harness (`lopq/lopq/eval.py`), PCA projection, and incremental
+  * index maintenance.
+  *
+  * Correctness gate: the model itself (KMeans) is not SQL-expressible, but
+  * everything downstream of the trained model IS — so after the index is
+  * built, the visited-cell lists, per-cell ADC tables, and projected
+  * subvectors are dumped as parquet artifacts and the DuckDB oracle SQL for
+  * q34/q35/q43/q44/q45 is GENERATED AT RUNTIME against them (hard
+  * hash-match in `CORRECTNESS_r{N}.json`, replacing round 2's `no_oracle`).
   */
 object EngineOps {
   import Tables.{apply => t}
@@ -28,23 +34,57 @@ object EngineOps {
   private val TopK = 10
   private val RerankK = 50
   private val NumQueries = 5
+  private val PcaDims = 16
 
-  /** One train+encode per (session, sfDir) — the model is an index artifact
-    * shared by every query against it, exactly like the reference's pickled
-    * model + LMDB index. */
-  private val indexCache =
-    TrieMap.empty[(SparkSession, String), (LopqModel, DataFrame, Map[Int, Long])]
+  /** Bump when the on-disk encode/codes semantics change: prevents an index
+    * persisted by older code from silently serving a newer session. */
+  private val FormatVersion = "3"
 
-  /** Public so Bench can prewarm the (offline) index build. */
-  def index(s: SparkSession, d: String): (LopqModel, DataFrame, Map[Int, Long]) =
+  /** Durable index root — env-overridable; `target/` keeps everything
+    * inside the repo tree. */
+  def indexRoot: String =
+    sys.env.getOrElse("GRAFT_INDEX_ROOT", "/root/repo/target/graft-index")
+
+  def indexDir(sfDir: String): String =
+    s"$indexRoot/${new java.io.File(sfDir).getName}"
+
+  private def deleteDir(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  // ------------------------------------------------------------ index
+
+  /** One persisted index per sfDir: load-if-valid else train+build, exactly
+    * the reference's "load pickled model else train" startup
+    * (`searcher_lopqhbase.py:104-223`). A fresh session SERVES WITHOUT
+    * RETRAINING — round 2 retrained per session (58 s at sf0.1). */
+  private val indexCache = TrieMap.empty[(SparkSession, String), LopqIndex]
+
+  def index(s: SparkSession, d: String): LopqIndex =
     indexCache.getOrElseUpdate((s, d), {
+      val dir = indexDir(d)
       val e = t(s, d, "embeddings")
-      val model = LopqTrainer.train(e, "embedding", P)
-      val codes = LopqSearcher.encode(e, "vec_id", "embedding", model).cache()
-      val counts = codes.groupBy("cell_id").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (model, codes, counts)
+      val n = e.count()
+      LopqIndexStore.loadIfValid(s, dir, P, n)
+        .filter(_ => fmtOk(dir))
+        .getOrElse {
+          val dim = e.select(size(col("embedding"))).head().getInt(0)
+          val model = LopqTrainer.train(e, "embedding", P)
+          val codes = LopqSearcher.encode(e, "vec_id", "embedding", model)
+          val built = LopqIndexStore.build(s, dir, model, None, codes, P, n, dim)
+          markFmt(dir)
+          built
+        }
     })
+
+  private def fmtOk(dir: String): Boolean = {
+    val p = java.nio.file.Paths.get(s"$dir/FORMAT")
+    java.nio.file.Files.exists(p) && java.nio.file.Files.readString(p).trim == FormatVersion
+  }
+  private def markFmt(dir: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/FORMAT"), FormatVersion)
 
   private def queryVectors(s: SparkSession, d: String): Array[(Long, Array[Float])] =
     t(s, d, "embeddings").where(col("vec_id") < NumQueries)
@@ -52,17 +92,203 @@ object EngineOps {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
 
-  val defs: Seq[QueryDef] = Seq(
-    // §3.3/§3.1 full ANN path: train (cached per sfDir) → encode → per-query
-    // multisequence cell selection → pruned ADC scan → exact rerank.
+  /** Offline warm-up for Bench: index build + oracle artifacts, so the
+    * timed q34/q35 measure only the online search path. */
+  def prewarm(s: SparkSession, d: String): Unit = ensureOracle(s, d)
+
+  // --------------------------------------------- runtime oracle artifacts
+
+  /** Generated-at-runtime DuckDB oracle SQL, keyed by query name. Populated
+    * when the engine queries run (Verify runs all queries BEFORE dumping
+    * `oracle_sql.json`, so the stash is complete by then). */
+  private val oracleStash = TrieMap.empty[String, String]
+  private[ops] def stashed(name: String): Option[String] = oracleStash.get(name)
+
+  private def sqlList(xs: Array[Double]): String = xs.mkString("[", ", ", "]")
+
+  /** `Σ (aᵢ−bᵢ)²` with the exact fold order of `graft_l2sq` (sequential
+    * left-to-right double adds) — DuckDB side. */
+  private def l2sqSql(a: String, b: String): String = {
+    val diff = s"list_transform(list_zip($a, $b), z -> z[1] - z[2])"
+    s"list_dot_product($diff, $diff)"
+  }
+
+  /** Dump visited-cell lists + per-cell ADC tables + projected subvectors
+    * for the fixed query set, and stash the oracle SQL that recomputes
+    * q34/q35/q43/q44/q45 from them in DuckDB. Memoized per (session, dir);
+    * everything after the trained model is plain relational algebra. */
+  private val oracleReady = TrieMap.empty[(SparkSession, String), Unit]
+
+  private def ensureOracle(s: SparkSession, d: String): Unit =
+    oracleReady.getOrElseUpdate((s, d), {
+      import s.implicits._
+      val h = index(s, d)
+      val dir = h.dir
+      val odir = s"$dir/oracle"
+
+      // visited cells + ADC tables per query (driver-side model math — the
+      // same values the broadcast join ships to executors)
+      val qs = queryVectors(s, d)
+      val visited = qs.flatMap { case (qid, vec) =>
+        LopqSearcher.selectCells(h.model, vec, Quota, h.cellCounts).map(c => (qid, c))
+      }
+      val adctab = qs.flatMap { case (qid, vec) =>
+        LopqSearcher.selectCells(h.model, vec, Quota, h.cellCounts).flatMap { cell =>
+          val tabs = h.model.subquantizerDistances(vec, CellMath.unpackCell(cell, h.model.v))
+          for (m <- tabs.indices; sc <- tabs(m).indices)
+            yield (qid, cell, m, sc, tabs(m)(sc))
+        }
+      }
+      visited.toSeq.toDF("q_id", "cell_id").repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$odir/visited")
+      adctab.toSeq.toDF("q_id", "cell_id", "sub", "code", "dist").repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$odir/adctab")
+
+      // projected subvectors + subquantizer centroids (for q45 distortion)
+      val modelB = s.sparkContext.broadcast(h.model)
+      t(s, d, "embeddings").select("vec_id", "embedding")
+        .as[(Long, Seq[Float])]
+        .flatMap { case (id, emb) =>
+          val m = modelB.value
+          val x = emb.toArray
+          val px = m.project(x, m.predictCoarse(x))
+          for (split <- 0 until m.numCoarseSplits; f <- 0 until m.numFineSplits) yield {
+            val sub = VectorOps.splits(px(split), m.numFineSplits)(f)
+            val code = VectorOps.argminL2(sub, m.subquantizers(split)(f))
+            (id, split, f, sub.map(_.toDouble).toSeq, code)
+          }
+        }
+        .toDF("id", "split", "fidx", "subvec", "code").repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$odir/proj")
+      val cent = for {
+        split <- 0 until h.model.numCoarseSplits
+        f <- 0 until h.model.numFineSplits
+        sc <- h.model.subquantizers(split)(f).indices
+      } yield (split, f, sc, h.model.subquantizers(split)(f)(sc).map(_.toDouble).toSeq)
+      cent.toDF("split", "fidx", "code", "centroid").repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$odir/subq")
+
+      val codesGlob = s"$dir/codes/*/*.parquet"
+      val v = h.model.v
+
+      // shared CTE prefix: candidates → ADC (explicit 4-term sum = the
+      // fold order of adcDistance) → rerank prefix → exact-L2 ranking
+      val annCtes =
+        s"""WITH codes AS (
+           |  SELECT id, coarse0, coarse1, fine, (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |visited AS (SELECT * FROM read_parquet('$odir/visited/*.parquet')),
+           |tab AS (SELECT * FROM read_parquet('$odir/adctab/*.parquet')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |cand AS (
+           |  SELECT vis.q_id, c.id, c.cell_id,
+           |         t0.dist + t1.dist + t2.dist + t3.dist AS adc_dist
+           |  FROM visited vis
+           |  JOIN codes c ON c.cell_id = vis.cell_id
+           |  JOIN tab t0 ON t0.q_id = vis.q_id AND t0.cell_id = c.cell_id AND t0.sub = 0 AND t0.code = c.fine[1]
+           |  JOIN tab t1 ON t1.q_id = vis.q_id AND t1.cell_id = c.cell_id AND t1.sub = 1 AND t1.code = c.fine[2]
+           |  JOIN tab t2 ON t2.q_id = vis.q_id AND t2.cell_id = c.cell_id AND t2.sub = 2 AND t2.code = c.fine[3]
+           |  JOIN tab t3 ON t3.q_id = vis.q_id AND t3.cell_id = c.cell_id AND t3.sub = 3 AND t3.code = c.fine[4]),
+           |approx AS (
+           |  SELECT q_id, id, adc_dist,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, id) AS arnk
+           |  FROM cand),
+           |rr AS (
+           |  SELECT a.q_id, a.id, a.adc_dist,
+           |         sqrt(${l2sqSql("q.v", "n.v")}) AS exact_dist
+           |  FROM approx a
+           |  JOIN e q ON q.vec_id = a.q_id
+           |  JOIN e n ON n.vec_id = a.id
+           |  WHERE a.arnk <= $RerankK),
+           |ranked AS (
+           |  SELECT q_id, id AS n_id, adc_dist, exact_dist,
+           |         row_number() OVER (PARTITION BY q_id ORDER BY exact_dist, id)::BIGINT AS rank
+           |  FROM rr)""".stripMargin
+
+      oracleStash("q34_lopq_ann") =
+        s"""$annCtes
+           |SELECT q_id, rank, n_id, round(adc_dist, 6) AS adc_dist,
+           |       round(exact_dist, 6) AS exact_dist
+           |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+
+      oracleStash("q35_lopq_recall") =
+        s"""$annCtes,
+           |ann AS (SELECT q_id, n_id, 1 AS hit FROM ranked WHERE rank <= $TopK),
+           |brute AS (
+           |  SELECT q.vec_id AS q_id, n.vec_id AS n_id
+           |  FROM e q JOIN e n ON q.vec_id < $NumQueries
+           |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+           |    ORDER BY sqrt(${l2sqSql("q.v", "n.v")}), n.vec_id) <= $TopK)
+           |SELECT b.q_id, (sum(coalesce(a.hit, 0))::DOUBLE / $TopK) AS recall
+           |FROM brute b LEFT JOIN ann a ON a.q_id = b.q_id AND a.n_id = b.n_id
+           |GROUP BY b.q_id ORDER BY b.q_id""".stripMargin
+
+      oracleStash("q43_incremental_index") =
+        s"""SELECT id, coarse0::BIGINT AS coarse0, coarse1::BIGINT AS coarse1,
+           |       array_to_string(fine, ',') AS fine_str,
+           |       (coarse0 * $v + coarse1)::BIGINT AS cell_id
+           |FROM read_parquet('$codesGlob') ORDER BY id""".stripMargin
+
+      oracleStash("q44_cell_histogram") =
+        s"""SELECT (coarse0 * $v + coarse1)::BIGINT AS cell_id, count(*) AS cnt
+           |FROM read_parquet('$codesGlob') GROUP BY 1 ORDER BY cell_id""".stripMargin
+
+      val dsq = l2sqSql("p.subvec", "c.centroid")
+      oracleStash("q45_subq_distortion") =
+        s"""WITH p AS (SELECT * FROM read_parquet('$odir/proj/*.parquet')),
+           |c AS (SELECT * FROM read_parquet('$odir/subq/*.parquet')),
+           |d AS (
+           |  SELECT p.split, p.fidx,
+           |         floor($dsq * 1000000.0 + 0.5)::BIGINT AS micro
+           |  FROM p JOIN c ON c.split = p.split AND c.fidx = p.fidx AND c.code = p.code)
+           |SELECT split::BIGINT AS split, fidx::BIGINT AS fidx, count(*) AS n,
+           |       sum(micro)::BIGINT AS sum_micro,
+           |       round((sum(micro)::DOUBLE / 1000000.0) / count(*), 6) AS avg_distortion
+           |FROM d GROUP BY 1, 2 ORDER BY split, fidx""".stripMargin
+    })
+
+  // ----------------------------------------------------------------- PCA
+
+  private val pcaCache = TrieMap.empty[(SparkSession, String), LopqPca]
+
+  def pcaOf(s: SparkSession, d: String): LopqPca =
+    pcaCache.getOrElseUpdate((s, d),
+      LopqPca.train(t(s, d, "embeddings"), "embedding", PcaDims))
+
+  /** Stash the q39 oracle: the trained projection as literal matrices —
+    * `c_j = round(dot(x − mu, P_j), 6)` with identical fold order. */
+  private def stashPcaOracle(pca: LopqPca): Unit = {
+    val muL = sqlList(pca.mu)
+    val comps = (0 until pca.pcaDims).map { j =>
+      s"round(list_dot_product(diff, ${sqlList(pca.p(j))}), 6) AS c$j"
+    }.mkString(",\n       ")
+    oracleStash("q39_pca_project") =
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+         |d AS (SELECT vec_id, list_transform(list_zip(v, $muL), p -> p[1] - p[2]) AS diff FROM e)
+         |SELECT vec_id,
+         |       $comps
+         |FROM d ORDER BY vec_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------- queries
+
+  /** A `def`, not a `val`: the engine oracles are GENERATED when the
+    * queries run, so the catalog must re-read the stash on every access
+    * (Verify builds `oracleSql` after running all queries). */
+  def defs: Seq[QueryDef] = Seq(
+    // §3.3/§3.1 full ANN path against the PERSISTED index: load-or-build →
+    // per-query multisequence cell selection → partition-pruned ADC scan
+    // (broadcast tables join) → exact rerank. Oracle: generated at runtime
+    // over the dumped artifacts (see ensureOracle).
     QueryDef(
       "q34_lopq_ann",
       (s, d) => {
-        val (model, codes, counts) = index(s, d)
+        ensureOracle(s, d)
+        val h = index(s, d)
         val e = t(s, d, "embeddings")
         val perQuery = queryVectors(s, d).map { case (qid, vec) =>
-          LopqSearcher.search(codes, e, "vec_id", "embedding", model, vec,
-            Quota, TopK, RerankK, counts)
+          LopqSearcher.search(h.codes, e, "vec_id", "embedding", h.model, vec,
+            Quota, TopK, RerankK, h.cellCounts)
             .withColumn("q_id", lit(qid))
         }
         val w = Window.partitionBy("q_id").orderBy(col("exact_dist"), col("id"))
@@ -73,20 +299,20 @@ object EngineOps {
             round(col("exact_dist"), 6).as("exact_dist"))
           .orderBy("q_id", "rank")
       },
-      None,
+      stashed("q34_lopq_ann"),
       bench = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle
-    // (ref get_recall, lopq/lopq/eval.py:92-142): exact NN via cross join +
-    // ranking window, intersected with the ANN result per query.
+    // (ref get_recall, lopq/lopq/eval.py:92-142).
     QueryDef(
       "q35_lopq_recall",
       (s, d) => {
-        val (model, codes, counts) = index(s, d)
+        ensureOracle(s, d)
+        val h = index(s, d)
         val e = t(s, d, "embeddings")
         val ann = queryVectors(s, d).map { case (qid, vec) =>
-          LopqSearcher.search(codes, e, "vec_id", "embedding", model, vec,
-            Quota, TopK, RerankK, counts)
+          LopqSearcher.search(h.codes, e, "vec_id", "embedding", h.model, vec,
+            Quota, TopK, RerankK, h.cellCounts)
             .select(lit(qid).as("q_id"), col("id").as("n_id"))
         }.reduce(_.unionAll(_))
         val q = e.where(col("vec_id") < NumQueries)
@@ -102,6 +328,99 @@ object EngineOps {
           .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / TopK).as("recall"))
           .orderBy("q_id")
       },
-      None)
+      stashed("q35_lopq_recall")),
+
+    // §2.4 global PCA train + apply (ref train_pca model.py:242-287 +
+    // apply_PCA model.py:961-978): the projection itself is the query —
+    // literal mu/P both sides, identical double fold order.
+    QueryDef(
+      "q39_pca_project",
+      (s, d) => {
+        val pca = pcaOf(s, d)
+        stashPcaOracle(pca)
+        val muLit = array(pca.mu.map(lit): _*)
+        val diff = zip_with(col("embedding"), muLit, (x, m) => x.cast("double") - m)
+        val comps = (0 until pca.pcaDims).map { j =>
+          val pLit = array(pca.p(j).map(lit): _*)
+          round(dotProduct(diff, pLit), 6).as(s"c$j")
+        }
+        t(s, d, "embeddings")
+          .select(col("vec_id") +: comps: _*)
+          .orderBy("vec_id")
+      },
+      stashed("q39_pca_project")),
+
+    // §2.9-adjacent incremental index maintenance (ref load_codes since
+    // last_indexed_update, searcher_lopqhbase.py:632-770): two update
+    // batches appended + one duplicate replay (must no-op) ≡ the one-shot
+    // batch encode — verified by the oracle reading the ONE-SHOT codes.
+    QueryDef(
+      "q43_incremental_index",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val incrDir = indexDir(d) + "_incr"
+        deleteDir(s, incrDir)
+        LopqIndexStore.initEmpty(s, incrDir, h.model, None, P, h.model.dim)
+        val e = t(s, d, "embeddings")
+        val n = e.count()
+        val half = n / 2
+        val b1 = e.where(col("vec_id") < half)
+        val b2 = e.where(col("vec_id") >= half)
+        assert(LopqIndexStore.appendUpdate(s, incrDir, b1, "vec_id", "embedding",
+          "index_update_emb_2026-08-12_000000"))
+        assert(LopqIndexStore.appendUpdate(s, incrDir, b2, "vec_id", "embedding",
+          "index_update_emb_2026-08-12_000001"))
+        // at-least-once replay of update 0 — must be skipped by the manifest
+        assert(!LopqIndexStore.appendUpdate(s, incrDir, b1, "vec_id", "embedding",
+          "index_update_emb_2026-08-12_000000"))
+        assert(LopqIndexStore.watermark(s, incrDir)
+          .contains("index_update_emb_2026-08-12_000001"))
+        s.read.parquet(s"$incrDir/codes")
+          .select(col("id"), col("coarse0").cast("long").as("coarse0"),
+            col("coarse1").cast("long").as("coarse1"),
+            concat_ws(",", col("fine").cast("array<string>")).as("fine_str"),
+            col("cell_id").cast("long").as("cell_id"))
+          .orderBy("id")
+      },
+      stashed("q43_incremental_index")),
+
+    // §2.4 cell-balance histogram over the PERSISTED codes table
+    // (ref lopq/lopq/eval.py:66-74).
+    QueryDef(
+      "q44_cell_histogram",
+      (s, d) => {
+        ensureOracle(s, d)
+        index(s, d).codes
+          .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+          .select(col("cell_id").cast("long").as("cell_id"), col("cnt"))
+          .orderBy("cell_id")
+      },
+      stashed("q44_cell_histogram")),
+
+    // §2.4 subquantizer distortion (ref lopq/lopq/eval.py:145-161): mean
+    // squared distance of projected subvectors to their assigned centroid,
+    // per (split, subquantizer). Micro-units (floor(x·1e6 + 0.5)) make the
+    // group sums exact-integer — associative, order-independent — so the
+    // distributed agg hash-matches DuckDB bit-for-bit.
+    QueryDef(
+      "q45_subq_distortion",
+      (s, d) => {
+        ensureOracle(s, d)
+        val dir = indexDir(d)
+        val proj = s.read.parquet(s"$dir/oracle/proj")
+        val cent = s.read.parquet(s"$dir/oracle/subq")
+        proj.join(broadcast(cent), Seq("split", "fidx", "code"))
+          .withColumn("micro",
+            floor(l2DistanceSq(col("subvec"), col("centroid")) * lit(1000000.0) + lit(0.5)))
+          .groupBy("split", "fidx")
+          .agg(count(lit(1)).as("n"), sum(col("micro")).as("sum_micro"))
+          .select(col("split").cast("long").as("split"),
+            col("fidx").cast("long").as("fidx"), col("n"), col("sum_micro"),
+            round(col("sum_micro").cast("double") / lit(1000000.0) / col("n"), 6)
+              .as("avg_distortion"))
+          .orderBy("split", "fidx")
+      },
+      stashed("q45_subq_distortion"))
   )
 }

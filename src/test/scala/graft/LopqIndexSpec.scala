@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{LopqIndexStore, LopqParams, LopqSearcher, LopqTrainer}
+import graft.ops.Tables
+
+/** Durable-index semantics: model save/load round-trip, on-disk partition
+  * pruning of the codes table, incremental append ≡ one-shot encode, and
+  * idempotent update replay (ref pickled model `searcher_lopqhbase.py:192`,
+  * LMDB cell store `lopq/lopq/search.py:445-470`, incremental `load_codes`
+  * `searcher_lopqhbase.py:632-770`). */
+class LopqIndexSpec extends SparkSpec {
+
+  private val p = LopqParams(v = 8, m = 4, subClusters = 16, seed = 42L, kmeansMaxIter = 10)
+  private val dir = "/root/repo/target/graft-index-test/main"
+  private val incrDir = "/root/repo/target/graft-index-test/incr"
+
+  private def deleteDir(d: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(d)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  private lazy val built = {
+    graft.functions.GraftFunctions.register(spark)
+    deleteDir(dir)
+    val e = Tables(spark, sf, "embeddings")
+    val model = LopqTrainer.train(e, "embedding", p)
+    val codes = LopqSearcher.encode(e, "vec_id", "embedding", model)
+    LopqIndexStore.build(spark, dir, model, None, codes, p, n = 500, dim = 64)
+  }
+
+  test("model round-trips through parquet bit-exactly") {
+    val m0 = built.model
+    val (m1, pca1) = LopqIndexStore.loadModel(spark, dir)
+    assert(pca1.isEmpty)
+    assert(m1.v === m0.v && m1.m === m0.m && m1.dim === m0.dim)
+    for (s <- 0 until 2; c <- 0 until m0.v) {
+      assert(m1.coarse(s)(c).sameElements(m0.coarse(s)(c)))
+      assert(m1.mus(s)(c).sameElements(m0.mus(s)(c)))
+      for (k <- 0 until m0.halfDim)
+        assert(m1.rotations(s)(c)(k).sameElements(m0.rotations(s)(c)(k)))
+    }
+    for (s <- 0 until 2; f <- 0 until m0.numFineSplits; sc <- 0 until m0.subquantizerClusters)
+      assert(m1.subquantizers(s)(f)(sc).sameElements(m0.subquantizers(s)(f)(sc)))
+  }
+
+  test("a fresh load serves the same search results without retraining") {
+    val h = built
+    val loaded = LopqIndexStore.load(spark, dir).get
+    val e = Tables(spark, sf, "embeddings")
+    val qv = e.where(col("vec_id") === 3).select("embedding")
+      .head().getSeq[Float](0).toArray
+    def run(codes: org.apache.spark.sql.DataFrame, m: graft.engine.LopqModel,
+        counts: Map[Int, Long]) =
+      LopqSearcher.search(codes, e, "vec_id", "embedding", m, qv, 200, 10, 50, counts)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(run(loaded.codes, loaded.model, loaded.cellCounts) ===
+      run(h.codes, h.model, h.cellCounts))
+  }
+
+  test("visited-cell filter prunes partitions on disk") {
+    val h = built
+    val qv = Tables(spark, sf, "embeddings").where(col("vec_id") === 1)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val df = LopqSearcher.searchApprox(h.codes, h.model, qv, 200, 10, h.cellCounts)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    // the IN-list over cell_id must land in PartitionFilters, not a
+    // post-scan Filter: the scan reads ONLY the visited cells' directories
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell_id"), pf)
+  }
+
+  test("cell counts on disk match the codes table") {
+    val h = built
+    val fromCodes = h.codes.groupBy("cell_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h.cellCounts === fromCodes)
+    assert(h.cellCounts.values.sum === 500L)
+  }
+
+  test("loadIfValid rejects a changed fingerprint") {
+    built
+    assert(LopqIndexStore.loadIfValid(spark, dir, p, n = 500).isDefined)
+    assert(LopqIndexStore.loadIfValid(spark, dir, p, n = 501).isEmpty)
+    assert(LopqIndexStore.loadIfValid(spark, dir, p.copy(v = 16), n = 500).isEmpty)
+  }
+
+  test("incremental appends reproduce the one-shot encode, replay is a no-op") {
+    val h = built
+    deleteDir(incrDir)
+    LopqIndexStore.initEmpty(spark, incrDir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    val b1 = e.where(col("vec_id") < 250)
+    val b2 = e.where(col("vec_id") >= 250)
+    assert(LopqIndexStore.appendUpdate(spark, incrDir, b1, "vec_id", "embedding", "u000"))
+    assert(LopqIndexStore.appendUpdate(spark, incrDir, b2, "vec_id", "embedding", "u001"))
+    assert(!LopqIndexStore.appendUpdate(spark, incrDir, b1, "vec_id", "embedding", "u000"),
+      "replaying an applied update must be skipped")
+    assert(LopqIndexStore.watermark(spark, incrDir) === Some("u001"))
+
+    def snap(path: String) = spark.read.parquet(path)
+      .select("id", "coarse0", "coarse1", "fine", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq, r.getInt(4)))
+      .sortBy(_._1).toSeq
+    assert(snap(s"$incrDir/codes") === snap(s"$dir/codes"))
+  }
+}
