@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through VERBATIM. sbt's default logger
+// prefixes every line with "[info] ", which breaks any caller that parses
+// our output (Bench prints one machine-readable JSON line — rounds 1-3 all
+// recorded `parsed: null` because of the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

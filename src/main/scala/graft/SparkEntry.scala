@@ -10,7 +10,8 @@ object SparkEntry {
   /** All catalog groups, in SURVEY §2 order. */
   def catalog: Seq[QueryDef] =
     Relational.defs ++ TextOps.defs ++ VectorQueries.defs ++
-      MultimodalOps.defs ++ StreamingOps.defs ++ EngineOps.defs
+      MultimodalOps.defs ++ StreamingOps.defs ++ EngineOps.defs ++
+      PipelineOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

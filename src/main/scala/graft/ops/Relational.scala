@@ -187,24 +187,34 @@ object Relational {
              |ORDER BY p_partkey""".stripMargin)),
 
     // §2.3 brute-force NN oracle = cross join + per-row top-1
-    // (ref lopq/eval.py:7-38 full pairwise cdist). Physical shape: instead
-    // of a window sort over the full |S|×|C| pair space, take the
-    // lexicographic min of (dist, c_custkey) per supplier — a hash
-    // aggregation with map-side partial combine, so only |S| groups ever
-    // shuffle. Same result (struct min = ORDER BY dist, c_custkey LIMIT 1).
+    // (ref lopq/eval.py:7-38 full pairwise cdist). Physical shape: the
+    // argmin over (dist, c_custkey) is PACKED INTO ONE BIGINT —
+    // `dist_cents << 32 | c_custkey` (acctbal is exact 2-decimal money, so
+    // cents are exact integers ≤ 2²¹; custkey < 2³¹ — 53 bits total, no
+    // collisions) — so the per-pair loop and the per-group min are
+    // whole-stage-codegen'd primitive long ops with map-side partial
+    // combine (only |S| groups shuffle). A min-of-struct agg here was
+    // measured 100×+ slower: every one of the |S|·|C| pairs paid an
+    // interpreted row allocation + recursive comparison. The supplier side
+    // is spread across cores first: the test table is one parquet file
+    // (single row-group → single input split), which would otherwise put
+    // the whole O(|S|·|C|) loop on one core — at 100 TB the fact side
+    // arrives in thousands of splits and this repartition disappears.
     QueryDef(
       "q11_cross_top1",
       (s, d) => {
-        val sup = t(s, d, "supplier").select("s_suppkey", "s_acctbal")
-        val cust = t(s, d, "customer").select("c_custkey", "c_acctbal")
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), round(col("s_acctbal") * 100).cast("long").as("s_cents"))
+          .repartition(col("s_suppkey"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long").as("c_cents"))
+        val packed = abs(col("s_cents") - col("c_cents")) * lit(1L << 32) + col("c_custkey")
         sup.crossJoin(broadcast(cust))
-          .select(col("s_suppkey"),
-            struct(abs(col("s_acctbal") - col("c_acctbal")).as("dist"),
-              col("c_custkey").as("c_custkey")).as("sc"))
           .groupBy("s_suppkey")
-          .agg(min("sc").as("m"))
-          .select(col("s_suppkey"), col("m.c_custkey").as("c_custkey"),
-            round(col("m.dist"), 6).as("dist"))
+          .agg(min(packed).as("m"))
+          .select(col("s_suppkey"),
+            col("m").bitwiseAND(lit((1L << 32) - 1)).as("c_custkey"),
+            round(shiftright(col("m"), 32).cast("double") / 100.0, 6).as("dist"))
           .orderBy("s_suppkey")
       },
       Some("""SELECT s_suppkey, c_custkey, round(dist, 6) AS dist FROM (

@@ -2,29 +2,44 @@ package graft.ops
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming surface (SURVEY §2.9): the reference's ingest loop —
   * micro-batched consumption, in/cross-batch dedup, claim-vs-DB anti-join
   * (`updater/extraction_checker.py:260-459`) — re-expressed as streaming
-  * queries over the events table used as a replayable source.
+  * queries over the events table used as a replayable source (via
+  * [[Transport]], so the same plans run against Kafka where the connector
+  * exists).
   *
-  * Each query runs with `Trigger.AvailableNow` into a memory sink: the
-  * stream drains the source completely and the result is a deterministic
-  * DataFrame, so these entries carry REAL DuckDB oracles (the batch
-  * equivalent must produce identical rows — the streaming/batch unification
-  * guarantee Spark makes and the reference lacks).
+  * Each query runs with `Trigger.AvailableNow` into its sink: the stream
+  * drains the source completely and the result is a deterministic DataFrame,
+  * so these entries carry REAL DuckDB oracles (the batch equivalent must
+  * produce identical rows — the streaming/batch unification guarantee Spark
+  * makes and the reference lacks).
   *
-  * Scale: the same plans run unchanged against a Kafka source with a real
-  * trigger; state (dedup keys, window partials) lives in the state store,
+  * Scale: state (dedup keys, window partials) lives in the state store,
   * keyed exactly like the shuffle (user_id / window), so state is
-  * partition-local at any executor count.
+  * partition-local at any executor count — and every stateful op here is
+  * WATERMARK-BOUNDED (dedup state is dropped once the watermark passes; an
+  * unbounded `dropDuplicates` grows forever on a real stream).
   */
 object StreamingOps {
   import Tables.{apply => t}
 
   private val nameSeq = new AtomicInteger(0)
+
+  private def eventsSource(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    Transport.source(s, Transport.FileEndpoint(s"$d/events*.parquet", rawSchema))
+  }
+
+  private def deleteDir(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   val defs: Seq[QueryDef] = Seq(
     // §2.9 micro-batch tumbling-window aggregation as a STREAM (the
@@ -34,9 +49,8 @@ object StreamingOps {
     QueryDef(
       "q41_stream_tumbling",
       (s, d) => {
-        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-        val raw = s.readStream.schema(rawSchema).parquet(s"$d/events*.parquet")
-        val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = eventsSource(s, d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         val agg = ev
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -54,21 +68,26 @@ object StreamingOps {
              |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin)),
 
-    // §2.9 the ExtractionChecker ingest shape: stream → in-stream dedup
-    // (dropDuplicates state) → anti-join against the static "already
-    // processed" table → claimed keys (ref extraction_checker.py:225-316).
+    // §2.9 the ExtractionChecker ingest shape: stream → WATERMARK-BOUNDED
+    // stream dedup (state dropped as event time advances — round 2 used
+    // unwatermarked dropDuplicates, whose state grows forever on a real
+    // stream) → anti-join against the static "already processed" table →
+    // claimed keys (ref extraction_checker.py:225-316). The 40-day delay
+    // covers the replayed corpus span, so the drained result is exact and
+    // equals the batch oracle.
     QueryDef(
       "q42_stream_ingest_dedup",
       (s, d) => {
-        val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-        val raw = s.readStream.schema(rawSchema).parquet(s"$d/events*.parquet")
         val processed = t(s, d, "customer")
           .where(col("c_acctbal") > 5000)
           .select(col("c_custkey").as("user_id"))
-        val claimed = raw
-          .select(col("user_id"))
-          .dropDuplicates("user_id")
+        val claimed = eventsSource(s, d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .select(col("user_id"), col("ts"))
+          .withWatermark("ts", "40 days")
+          .dropDuplicatesWithinWatermark("user_id")
           .join(processed, Seq("user_id"), "left_anti")
+          .select("user_id")
         val qn = s"graft_stream_dedup_${nameSeq.incrementAndGet()}"
         val q = claimed.writeStream.format("memory").queryName(qn)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
@@ -78,6 +97,41 @@ object StreamingOps {
       Some("""SELECT DISTINCT user_id FROM events
              |WHERE NOT EXISTS (SELECT 1 FROM customer
              |                  WHERE c_custkey = user_id AND c_acctbal > 5000)
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // §2.9 idempotent foreachBatch sink + checkpoint resume: each
+    // micro-batch OVERWRITES its own batch-id-keyed partition (replay-safe —
+    // the at-least-once-into-idempotent-writes pattern,
+    // ref processed-flag re-checks extraction_processor.py:247-293, Kafka
+    // manual commit kafka_ingester.py:172-184); the stream is then started
+    // a SECOND time on the same checkpoint and must add nothing (offset
+    // resume — the Kinesis sequence-number file, kinesis_ingester.py:63-69).
+    QueryDef(
+      "q50_stream_foreachbatch",
+      (s, d) => {
+        val root = s"/root/repo/target/graft-stream/${new java.io.File(d).getName}"
+        val out = s"$root/fb_out"
+        val ckpt = s"$root/fb_ckpt"
+        deleteDir(s, out); deleteDir(s, ckpt)
+        def drain(): Unit = {
+          val q = eventsSource(s, d).writeStream
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (df: DataFrame, batchId: Long) =>
+              // overwrite THIS batch's partition only: a replayed batch id
+              // rewrites identical bytes instead of appending duplicates
+              df.write.mode("overwrite").parquet(s"$out/batch_id=$batchId")
+            }
+            .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        drain() // initial run: processes the whole source
+        drain() // restart from checkpoint: zero new offsets, zero new writes
+        s.read.parquet(out)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 4).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -19,6 +19,16 @@ import graft.functions.TextFunctions._
 object TextOps {
   import Tables.{apply => t}
 
+  /** `documents` spread across cores. The test corpus is ONE parquet file
+    * (one row-group → one input split), so without this every interpreted
+    * higher-order-function pipeline below — shingling, per-shingle md5,
+    * MinHash permutations — runs on a single core (measured 7–30 s at
+    * sf0.1 for what is <1 s across 32). At 100 TB the corpus arrives in
+    * thousands of splits and this repartition is a no-op to remove; the
+    * per-doc operators themselves stay shuffle-free projections. */
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents").repartition(col("doc_id"))
+
   /** md5-derived 60-bit non-negative BIGINT — DuckDB side. Must stay in
     * lockstep with [[graft.functions.TextFunctions.md5Long]]. */
   private def hx(e: String): String = s"('0x' || substr(md5($e),1,15))::BIGINT"
@@ -59,7 +69,7 @@ object TextOps {
       "q20_token_stats",
       (s, d) => {
         val toks = tokens(col("text"))
-        t(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), size(toks).cast("long").as("n_tokens"), col("n_chars"))
           .withColumn("chars_per_token",
             round(col("n_chars").cast("double") / col("n_tokens"), 4))
@@ -76,7 +86,7 @@ object TextOps {
       "q21_lang_id",
       (s, d) => {
         val toks = tokens(col("text"))
-        t(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), col("lang"),
             round(markerRatio(toks, stopWords), 6).as("stop_ratio"))
           .withColumn("guessed_lang",
@@ -96,7 +106,7 @@ object TextOps {
     QueryDef(
       "q22_quality_score",
       (s, d) =>
-        t(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), qualityScore(col("text")).as("quality"))
           .orderBy("doc_id"),
       Some(s"""WITH $toksCte
@@ -116,7 +126,7 @@ object TextOps {
       "q23_fingerprint",
       (s, d) => {
         val sh = array_distinct(shingles(col("text"), 3))
-        t(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"),
             concat_ws(",", bottomKFingerprint(sh, 5)).as("fingerprint"))
           .orderBy("doc_id")
@@ -132,7 +142,7 @@ object TextOps {
       "q24_minhash_sig",
       (s, d) => {
         val sh = array_distinct(shingles(col("text"), 3))
-        t(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), shingleHashes(sh).as("hsh"))
           .select(col("doc_id"),
             concat_ws(",", minhashFromHashes(col("hsh"), NumHashes)).as("sig"))
@@ -148,23 +158,25 @@ object TextOps {
     QueryDef(
       "q25_minhash_lsh_pairs",
       (s, d) => {
-        val docs = t(s, d, "documents")
-        // The shingle sets and band signatures are INDEX ARTIFACTS — computed
-        // once per corpus and then joined against, exactly like the
-        // reference's per-update codes pickles (generic_searcher.py:216-225).
-        // localCheckpoint materializes them (lineage-truncated, GC-cleaned):
-        // without this the self-join evaluates the md5/minhash pipeline once
-        // per JOIN SIDE (and the optimizer can inline it into the join),
-        // which measured 40×+ slower at sf0.1. At 100 TB this materialization
-        // is a signatures table persisted alongside the corpus.
-        // repartition first: the corpus arrives as one small parquet file
-        // (1 input split) and the md5/shingle pipeline is CPU-bound — spread
-        // it across the executors instead of hashing on a single core
-        val sh = docs.repartition(col("doc_id"))
+        // The shingle sets, signatures, and band signatures are INDEX
+        // ARTIFACTS — computed once per corpus and then joined against,
+        // exactly like the reference's per-update codes pickles
+        // (generic_searcher.py:216-225). localCheckpoint materializes them
+        // (lineage-truncated, GC-cleaned): without this the self-join
+        // evaluates the md5/minhash pipeline once per JOIN SIDE (and the
+        // optimizer can inline it into the join), which measured 40×+
+        // slower at sf0.1. At 100 TB this materialization is a signatures
+        // table persisted alongside the corpus. `docs()` spreads the
+        // single-file scan so the md5/shingle hashing is not single-core.
+        val sh = docs(s, d)
           .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
           .localCheckpoint()
+        // sig is checkpointed too: the band-explode below references the
+        // signature array 16× (4 bands × 4 rows) — inlined, CollapseProject
+        // would re-run all 16 MinHash permutations for every reference
         val sig = sh.select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
           .withColumn("sig", minhashFromHashes(col("hsh"), NumHashes))
+          .localCheckpoint()
         val bandStructs = array((0 until Bands).map { b =>
           struct(lit(b.toLong).as("band"),
             concat_ws(":", (0 until RowsPerBand).map(r =>
@@ -212,7 +224,7 @@ object TextOps {
     QueryDef(
       "q26_simhash",
       (s, d) =>
-        t(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), simhash(tokens(col("text")), 32).as("simhash"))
           .orderBy("doc_id"),
       Some {
@@ -233,7 +245,7 @@ object TextOps {
       "q27_exact_dup_groups",
       (s, d) => {
         val prefix = concat_ws(" ", slice(tokens(col("text")), 1, 5))
-        t(s, d, "documents")
+        docs(s, d)
           .groupBy(md5(prefix).as("prefix_hash"))
           .agg(count(lit(1)).as("cnt"), min("doc_id").as("canonical_id"))
           .where(col("cnt") >= 2)
@@ -251,7 +263,7 @@ object TextOps {
       "q29_regex_tokens",
       (s, d) => {
         val pieces = expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")
-        t(s, d, "documents")
+        docs(s, d)
           .select(col("doc_id"), pieces.as("p"))
           .select(col("doc_id"), size(col("p")).cast("long").as("n_pieces"),
             size(array_distinct(col("p"))).cast("long").as("n_unique"))
@@ -267,7 +279,7 @@ object TextOps {
     QueryDef(
       "q28_ngram_jaccard_adjacent",
       (s, d) => {
-        val sh = t(s, d, "documents").select(col("doc_id"),
+        val sh = docs(s, d).select(col("doc_id"),
           array_distinct(shingles(col("text"), 2)).as("sh"))
         val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
         val b = sh.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"),

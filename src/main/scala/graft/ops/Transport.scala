@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.StructType
+
+/** Transport abstraction for the streaming surface (SURVEY §2.1): the
+  * reference consumes/produces Kafka and Kinesis
+  * (`ingester/kafka_ingester.py:197-251`, `pusher/kafka_pusher.py:126-138`,
+  * `ingester/kinesis_ingester.py:187-361`); this sandbox has neither broker
+  * nor connector jars, so the SAME queries run against a replayable file
+  * endpoint. The endpoint is data, not code — swapping file↔Kafka changes
+  * no operator.
+  *
+  * Mapping notes (scale / semantics):
+  *   - Kafka `consumer.commit()` offset tracking and Kinesis's persisted
+  *     shard sequence-number file (`kinesis_ingester.py:63-69,342-347`) are
+  *     both the streaming checkpoint dir here — exactly-once into files,
+  *     at-least-once into idempotent sinks (see q50).
+  *   - `batch_update_size` micro-batching maps to
+  *     `maxOffsetsPerTrigger` / `maxFilesPerTrigger`.
+  *   - the Kafka branch is compiled but only runnable where
+  *     `spark-sql-kafka` is on the classpath ([[kafkaAvailable]] guards). */
+object Transport {
+  sealed trait Endpoint
+  /** Replayable parquet-file topic stand-in. */
+  case class FileEndpoint(glob: String, schema: StructType) extends Endpoint
+  /** Real Kafka topic: JSON values parsed with the given schema. */
+  case class KafkaEndpoint(bootstrap: String, topic: String, schema: StructType)
+    extends Endpoint
+
+  /** True iff the Kafka connector is on the classpath (it is NOT in this
+    * sandbox's /opt/spark/jars). */
+  def kafkaAvailable: Boolean =
+    scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+
+  def source(spark: SparkSession, e: Endpoint): DataFrame = e match {
+    case FileEndpoint(glob, schema) =>
+      spark.readStream.schema(schema).parquet(glob)
+    case KafkaEndpoint(bootstrap, topic, schema) =>
+      spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(from_json(col("value").cast("string"), schema).as("m"))
+        .select("m.*")
+  }
+
+  /** Sink side (`KafkaPusher.send` = JSON-dumps every row to the topic). */
+  def sink(df: DataFrame, e: Endpoint): DataStreamWriter[org.apache.spark.sql.Row] = e match {
+    case FileEndpoint(glob, _) =>
+      df.writeStream.format("parquet").option("path", glob)
+    case KafkaEndpoint(bootstrap, topic, _) =>
+      df.select(to_json(struct(col("*"))).as("value"))
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+  }
+}

@@ -61,6 +61,13 @@ object VectorQueries {
 
   private val Dim = 64 // embeddings table vector width (TESTDATA)
 
+  /** `embeddings` spread across cores — the test table is one parquet file
+    * (one row-group → one input split), which would otherwise run every
+    * O(n·q) / O(n²) pair loop below on a single core. At 100 TB the
+    * embeddings arrive in thousands of splits and this is a no-op. */
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "embeddings").repartition(col("vec_id"))
+
   val defs: Seq[QueryDef] = Seq(
     // vector norms — the L2-normalize primitive (ref featsio.py:13-22)
     QueryDef(
@@ -79,8 +86,8 @@ object VectorQueries {
     QueryDef(
       "q31_knn_brute",
       (s, d) => {
-        val e = t(s, d, "embeddings").select("vec_id", "embedding")
-        val q = e.where(col("vec_id") < 10)
+        val e = emb(s, d).select("vec_id", "embedding")
+        val q = t(s, d, "embeddings").where(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val dist = lit(1.0) - cosineSimilarity(col("q_vec"), col("embedding"))
         val w = Window.partitionBy("q_id").orderBy(col("dist"), col("vec_id"))
@@ -110,7 +117,7 @@ object VectorQueries {
     QueryDef(
       "q32_embed_neardup",
       (s, d) => {
-        val e = t(s, d, "embeddings")
+        val e = emb(s, d)
           .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
@@ -135,7 +142,7 @@ object VectorQueries {
     QueryDef(
       "q33_lsh_neardup",
       (s, d) => {
-        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        val e = emb(s, d).select("vec_id", "embedding")
         val bucketStructs = array((0 until NumTables).map { tb =>
           struct(lit(tb.toLong).as("tbl"), bucketId(col("embedding"), tb, Dim).as("bucket"))
         }: _*)

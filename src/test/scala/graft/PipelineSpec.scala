@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.AnnIndexes
+import graft.ops.{Extract, PipelineOps, Transport}
+
+/** Specs for the round-4 pipeline surface: detector/featurizer UDTF,
+  * upsert sink, transport abstraction, AnnIndex plugin, and the new
+  * catalog entries end-to-end at sf0.001 (the oracle gate re-checks them
+  * at sf0.01 against DuckDB). */
+class PipelineSpec extends SparkSpec {
+
+  test("stub detector is deterministic and emits 1-3 detections") {
+    val payload = "some document text".getBytes("UTF-8")
+    val a = Extract.StubDetector.detect(payload)
+    val b = Extract.StubDetector.detect(payload)
+    assert(a == b)
+    assert(a.nonEmpty && a.size <= 3)
+    a.foreach { bb =>
+      assert(bb.right > bb.left && bb.bottom > bb.top)
+      assert(bb.score >= 0.0 && bb.score <= 1.0)
+    }
+    val f = Extract.StubFeaturizer.featurize(payload, a.head)
+    assert(f.length == Extract.StubFeaturizer.dim)
+    assert(f.sameElements(Extract.StubFeaturizer.featurize(payload, a.head)))
+  }
+
+  test("extract explodes one row per detection (UDTF shape)") {
+    import spark.implicits._
+    val ds = Seq((1L, "alpha beta".getBytes("UTF-8")), (2L, "gamma".getBytes("UTF-8")))
+      .toDS()
+    val out = Extract.extract(ds, Extract.StubDetector, Extract.StubFeaturizer)
+    val n1 = Extract.StubDetector.detect("alpha beta".getBytes("UTF-8")).size
+    val n2 = Extract.StubDetector.detect("gamma".getBytes("UTF-8")).size
+    assert(out.count() == n1 + n2)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "det_idx", "left", "top", "right", "bottom", "score", "feature"))
+  }
+
+  test("upsert keeps the latest version per key") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("k", "v", "version")
+    val u1 = Seq((2L, "b2", 1L), (3L, "c", 1L)).toDF("k", "v", "version")
+    val got = PipelineOps.upsert(base, u1, Seq("k"), "version")
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", 0L), (2L, "b2", 1L), (3L, "c", 1L)))
+  }
+
+  test("transport file endpoint streams; kafka connector absent in sandbox") {
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val src = Transport.source(spark,
+      Transport.FileEndpoint(s"$sf/events*.parquet", schema))
+    assert(src.isStreaming)
+    assert(!Transport.kafkaAvailable) // documents the sandbox's classpath
+  }
+
+  test("AnnIndex brute-force returns exact ascending top-k") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idx = AnnIndexes.brute(e, "vec_id", "embedding")
+    val q = e.where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val top = idx.search(q, 5).collect()
+    assert(top.length == 5)
+    assert(top.head.getLong(0) == 0L) // self-match at distance 0
+    val dists = top.map(_.getDouble(1)).toSeq
+    assert(dists == dists.sorted)
+  }
+
+  test("new catalog entries run end-to-end at sf0.001 with rows > 0") {
+    for (name <- Seq("q40_detect", "q46_binary_dir_source", "q47_api_response_shape",
+        "q48_dead_letter_repair", "q49_upsert_sink", "q50_stream_foreachbatch",
+        "q51_unprocessed_filter", "q52_update_id_parse")) {
+      val n = SparkEntry.queries(name)(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("q52 round-trip flag is true for every row") {
+    val df = SparkEntry.queries("q52_update_id_parse")(spark, sf)
+    assert(df.where(!col("roundtrip_ok")).count() == 0)
+  }
+}
