@@ -52,9 +52,13 @@ final class LopqAnnIndex(index: LopqIndex, vectors: DataFrame, idCol: String,
 /** Plugin registry (conf name → constructor), mirroring the reference's
   * `get_searcher` dispatch. */
 object AnnIndexes {
-  def brute(vectors: DataFrame, idCol: String, vecCol: String): AnnIndex =
+  def brute(vectors: DataFrame, idCol: String, vecCol: String): AnnIndex = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     new BruteForceIndex(vectors, idCol, vecCol)
+  }
   def lopq(index: LopqIndex, vectors: DataFrame, idCol: String, vecCol: String,
-      quota: Int = 200, rerankK: Int = 50): AnnIndex =
+      quota: Int = 200, rerankK: Int = 50): AnnIndex = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
     new LopqAnnIndex(index, vectors, idCol, vecCol, quota, rerankK)
+  }
 }

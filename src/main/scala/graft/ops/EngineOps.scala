@@ -62,6 +62,16 @@ object EngineOps {
     * RETRAINING — round 2 retrained per session (58 s at sf0.1). */
   private val indexCache = TrieMap.empty[(SparkSession, String), LopqIndex]
 
+  /** Force a reload from disk on next access — the API `refresh` endpoint
+    * (ref `api/api.py:307-384`: re-scan updates since the high-watermark).
+    * Also the eviction path for the per-session cache: a long-lived service
+    * calls this when an index dir is superseded, so entries don't pin
+    * DataFrames forever. */
+  def refreshIndex(s: SparkSession, d: String): LopqIndex = {
+    indexCache.remove((s, d))
+    index(s, d)
+  }
+
   def index(s: SparkSession, d: String): LopqIndex =
     indexCache.getOrElseUpdate((s, d), {
       val dir = indexDir(d)

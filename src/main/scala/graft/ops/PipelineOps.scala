@@ -285,6 +285,59 @@ object PipelineOps {
              |       parts[3] AS content_hash,
              |       parts[4] AS update_date,
              |       (parts[1] || '_' || parts[2] || '_' || parts[3] || '_' || parts[4] = update_id) AS roundtrip_ok
-             |FROM p ORDER BY o_orderkey""".stripMargin))
+             |FROM p ORDER BY o_orderkey""".stripMargin)),
+
+    // The §3.2 "INSERT" lifecycle end-to-end (image message → dedup → claim
+    // → decode → update-batch assignment), on the typed ImageRecord schema:
+    //   1. payloads → Dataset[ImageRecord] with content identity + decoded
+    //      header (ref sha1-of-bytes imgio.py:23-39 — sha256 here, both
+    //      engines expose it; header parse imgio.py:42-111 → decodeStub);
+    //   2. in-batch dedup on the content hash (extraction_checker.py:312-316);
+    //   3. claim-vs-processed anti-join (extraction_checker.py:225-258;
+    //      "processed" = every 7th doc's hash, a deterministic stand-in for
+    //      the images table);
+    //   4. micro-batch update-id assignment in blocks of 200
+    //      (batch_update_size, hbase_indexer_minimal.py:36). The global
+    //      row_number here orders by content hash for determinism; a real
+    //      ingest assigns batches by arrival clock — per-batch, not a
+    //      global sort.
+    QueryDef(
+      "q53_ingest_pipeline",
+      (s, d) => {
+        import s.implicits._
+        val ds = t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        val imgs = ds.map { case (id, payload) =>
+          val (fmt, w, h) = MultimodalOps.decodeStub(payload)
+          val sha = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(payload).map("%02x".format(_)).mkString
+          graft.core.Schemas.ImageRecord(sha, None, Some(s"doc://$id"), None,
+            Some(fmt), Some(w), Some(h), Some(payload))
+        }
+        val processed = t(s, d, "documents").where(col("doc_id") % 7 === 0)
+          .select(sha2(col("text").cast("binary"), 256).as("sha1"))
+        val claimed = imgs.dropDuplicates("sha1")
+          .join(processed, Seq("sha1"), "left_anti")
+        val w = Window.orderBy("sha1")
+        claimed
+          .withColumn("update_id", format_string("index_update_%05d",
+            ((row_number().over(w) - 1) / 200).cast("int")))
+          .select(col("sha1"), col("update_id"), col("format"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("sha1")
+      },
+      Some(s"""WITH img AS (
+              |  SELECT DISTINCT sha256(text) AS sha1, md5(text) AS h FROM documents
+              |  WHERE sha256(text) NOT IN
+              |    (SELECT sha256(text) FROM documents WHERE doc_id % 7 = 0)),
+              |rn AS (SELECT sha1, h, row_number() OVER (ORDER BY sha1) AS rn FROM img)
+              |SELECT sha1,
+              |  'index_update_' || lpad(((rn - 1) // 200)::VARCHAR, 5, '0') AS update_id,
+              |  CASE ${hxs("h", 1, 2)} % 3 WHEN 0 THEN 'JPEG' WHEN 1 THEN 'PNG' ELSE 'GIF' END AS format,
+              |  (32 * (1 + ${hxs("h", 3, 4)} % 64))::BIGINT AS width,
+              |  (32 * (1 + ${hxs("h", 7, 4)} % 64))::BIGINT AS height
+              |FROM rn ORDER BY sha1""".stripMargin))
   )
 }

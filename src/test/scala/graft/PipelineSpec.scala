@@ -80,4 +80,31 @@ class PipelineSpec extends SparkSpec {
     val df = SparkEntry.queries("q52_update_id_parse")(spark, sf)
     assert(df.where(!col("roundtrip_ok")).count() == 0)
   }
+
+  test("q53 ingest pipeline claims, dedups, and batches on ImageRecord") {
+    val df = SparkEntry.queries("q53_ingest_pipeline")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).distinct.length == rows.length) // sha-unique
+    assert(rows.forall(_.getString(1).startsWith("index_update_")))
+  }
+
+  test("GraftApi searchByIds returns shaped JSON matching brute search") {
+    val api = new GraftApi(spark, sf, searcherName = "brute")
+    val out = api.searchByIds(Seq(0L, 3L), 4).collect()
+    assert(out.length == 2)
+    val resp0 = out(0).getString(1)
+    assert(out(0).getLong(0) == 0L)
+    assert(resp0.startsWith("""{"queryId":0,"similarIds":["""))
+    // brute search of vec 0 starts with itself (distance 0)
+    assert(resp0.contains(""""similarIds":[0,"""))
+    assert(resp0.contains("distancesMicro"))
+  }
+
+  test("GraftApi refresh reloads the persisted lopq index") {
+    val api = new GraftApi(spark, sf, searcherName = "lopq")
+    api.refresh() // must rebuild-or-reload without error and stay servable
+    val out = api.searchByIds(Seq(1L), 3).collect()
+    assert(out.length == 1 && out(0).getString(1).contains(""""queryId":1"""))
+  }
 }
