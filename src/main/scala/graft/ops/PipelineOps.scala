@@ -102,7 +102,8 @@ object PipelineOps {
               |  round((${hxs("hf", 21, 4)} % 2001 - 1000) / 1000.0, 6) AS f0,
               |  round((${hxs("hf", 25, 4)} % 2001 - 1000) / 1000.0, 6) AS f1,
               |  round((${hxs("hf", 29, 4)} % 2001 - 1000) / 1000.0, 6) AS f2
-              |FROM bf ORDER BY doc_id, det_idx""".stripMargin)),
+              |FROM bf ORDER BY doc_id, det_idx""".stripMargin),
+      bench = true),
 
     // §2.1 local-directory source: `binaryFile` scan with a path-glob
     // filter — the LocalImagePusher os.walk loop
@@ -338,6 +339,7 @@ object PipelineOps {
               |  CASE ${hxs("h", 1, 2)} % 3 WHEN 0 THEN 'JPEG' WHEN 1 THEN 'PNG' ELSE 'GIF' END AS format,
               |  (32 * (1 + ${hxs("h", 3, 4)} % 64))::BIGINT AS width,
               |  (32 * (1 + ${hxs("h", 7, 4)} % 64))::BIGINT AS height
-              |FROM rn ORDER BY sha1""".stripMargin))
+              |FROM rn ORDER BY sha1""".stripMargin),
+      bench = true)
   )
 }

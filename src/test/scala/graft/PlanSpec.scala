@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.engine.LopqSearcher
+import graft.ops.EngineOps
+
+/** Physical-plan shape assertions — the properties that make these
+  * operators scale are pinned here so a refactor can't silently lose them:
+  * filter/column pushdown to the parquet scan, broadcast joins for small
+  * dims, TakeOrderedAndProject for top-k (no global sort), partial
+  * (map-side) aggregation, and on-disk partition pruning for the ANN
+  * codes scan. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q01 pushes the key-range filter and prunes columns at the scan") {
+    val p = planOf("q01_range_scan")
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThanOrEqual(l_orderkey,100)"))
+    // projection reaches the scan: only the 4 selected columns are read
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_extendedprice:double>"))
+  }
+
+  test("q03 broadcasts both dimension sides") {
+    val p = planOf("q03_lookup_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+  }
+
+  test("q06 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q06_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q05 aggregation is partial (map-side combine before the shuffle)") {
+    val p = planOf("q05_group_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate(keys="))
+    assert("HashAggregate".r.findAllIn(p).size >= 2) // partial + final
+  }
+
+  test("q04 anti join stays a broadcast join (no shuffle of the big side)") {
+    val p = planOf("q04_anti_join")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
+  test("ANN codes scan prunes cell partitions on disk") {
+    val h = EngineOps.index(spark, sf)
+    val q = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val approx = LopqSearcher.searchApprox(h.codes, h.model, q, 200, 10, h.cellCounts)
+    val p = approx.queryExecution.executedPlan.toString
+    // visited-cell filter must reach the partitioned codes table as
+    // PartitionFilters (directory pruning), not a post-scan Filter
+    assert(p.contains("PartitionFilters: [cell_id"))
+  }
+}
