@@ -234,11 +234,24 @@ object LopqIndexStore {
     * skip-already-indexed check at `searcher_lopqhbase.py:600-617`).
     *
     * Returns true if the batch was applied, false if it was a duplicate. */
-  def appendUpdate(spark: SparkSession, dir: String, batch: DataFrame,
+  def appendUpdate(spark: SparkSession, dir: String, batch0: DataFrame,
       idCol: String, vecCol: String, updateId: String): Boolean = {
     import spark.implicits._
     if (appliedUpdates(spark, dir).contains(updateId)) return false
     val (model, pca) = loadModel(spark, dir)
+    // duplicate-id suppression on insert (ref per-cell id dedup,
+    // lopq/lopq/search.py:340-364): within the batch, then against the ids
+    // already indexed. The anti-join shuffles only the new batch's ids —
+    // bounded by batch size, not index size.
+    val batch = {
+      val inBatch = batch0.dropDuplicates(idCol)
+      val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(codesPath))
+        inBatch.join(spark.read.parquet(s"$dir/codes").select(col("id").as(idCol)),
+          Seq(idCol), "left_anti")
+      else inBatch
+    }
     val input = pca match {
       case None => batch
       case Some(px) =>

@@ -106,5 +106,15 @@ class LopqIndexSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq, r.getInt(4)))
       .sortBy(_._1).toSeq
     assert(snap(s"$incrDir/codes") === snap(s"$dir/codes"))
+
+    // duplicate-id suppression on insert (ref lopq/lopq/search.py:340-364):
+    // a NEW update id carrying already-indexed vectors must add no rows —
+    // batch-level replay is caught by the manifest, row-level overlap by
+    // the id anti-join
+    val before = spark.read.parquet(s"$incrDir/codes").count()
+    assert(LopqIndexStore.appendUpdate(spark, incrDir,
+      b1.unionAll(b1), "vec_id", "embedding", "u002"))
+    assert(spark.read.parquet(s"$incrDir/codes").count() === before,
+      "overlapping ids must be suppressed, in-batch and cross-batch")
   }
 }
