@@ -103,6 +103,88 @@ object MultimodalOps {
           .agg(count(lit(1)).as("cnt"))
           .orderBy("k"),
       Some("""SELECT json_extract_string(props, '$.k')::BIGINT AS k, count(*) AS cnt
-             |FROM events GROUP BY 1 ORDER BY k""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY k""".stripMargin)),
+
+    // §2.8 JPEG preprocessing geometry (ref sbpycaffe_img_featurizer
+    // .py:43-76,113-135 — resize so the short side hits 256, then center
+    // crop 227×227 for the CNN input). The decode is the q37 stub; the
+    // resize/crop math is exact integer arithmetic in codegen'd built-ins
+    // (the real pixel resample would live inside the same mapPartitions
+    // batch as the decoder).
+    QueryDef(
+      "q55_center_crop",
+      (s, d) => {
+        import s.implicits._
+        val ds = t(s, d, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+        val meta = ds.mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val (fmt, w, h) = decodeStub(payload)
+            (id, fmt, w.toLong, h.toLong)
+          }
+        }.toDF("doc_id", "format", "width", "height")
+        meta
+          .withColumn("short_side", least(col("width"), col("height")))
+          .withColumn("resized_w", expr("(width * 256) div short_side"))
+          .withColumn("resized_h", expr("(height * 256) div short_side"))
+          .withColumn("crop_x0", expr("(resized_w - 227) div 2"))
+          .withColumn("crop_y0", expr("(resized_h - 227) div 2"))
+          .select(col("doc_id"), col("format"), col("width"), col("height"),
+            col("resized_w"), col("resized_h"), col("crop_x0"), col("crop_y0"),
+            lit(227L).as("crop_size"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id,
+              |    CASE ${hxSub("text", 1, 2)} % 3 WHEN 0 THEN 'JPEG' WHEN 1 THEN 'PNG' ELSE 'GIF' END AS format,
+              |    (32 * (1 + ${hxSub("text", 3, 4)} % 64))::BIGINT AS width,
+              |    (32 * (1 + ${hxSub("text", 7, 4)} % 64))::BIGINT AS height
+              |  FROM documents),
+              |r AS (
+              |  SELECT *, least(width, height) AS short_side,
+              |         (width * 256) // least(width, height) AS resized_w,
+              |         (height * 256) // least(width, height) AS resized_h
+              |  FROM m)
+              |SELECT doc_id, format, width, height, resized_w, resized_h,
+              |       (resized_w - 227) // 2 AS crop_x0,
+              |       (resized_h - 227) // 2 AS crop_y0,
+              |       227::BIGINT AS crop_size
+              |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // Video-as-binary frame sampling: 1 container row → N sampled-frame
+    // rows, all in codegen'd built-ins (sequence + posexplode-style
+    // generator, byte-offset slice, content hash). The payload stands in
+    // for a video container: fixed-size "frames" of 256 bytes at 25 fps,
+    // every 8th frame sampled — the Spark-side plumbing (offset math, 1→N
+    // generate, bounded slice per row) is exactly what a real ffmpeg
+    // keyframe sampler inside mapPartitions would feed downstream.
+    QueryDef(
+      "q56_frame_sample",
+      (s, d) => {
+        val frameBytes = 256
+        val sampleEvery = 8
+        val msPerFrame = 40 // 25 fps
+        t(s, d, "documents")
+          .where(length(col("text")) >= frameBytes)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L),
+              expr(s"((length(text) div $frameBytes) - 1) div $sampleEvery"))).as("k"))
+          .select(col("doc_id"),
+            (col("k") * sampleEvery).as("frame_idx"),
+            (col("k") * sampleEvery * msPerFrame).as("t_ms"),
+            (col("k") * sampleEvery * frameBytes).as("byte_off"),
+            sha2(expr(s"substring(text, k * $sampleEvery * $frameBytes + 1, $frameBytes)")
+              .cast("binary"), 256).as("frame_sha"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""SELECT doc_id, f.k * 8 AS frame_idx, f.k * 8 * 40 AS t_ms,
+             |       f.k * 8 * 256 AS byte_off,
+             |       sha256(substr(text, f.k * 8 * 256 + 1, 256)) AS frame_sha
+             |FROM documents,
+             |     LATERAL (SELECT unnest(generate_series(0,
+             |       ((octet_length(text::BLOB) // 256) - 1) // 8)) AS k) f
+             |WHERE octet_length(text::BLOB) >= 256
+             |ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

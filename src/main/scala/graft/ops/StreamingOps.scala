@@ -132,6 +132,58 @@ object StreamingOps {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // §2.9 the update BUILDER itself: size-or-delay micro-batching as a
+    // stateful streaming operator (ref extraction_checker.py:281-344 —
+    // accumulate per type until batch_update_size or max_delay, then emit
+    // one update). flatMapGroupsWithState keyed by shard; the finite replay
+    // is closed out by per-shard punctuation sentinels (the event-time
+    // timeout path is exercised in SizeBatcherSpec, where a watermark can
+    // actually advance past the deadline). Batch size 256 so every shard
+    // emits several full updates plus a final partial at sf0.01.
+    QueryDef(
+      "q54_stream_size_batch",
+      (s, d) => {
+        import s.implicits._
+        val shards = 8
+        val batchSize = 256
+        val root = s"/root/repo/target/graft-stream/${new java.io.File(d).getName}/sizebatch_src"
+        deleteDir(s, root)
+        val ev = t(s, d, "events") // Tables already converts ts → timestamp
+          .select((col("user_id") % shards).as("shard"),
+            col("event_id").as("eventId"), col("ts"))
+        val flushAt = ev.agg(max("ts")).head().getTimestamp(0).getTime + 3600000L
+        val sentinels = (0 until shards)
+          .map(sh => (sh.toLong, graft.streaming.SizeBatcher.FlushSentinel,
+            new java.sql.Timestamp(flushAt)))
+          .toDF("shard", "eventId", "ts")
+        // one staged file → one micro-batch → chunking equals the global
+        // (ts, id) order the oracle computes
+        ev.unionAll(sentinels).repartition(1)
+          .write.mode("overwrite").parquet(root)
+        val src = Transport.source(s,
+            Transport.FileEndpoint(s"$root/*.parquet", ev.schema))
+          .withWatermark("ts", "0 seconds")
+          .as[graft.streaming.IngestEvent]
+        val updates = graft.streaming.SizeBatcher
+          .updates(src, batchSize, flushDelayMs = 600000L)
+        val qn = s"graft_stream_sizebatch_${nameSeq.incrementAndGet()}"
+        val q = updates.toDF().writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn)
+          .select(col("shard"), col("updateIdx").as("update_idx"),
+            col("nItems").as("n_items"), col("firstEventId").as("first_eid"),
+            col("lastEventId").as("last_eid"))
+          .orderBy("shard", "update_idx")
+      },
+      Some("""SELECT shard, update_idx, count(*) AS n_items,
+             |       min(event_id) AS first_eid, max(event_id) AS last_eid
+             |FROM (SELECT user_id % 8 AS shard, event_id,
+             |             (row_number() OVER (PARTITION BY user_id % 8
+             |                                 ORDER BY ts, event_id) - 1) // 256 AS update_idx
+             |      FROM events)
+             |GROUP BY 1, 2 ORDER BY shard, update_idx""".stripMargin))
   )
 }

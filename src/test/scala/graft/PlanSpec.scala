@@ -46,6 +46,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
   }
 
+  test("q56 frame sampling is a single-stage generate (no join, no shuffle before explode)") {
+    val p = planOf("q56_frame_sample")
+    assert(p.contains("Generate explode"), "1→N sampling must be a Generate")
+    assert(!p.contains("Join"), "frame sampling must not re-join the source to itself")
+  }
+
+  test("q55 crop geometry stays in whole-stage codegen after the decode") {
+    val df = SparkEntry.queries("q55_center_crop")(spark, sf)
+    df.collect() // finalize the adaptive plan so codegen stages are visible
+    val p = df.queryExecution.executedPlan.toString
+    // the integer resize/crop math must not fall out of codegen: the final
+    // plan has codegen stages (`*(n)` prefixes) above the decode
+    assert(p.contains("isFinalPlan=true") && p.contains("*("))
+  }
+
   test("ANN codes scan prunes cell partitions on disk") {
     val h = EngineOps.index(spark, sf)
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
