@@ -11,7 +11,7 @@ object SparkEntry {
   def catalog: Seq[QueryDef] =
     Relational.defs ++ TextOps.defs ++ VectorQueries.defs ++
       MultimodalOps.defs ++ StreamingOps.defs ++ EngineOps.defs ++
-      PipelineOps.defs
+      PipelineOps.defs ++ ScaleOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

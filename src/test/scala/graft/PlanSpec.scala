@@ -61,6 +61,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("isFinalPlan=true") && p.contains("*("))
   }
 
+  test("q57 bucketed join sort-merges without a shuffle exchange") {
+    val df = SparkEntry.queries("q57_bucketed_join")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"))
+    // both sides are bucketed on the join key with equal bucket counts:
+    // the only Exchange allowed is the single-partition one under the
+    // final ordered aggregate, never a hashpartitioning on the join key
+    assert(!p.contains("Exchange hashpartitioning(o_custkey"),
+      "bucketed join must not reshuffle the fact side")
+    assert(!p.contains("Exchange hashpartitioning(c_custkey"),
+      "bucketed join must not reshuffle the dim side")
+  }
+
+  test("salted join spreads a hot key and matches the plain join") {
+    import graft.ops.ScaleOps
+    val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").multiply(0).as("k"), col("l_quantity")) // ALL rows one key
+    val dim = spark.range(1).select(col("id").as("k"),
+      org.apache.spark.sql.functions.lit("hot").as("name"))
+    val salted = ScaleOps.saltedJoin(fact, dim, "k", 4)
+    val plain = fact.join(dim, "k")
+    assert(salted.count() === plain.count())
+    // the shuffle key includes the salt, so the single hot key occupies
+    // saltBuckets shuffle partitions instead of one
+    val p = salted.queryExecution.executedPlan.toString
+    assert(p.contains("graft_salt"))
+  }
+
   test("ANN codes scan prunes cell partitions on disk") {
     val h = EngineOps.index(spark, sf)
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
