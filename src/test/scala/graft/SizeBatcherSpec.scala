@@ -71,6 +71,35 @@ class SizeBatcherSpec extends SparkSpec {
       UpdateBatch(0, 1, 2, 3, 4, isFinal = true)))
   }
 
+  test("pending state and update counter survive a checkpointed restart") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val root = s"/root/repo/target/graft-stream/spec/resume_${System.nanoTime()}"
+    val out = s"$root/out"
+    val ckpt = s"$root/ckpt"
+    val mem = MemoryStream[IngestEvent]
+    def start() = SizeBatcher
+      .updates(mem.toDS().withWatermark("ts", "0 seconds").as[IngestEvent],
+        batchSize = 3, flushDelayMs = 600000L)
+      .toDF().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    // phase 1: two events buffer in state, nothing emitted
+    val q1 = start()
+    mem.addData(ev(0, 1, 10000), ev(0, 2, 11000))
+    q1.processAllAvailable(); q1.stop()
+
+    // phase 2: restart from the checkpoint; the third event must complete
+    // the SAME batch — possible only if the pending buffer was recovered
+    mem.addData(ev(0, 3, 12000))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(out).as[UpdateBatch].collect().toSeq
+    assert(got === Seq(UpdateBatch(0, 0, 3, 1, 3, isFinal = false)))
+  }
+
   test("chunking is ordered by (ts, id), not arrival order") {
     val out = run(batchSize = 2, flushDelayMs = 600000L, maxSpanMs = None) { mem =>
       // arrival order deliberately scrambled within one micro-batch
