@@ -117,4 +117,45 @@ class LopqIndexSpec extends SparkSpec {
     assert(spark.read.parquet(s"$incrDir/codes").count() === before,
       "overlapping ids must be suppressed, in-batch and cross-batch")
   }
+
+  test("a streaming query maintains the persisted index incrementally") {
+    val h = built
+    val streamDir = "/root/repo/target/graft-index-test/stream"
+    deleteDir(streamDir)
+    LopqIndexStore.initEmpty(spark, streamDir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    // first half arrives as a batch seed; second half streams in two
+    // micro-batches through foreachBatch → appendUpdate
+    assert(LopqIndexStore.appendUpdate(spark, streamDir,
+      e.where(col("vec_id") < 250), "vec_id", "embedding", "seed_000000"))
+    val staged = "/root/repo/target/graft-index-test/stream_staged"
+    deleteDir(staged)
+    e.where(col("vec_id") >= 250 && col("vec_id") < 375)
+      .repartition(1).write.mode("append").parquet(staged)
+    e.where(col("vec_id") >= 375)
+      .repartition(1).write.mode("append").parquet(staged)
+    def drain(ckpt: String): Unit = {
+      val src = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      graft.streaming.IndexMaintenance
+        .maintain(spark, streamDir, src, "vec_id", "embedding", ckpt)
+        .awaitTermination()
+    }
+    drain(s"$streamDir/_ckpt1")
+
+    def snap(path: String) = spark.read.parquet(path)
+      .select("id", "coarse0", "coarse1", "fine", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq, r.getInt(4)))
+      .sortBy(_._1).toSeq
+    assert(snap(s"$streamDir/codes") === snap(s"$dir/codes"),
+      "streamed index must equal the one-shot encode")
+    assert(LopqIndexStore.watermark(spark, streamDir).exists(_.startsWith("stream_")))
+
+    // a replayed drain (fresh checkpoint, same files → same batch-id update
+    // ids) must be refused by the manifest and add nothing
+    val before = spark.read.parquet(s"$streamDir/codes").count()
+    drain(s"$streamDir/_ckpt2")
+    assert(spark.read.parquet(s"$streamDir/codes").count() === before,
+      "manifest must make the stream replay a no-op")
+  }
 }
