@@ -217,10 +217,16 @@ object Relational {
             round(shiftright(col("m"), 32).cast("double") / 100.0, 6).as("dist"))
           .orderBy("s_suppkey")
       },
-      Some("""SELECT s_suppkey, c_custkey, round(dist, 6) AS dist FROM (
-             |  SELECT s_suppkey, c_custkey, abs(s_acctbal - c_acctbal) AS dist,
+      // oracle ranks in the SAME integer-cents space as the packed argmin:
+      // ranking raw double differences diverges on near-ties (two customers
+      // 0.059999... vs 0.06 apart collapse to the same 6 cents — first seen
+      // at sf0.1, where 15k customers make such a collision likely)
+      Some("""SELECT s_suppkey, c_custkey, round(dist_cents / 100.0, 6) AS dist FROM (
+             |  SELECT s_suppkey, c_custkey,
+             |    abs(round(s_acctbal * 100)::BIGINT - round(c_acctbal * 100)::BIGINT) AS dist_cents,
              |    row_number() OVER (PARTITION BY s_suppkey
-             |                       ORDER BY abs(s_acctbal - c_acctbal), c_custkey) AS rn
+             |                       ORDER BY abs(round(s_acctbal * 100)::BIGINT - round(c_acctbal * 100)::BIGINT),
+             |                                c_custkey) AS rn
              |  FROM supplier CROSS JOIN customer)
              |WHERE rn = 1 ORDER BY s_suppkey""".stripMargin),
       bench = true),
