@@ -125,6 +125,28 @@ object ScaleOps {
           .orderBy("event_type"),
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
              |       true AS within_5pct
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Percentile aggregation for distribution statistics (quality-score /
+    // value monitoring in an ingest pipeline). Exact `percentile` here —
+    // both engines implement the same linear-interpolation definition, so
+    // the oracle is an exact hash match; at 100 TB the same query swaps in
+    // approx_percentile (t-digest sketch, constant memory) the way q59
+    // swaps exact distinct for HLL.
+    QueryDef(
+      "q61_percentile",
+      (s, d) =>
+        t(s, d, "events")
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 4).as("p50"),
+            round(expr("percentile(value, 0.95)"), 4).as("p95"),
+            round(expr("percentile(value, 0.99)"), 4).as("p99"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |       round(quantile_cont(value, 0.5), 4) AS p50,
+             |       round(quantile_cont(value, 0.95), 4) AS p95,
+             |       round(quantile_cont(value, 0.99), 4) AS p99
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -184,6 +184,57 @@ object StreamingOps {
              |             (row_number() OVER (PARTITION BY user_id % 8
              |                                 ORDER BY ts, event_id) - 1) // 256 AS update_idx
              |      FROM events)
-             |GROUP BY 1, 2 ORDER BY shard, update_idx""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY shard, update_idx""".stripMargin)),
+
+    // Gap-based SESSION WINDOWS as a stream — the stateful streaming twin
+    // of batch q18 (gaps-and-islands): `session_window` merges events into
+    // per-user sessions closed by a 30-min silence; state is dropped once
+    // the watermark passes a session's close (the pattern a sessionized
+    // training-data pipeline runs continuously). Full drain ⇒ exact equality
+    // with the batch islands oracle; Spark defines session end = last event
+    // + gap.
+    QueryDef(
+      "q60_stream_session",
+      (s, d) => {
+        val ev = eventsSource(s, d)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // complete mode: a finite drain must emit EVERY session, including
+        // those still open at end-of-data — append mode only releases a
+        // session once the watermark passes its close, so the corpus's last
+        // 30 minutes would be withheld. On an infinite stream this query
+        // runs append + watermark and accepts that latency; state stays
+        // bounded either way (sessions, not events).
+        val agg = ev
+          .withWatermark("ts", "40 days")
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+          .select(col("user_id"),
+            date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+            date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+            col("n_events"), col("sum_value"))
+        val qn = s"graft_stream_session_${nameSeq.incrementAndGet()}"
+        val q = agg.writeStream.format("memory").queryName(qn)
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("user_id", "session_start")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, ts, value, epoch_us(ts) AS us,
+             |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |sess AS (
+             |  SELECT user_id, ts, value, us,
+             |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+             |                        ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM flagged)
+             |SELECT user_id,
+             |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+             |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start""".stripMargin))
   )
 }
