@@ -118,6 +118,41 @@ class LopqIndexSpec extends SparkSpec {
       "overlapping ids must be suppressed, in-batch and cross-batch")
   }
 
+  test("a PCA-fronted index persists and appends through the PCA transform") {
+    // the release `lopq_pca` shape: model trained in PCA space, raw
+    // vectors appended — the store must apply the persisted PCA before
+    // encoding (ref LOPQModelPCA predict, lopq/lopq/model.py:980-1044)
+    val pdir = "/root/repo/target/graft-index-test/pca"
+    deleteDir(pdir)
+    val e = Tables(spark, sf, "embeddings")
+    val pca = graft.engine.LopqPca.train(e, "embedding", 32)
+    val pcaB = spark.sparkContext.broadcast(pca)
+    val applyU = org.apache.spark.sql.functions.udf(
+      (v: Seq[Float]) => pcaB.value(v.toArray).toSeq)
+    val projected = e.select(col("vec_id"), applyU(col("embedding")).as("pvec"))
+    val model = LopqTrainer.train(projected, "pvec", p)
+    LopqIndexStore.initEmpty(spark, pdir, model, Some(pca), p, dim = 64)
+    // append RAW 64-d vectors; the store projects them to 32-d internally
+    assert(LopqIndexStore.appendUpdate(spark, pdir, e, "vec_id", "embedding", "u000"))
+    val loaded = LopqIndexStore.load(spark, pdir).get
+    assert(loaded.pca.isDefined && loaded.pca.get.pcaDims === 32)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "coarse0", "coarse1", "fine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq))
+        .sortBy(_._1).toSeq
+    assert(snap(loaded.codes) === snap(
+      LopqSearcher.encode(projected, "vec_id", "pvec", model)),
+      "store-side PCA append must equal encoding the projected vectors")
+    // and the loaded index searches raw-dim queries through the PCA front
+    val qv = e.where(col("vec_id") === 7).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val hits = LopqSearcher.search(loaded.codes, e, "vec_id", "embedding",
+      loaded.model, qv, 200, 10, 50, loaded.cellCounts, loaded.pca).collect()
+    assert(hits.length === 10)
+    assert(hits.map(_.getAs[Long]("id")).contains(7L),
+      "the query vector itself must be retrievable through the PCA front")
+  }
+
   test("a streaming query maintains the persisted index incrementally") {
     val h = built
     val streamDir = "/root/repo/target/graft-index-test/stream"
