@@ -63,6 +63,74 @@ object TextOps {
   private val JaccardThreshold = 0.5
   private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** Verified MinHash-LSH near-dup pairs `(id_a, id_b, jaccard)` — the
+    * shared candidate pipeline behind q25 (pair listing) and q63
+    * (dedup components).
+    *
+    * The shingle sets, signatures, and band signatures are INDEX
+    * ARTIFACTS — computed once per corpus and then joined against, exactly
+    * like the reference's per-update codes pickles
+    * (generic_searcher.py:216-225). localCheckpoint materializes them
+    * (lineage-truncated, GC-cleaned): without this the self-join evaluates
+    * the md5/minhash pipeline once per JOIN SIDE (and the optimizer can
+    * inline it into the join), which measured 40×+ slower at sf0.1. At
+    * 100 TB this materialization is a signatures table persisted alongside
+    * the corpus. `docs()` spreads the single-file scan so the md5/shingle
+    * hashing is not single-core. */
+  private def lshPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sh = docs(s, d)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .localCheckpoint()
+    // sig is checkpointed too: the band-explode below references the
+    // signature array 16× (4 bands × 4 rows) — inlined, CollapseProject
+    // would re-run all 16 MinHash permutations for every reference
+    val sig = sh.select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
+      .withColumn("sig", minhashFromHashes(col("hsh"), NumHashes))
+      .localCheckpoint()
+    val bandStructs = array((0 until Bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat_ws(":", (0 until RowsPerBand).map(r =>
+          element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*).as("bsig"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+      .localCheckpoint()
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val j = graft.functions.TextFunctions.jaccard(col("sa"), col("sb"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .where(j >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), j.as("jaccard"))
+  }
+
+  /** DuckDB twin of [[lshPairs]]: CTE chain ending in
+    * `pairs(id_a, id_b, jaccard)`. */
+  private def lshCtePrefix: String = {
+    val sigList = (0 until NumHashes).map(minhashExprSql).mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val parts = (1 to RowsPerBand)
+        .map(r => s"sig[${b * RowsPerBand + r}]::VARCHAR").mkString(" || ':' || ")
+      s"SELECT doc_id, ${b}::BIGINT AS band, $parts AS bsig FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$toksCte, $shCte, $hshCte,
+       |sig AS (SELECT doc_id, s, [$sigList] AS sig FROM hsh),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) AS jaccard
+       |  FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
+       |  WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) >= $JaccardThreshold)""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // token counting (whitespace tokenizer) + chars-per-token
     QueryDef(
@@ -157,67 +225,12 @@ object TextOps {
     // exact Jaccard verification — the scale path for near-dedup (no O(n²))
     QueryDef(
       "q25_minhash_lsh_pairs",
-      (s, d) => {
-        // The shingle sets, signatures, and band signatures are INDEX
-        // ARTIFACTS — computed once per corpus and then joined against,
-        // exactly like the reference's per-update codes pickles
-        // (generic_searcher.py:216-225). localCheckpoint materializes them
-        // (lineage-truncated, GC-cleaned): without this the self-join
-        // evaluates the md5/minhash pipeline once per JOIN SIDE (and the
-        // optimizer can inline it into the join), which measured 40×+
-        // slower at sf0.1. At 100 TB this materialization is a signatures
-        // table persisted alongside the corpus. `docs()` spreads the
-        // single-file scan so the md5/shingle hashing is not single-core.
-        val sh = docs(s, d)
-          .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-          .localCheckpoint()
-        // sig is checkpointed too: the band-explode below references the
-        // signature array 16× (4 bands × 4 rows) — inlined, CollapseProject
-        // would re-run all 16 MinHash permutations for every reference
-        val sig = sh.select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
-          .withColumn("sig", minhashFromHashes(col("hsh"), NumHashes))
-          .localCheckpoint()
-        val bandStructs = array((0 until Bands).map { b =>
-          struct(lit(b.toLong).as("band"),
-            concat_ws(":", (0 until RowsPerBand).map(r =>
-              element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*).as("bsig"))
-        }: _*)
-        val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-          .localCheckpoint()
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
-              && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        val j = graft.functions.TextFunctions.jaccard(col("sa"), col("sb"))
-        cand
-          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
-          .where(j >= JaccardThreshold)
-          .select(col("id_a"), col("id_b"), round(j, 6).as("jaccard"))
-          .orderBy("id_a", "id_b")
-      },
-      Some {
-        val sigList = (0 until NumHashes).map(minhashExprSql).mkString(", ")
-        val bandSelects = (0 until Bands).map { b =>
-          val parts = (1 to RowsPerBand)
-            .map(r => s"sig[${b * RowsPerBand + r}]::VARCHAR").mkString(" || ':' || ")
-          s"SELECT doc_id, ${b}::BIGINT AS band, $parts AS bsig FROM sig"
-        }.mkString(" UNION ALL ")
-        s"""WITH $toksCte, $shCte, $hshCte,
-           |sig AS (SELECT doc_id, s, [$sigList] AS sig FROM hsh),
-           |bands AS ($bandSelects),
-           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-           |         FROM bands a JOIN bands b
-           |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-           |SELECT id_a, id_b,
-           |  round(len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)), 6) AS jaccard
-           |FROM cand JOIN sh x ON x.doc_id = id_a JOIN sh y ON y.doc_id = id_b
-           |WHERE len(list_intersect(x.s, y.s))::DOUBLE / len(list_distinct(x.s || y.s)) >= $JaccardThreshold
-           |ORDER BY id_a, id_b""".stripMargin
-      },
+      (s, d) => lshPairs(s, d)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $lshCtePrefix
+           |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM pairs
+           |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
     // SimHash (32-bit, md5 per token, majority vote per bit)
@@ -297,6 +310,81 @@ object TextOps {
               |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |  round(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)), 6) AS jaccard
               |FROM sh2 a JOIN sh2 b ON b.doc_id = a.doc_id + 1
-              |ORDER BY id_a""".stripMargin))
+              |ORDER BY id_a""".stripMargin)),
+
+    // Repetition detection — duplicate-3-gram ratio, the classic
+    // training-data quality signal (Gopher/C4-style repetition filters):
+    // a doc whose n-grams repeat heavily is boilerplate or degenerate.
+    // Pure per-doc projection, shuffle-free at any scale.
+    QueryDef(
+      "q62_repetition",
+      (s, d) =>
+        docs(s, d)
+          .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+          .select(col("doc_id"),
+            size(col("sh")).cast("long").as("n_ngrams"),
+            size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+          .withColumn("dup_ratio",
+            round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6))
+          .orderBy("doc_id"),
+      Some(s"""WITH $toksCte,
+              |shall AS (SELECT doc_id, CASE WHEN len(t) < 3
+              |  THEN [array_to_string(t, ' ')]
+              |  ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+              |  FROM toks)
+              |SELECT doc_id, len(s)::BIGINT AS n_ngrams,
+              |       len(list_distinct(s))::BIGINT AS n_distinct,
+              |       round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) AS dup_ratio
+              |FROM shall ORDER BY doc_id""".stripMargin)),
+
+    // Near-dup CLUSTERING: connected components over the verified LSH pair
+    // graph → one component id per doc, canonical = min doc_id (what a real
+    // dedup pipeline does downstream of pair generation: keep one doc per
+    // component). Min-label propagation to a fixpoint — each iteration is
+    // one join + grouped min, lineage truncated per step; iteration count
+    // is the component diameter (tiny for near-dup clusters), and at 100 TB
+    // this is the standard large/small-star CC schedule on a pair graph
+    // orders of magnitude smaller than the corpus. Oracle: recursive CTE
+    // reachability over the same pairs.
+    QueryDef(
+      "q63_dedup_components",
+      (s, d) => {
+        val edges = lshPairs(s, d).select("id_a", "id_b").localCheckpoint()
+        val und = edges.unionAll(
+          edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+          .localCheckpoint()
+        var labels = und.select(col("id_a").as("id")).distinct()
+          .select(col("id"), col("id").as("comp")).localCheckpoint()
+        var prevSum = -1L
+        var iter = 0
+        var sum = labels.agg(org.apache.spark.sql.functions.sum("comp"))
+          .head().getLong(0)
+        while (sum != prevSum && iter < 32) {
+          val nbrMin = und.join(labels, und("id_b") === labels("id"))
+            .groupBy(und("id_a")).agg(min("comp").as("nbr_comp"))
+          val next = labels.join(nbrMin, labels("id") === nbrMin("id_a"), "left")
+            .select(labels("id"),
+              least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+            .localCheckpoint()
+          prevSum = sum
+          labels = next
+          sum = labels.agg(org.apache.spark.sql.functions.sum("comp"))
+            .head().getLong(0)
+          iter += 1
+        }
+        labels.select(col("id").as("doc_id"), col("comp").as("component"),
+          (col("id") === col("comp")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshCtePrefix,
+              |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |        UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT a, a FROM und
+              |  UNION
+              |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id)
+              |SELECT id AS doc_id, min(r)::BIGINT AS component,
+              |       (id = min(r)) AS is_canonical
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
   )
 }
