@@ -21,10 +21,18 @@ object MultimodalOps {
   private def hxSub(expr: String, from: Int, len: Int): String =
     s"('0x' || substr(md5($expr), $from, $len))::BIGINT"
 
+  /** Header decode: the REAL byte-level JPEG/PNG/GIF parse for payloads
+    * that actually are one of those containers ([[graft.core.ImageHeader]],
+    * ref `imgio/imgio.py:42-111`), falling back to the md5-derived stub for
+    * anything else — the synthetic test corpus carries text payloads, which
+    * no header parser can size. q66 gates the real path on constructed
+    * containers; q37/q55/q53 run text payloads through the same seam. */
+  private[ops] def decode(bytes: Array[Byte]): (String, Int, Int) =
+    graft.core.ImageHeader.parse(bytes).getOrElse(decodeStub(bytes))
+
   /** STUB image decode: header fields derived from the md5 of the payload
-    * bytes — stands in for a real codec (deterministic, oracle-checkable).
-    * A production build swaps `decodeStub` for a real header parser
-    * (ref `imgio/imgio.py:42-111` parses JPEG/PNG/GIF headers). */
+    * bytes — deterministic, oracle-checkable stand-in for payloads that are
+    * not real image containers. */
   private[ops] def decodeStub(bytes: Array[Byte]): (String, Int, Int) = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(bytes).map("%02x".format(_)).mkString
@@ -78,7 +86,7 @@ object MultimodalOps {
           // per-partition decoder init happens HERE (once per task, not per
           // row) — the stub needs none, a real codec would allocate here
           it.map { case (id, payload) =>
-            val (fmt, w, h) = decodeStub(payload)
+            val (fmt, w, h) = decode(payload)
             (id, fmt, w.toLong, h.toLong, payload.length.toLong)
           }
         }.toDF("doc_id", "format", "width", "height", "n_bytes")
@@ -120,7 +128,7 @@ object MultimodalOps {
           .as[(Long, Array[Byte])]
         val meta = ds.mapPartitions { it =>
           it.map { case (id, payload) =>
-            val (fmt, w, h) = decodeStub(payload)
+            val (fmt, w, h) = decode(payload)
             (id, fmt, w.toLong, h.toLong)
           }
         }.toDF("doc_id", "format", "width", "height")
@@ -185,6 +193,39 @@ object MultimodalOps {
              |     LATERAL (SELECT unnest(generate_series(0,
              |       ((octet_length(text::BLOB) // 256) - 1) // 8)) AS k) f
              |WHERE octet_length(text::BLOB) >= 256
-             |ORDER BY doc_id, frame_idx""".stripMargin))
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // §2.8 image header parse, the REAL path (ref imgio/imgio.py:42-111):
+    // construct well-formed JPEG/PNG/GIF containers with dimensions derived
+    // from doc_id, then recover format/width/height by actually READING THE
+    // BYTES — PNG IHDR (big-endian), GIF screen descriptor (little-endian),
+    // JPEG marker-segment walk past APP0+COM to the SOF0. The oracle
+    // computes the expected fields arithmetically, so any parser (or
+    // builder) defect breaks the hash. Sizes are container constants
+    // (PNG 33 B, GIF 13 B, JPEG 44 B with the APP0/COM preamble).
+    QueryDef(
+      "q66_image_header",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val formats = Array("PNG", "GIF", "JPEG")
+            it.map { id =>
+              val bytes = graft.core.ImageHeader.synthesize(
+                formats((id % 3).toInt),
+                1 + (id * 7 % 1000).toInt, 1 + (id * 13 % 800).toInt)
+              val (fmt, w, h) = graft.core.ImageHeader.parse(bytes)
+                .getOrElse(sys.error(s"synthesized container unparseable for doc $id"))
+              (id, fmt, w.toLong, h.toLong, bytes.length.toLong)
+            }
+          }.toDF("doc_id", "format", "width", "height", "n_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 3 WHEN 0 THEN 'PNG' WHEN 1 THEN 'GIF' ELSE 'JPEG' END AS format,
+             |  (1 + (doc_id * 7) % 1000)::BIGINT AS width,
+             |  (1 + (doc_id * 13) % 800)::BIGINT AS height,
+             |  (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END)::BIGINT AS n_bytes
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

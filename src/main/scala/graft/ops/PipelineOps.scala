@@ -298,10 +298,12 @@ object PipelineOps {
     //      "processed" = every 7th doc's hash, a deterministic stand-in for
     //      the images table);
     //   4. micro-batch update-id assignment in blocks of 200
-    //      (batch_update_size, hbase_indexer_minimal.py:36). The global
-    //      row_number here orders by content hash for determinism; a real
-    //      ingest assigns batches by arrival clock — per-batch, not a
-    //      global sort.
+    //      (batch_update_size, hbase_indexer_minimal.py:36), SHARD-KEYED:
+    //      rank within 256 ordered shards (first sha1 hex byte) and lift to
+    //      the global sha1 rank with per-shard prefix offsets — no global
+    //      single-partition WindowExec (r4's one scale-killer). Update ids
+    //      in the reference are per-checker, never a global sort
+    //      (extraction_checker.py:185-223).
     QueryDef(
       "q53_ingest_pipeline",
       (s, d) => {
@@ -310,7 +312,7 @@ object PipelineOps {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[(Long, Array[Byte])]
         val imgs = ds.map { case (id, payload) =>
-          val (fmt, w, h) = MultimodalOps.decodeStub(payload)
+          val (fmt, w, h) = MultimodalOps.decode(payload)
           val sha = java.security.MessageDigest.getInstance("SHA-256")
             .digest(payload).map("%02x".format(_)).mkString
           graft.core.Schemas.ImageRecord(sha, None, Some(s"doc://$id"), None,
@@ -318,12 +320,30 @@ object PipelineOps {
         }
         val processed = t(s, d, "documents").where(col("doc_id") % 7 === 0)
           .select(sha2(col("text").cast("binary"), 256).as("sha1"))
+        // the micro-batch being ingested — materialized once (the shard
+        // histogram below and the ranked output both read it; at 100 TB this
+        // is the claimed-batch table a real ingest checkpoints anyway)
         val claimed = imgs.dropDuplicates("sha1")
           .join(processed, Seq("sha1"), "left_anti")
-        val w = Window.orderBy("sha1")
-        claimed
+          .localCheckpoint()
+        // 256 ordered, uniformly-loaded shards: shard = first hex byte of
+        // the content hash. Each shard ranks locally (windows partitioned by
+        // shard → a 256-way hash shuffle, never one partition); the global
+        // rank is shard-local rank + the prefix sum of preceding shards'
+        // counts. The histogram is O(shards) driver work independent of
+        // corpus size, and rides back as a broadcast join.
+        val w = Window.partitionBy("shard").orderBy("sha1")
+        val sharded = claimed.withColumn("shard", substring(col("sha1"), 1, 2))
+        val hist = sharded.groupBy("shard").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+        var acc = 0L
+        val offsets = hist.map { case (sh, n) => val o = (sh, acc); acc += n; o }
+        val offsetsDf = broadcast(offsets.toSeq.toDF("shard", "shard_offset"))
+        sharded
+          .withColumn("rn", row_number().over(w))
+          .join(offsetsDf, "shard")
           .withColumn("update_id", format_string("index_update_%05d",
-            ((row_number().over(w) - 1) / 200).cast("int")))
+            ((col("shard_offset") + col("rn") - 1) / 200).cast("int")))
           .select(col("sha1"), col("update_id"), col("format"),
             col("width").cast("long").as("width"),
             col("height").cast("long").as("height"))
