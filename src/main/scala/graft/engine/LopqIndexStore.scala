@@ -153,6 +153,21 @@ object LopqIndexStore {
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/cell_counts")
 
+  /** Fold one batch's per-cell counts into `cell_counts` — O(cells + batch)
+    * driver work, replacing r4's full re-aggregation of the codes table on
+    * every append (the reference's in-memory histogram is likewise updated
+    * per insert, never rebuilt; `lopq/lopq/search.py:310-323`). */
+  private def mergeCounts(spark: SparkSession, dir: String,
+      batch: Seq[(Int, Long)]): Unit = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/cell_counts")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = if (fs.exists(p)) readCounts(spark, dir) else Map.empty[Int, Long]
+    val merged = (old.toSeq ++ batch).groupMapReduce(_._1)(_._2)(_ + _)
+    merged.toSeq.sortBy(_._1).toDF("cell_id", "cnt").repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/cell_counts")
+  }
+
   private def readCounts(spark: SparkSession, dir: String): Map[Int, Long] =
     spark.read.parquet(s"$dir/cell_counts").collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -226,6 +241,15 @@ object LopqIndexStore {
     spark.read.parquet(s"$dir/manifest")
       .select("update_id").collect().map(_.getString(0)).toSet
 
+  /** The ids already indexed under `cells` — the partition-pruned dedup
+    * scan [[appendUpdate]] anti-joins against. Package-visible so the spec
+    * can pin that the scan reads ONLY the touched cell directories. */
+  private[graft] def indexedIdsInCells(spark: SparkSession, dir: String,
+      cells: Seq[Int]): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+      .where(col("cell_id").isin(cells: _*))
+      .select("id")
+
   /** Encode one update batch and append it to the codes table — the
     * incremental refresh of `load_codes` (`searcher_lopqhbase.py:655-770`)
     * without the full rescan: only the new batch is encoded, the append is
@@ -233,38 +257,50 @@ object LopqIndexStore {
     * `updateId` is a no-op (idempotent at-least-once ingest, ref the
     * skip-already-indexed check at `searcher_lopqhbase.py:600-617`).
     *
+    * The whole job is O(batch), never O(index): the batch is encoded FIRST,
+    * its predicted cells bound the duplicate-id anti-join to a
+    * partition-pruned read of just those cell directories (ids are content
+    * hashes and the persisted model is fixed, so a replayed id re-encodes
+    * to the SAME cell — checking the batch's own cells is exhaustive; ref
+    * per-cell dedup on insert `lopq/lopq/search.py:340-364`,
+    * skip-already-indexed per update `searcher_lopqhbase.py:600-617`), and
+    * the cell histogram is merged incrementally instead of re-aggregated.
+    *
     * Returns true if the batch was applied, false if it was a duplicate. */
   def appendUpdate(spark: SparkSession, dir: String, batch0: DataFrame,
       idCol: String, vecCol: String, updateId: String): Boolean = {
     import spark.implicits._
     if (appliedUpdates(spark, dir).contains(updateId)) return false
     val (model, pca) = loadModel(spark, dir)
-    // duplicate-id suppression on insert (ref per-cell id dedup,
-    // lopq/lopq/search.py:340-364): within the batch, then against the ids
-    // already indexed. The anti-join shuffles only the new batch's ids —
-    // bounded by batch size, not index size.
-    val batch = {
-      val inBatch = batch0.dropDuplicates(idCol)
-      val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
-      val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(codesPath))
-        inBatch.join(spark.read.parquet(s"$dir/codes").select(col("id").as(idCol)),
-          Seq(idCol), "left_anti")
-      else inBatch
-    }
     val input = pca match {
-      case None => batch
+      case None => batch0.dropDuplicates(idCol)
       case Some(px) =>
         val pcaB = spark.sparkContext.broadcast(px)
         val applyU = udf((v: Seq[Float]) => pcaB.value(v.toArray).toSeq)
-        batch.withColumn(vecCol, applyU(col(vecCol)))
+        batch0.dropDuplicates(idCol).withColumn(vecCol, applyU(col(vecCol)))
     }
-    val codes = LopqSearcher.encode(input, idCol, vecCol, model)
-    val n = codes.count()
-    codes.write.mode(SaveMode.Append).partitionBy("cell_id").parquet(s"$dir/codes")
-    Seq((updateId, n)).toDF("update_id", "n_rows")
-      .write.mode(SaveMode.Append).parquet(s"$dir/manifest")
-    writeCounts(spark, dir)
-    true
+    val encoded = LopqSearcher.encode(input, idCol, vecCol, model)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // the batch's touched cells: O(batch) distinct values, driver-bounded
+      val touched = encoded.select("cell_id").distinct().as[Int].collect().toSeq.sorted
+      val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deduped =
+        if (fs.exists(codesPath))
+          encoded.join(indexedIdsInCells(spark, dir, touched), Seq("id"), "left_anti")
+        else encoded
+      val batchCounts = deduped.groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+        .as[(Int, Long)].collect().toSeq
+      val n = batchCounts.map(_._2).sum
+      deduped.write.mode(SaveMode.Append).partitionBy("cell_id").parquet(s"$dir/codes")
+      Seq((updateId, n)).toDF("update_id", "n_rows")
+        .write.mode(SaveMode.Append).parquet(s"$dir/manifest")
+      mergeCounts(spark, dir, batchCounts)
+      true
+    } finally {
+      encoded.unpersist()
+      ()
+    }
   }
 }

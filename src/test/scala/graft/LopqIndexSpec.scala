@@ -118,6 +118,39 @@ class LopqIndexSpec extends SparkSpec {
       "overlapping ids must be suppressed, in-batch and cross-batch")
   }
 
+  test("appendUpdate's dedup scan reads only the touched cell partitions") {
+    val h = built
+    val cells = h.cellCounts.keys.toSeq.sorted
+    assert(cells.size > 4, "need several populated cells for a pruning test")
+    val some = cells.take(2)
+    // the exact read path appendUpdate anti-joins against
+    val df = LopqIndexStore.indexedIdsInCells(spark, dir, some)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell_id"), plan.take(2000))
+    // executed metrics: the scan must touch strictly fewer files than the
+    // codes table holds — r4's dedup read the ENTIRE index per append
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      }.flatten
+    df.collect()
+    val scan = scans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty, "expected a FileSourceScanExec under the dedup read")
+    val filesRead = scan.map(_.metrics("numFiles").value).sum
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/codes"), true)
+    var totalFiles = 0
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) totalFiles += 1
+    assert(filesRead > 0 && filesRead < totalFiles,
+      s"dedup scan read $filesRead of $totalFiles files — not partition-pruned")
+  }
+
   test("a PCA-fronted index persists and appends through the PCA transform") {
     // the release `lopq_pca` shape: model trained in PCA space, raw
     // vectors appended — the store must apply the persisted PCA before
