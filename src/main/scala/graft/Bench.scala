@@ -63,13 +63,15 @@ object Bench {
         Left(s"index prewarm failed: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(200)}")
       }
 
-    // Two timed passes per query, min reported: the measurement of record
-    // is steady-state throughput of the plan, and a single pass is one bad
-    // GC/co-tenant burst away from a 10× outlier (round 3's recorded run
-    // was inflated ~30-45× by exactly that). Still strictly serial.
-    val Passes = 2
+    // Three timed passes per query, MEDIAN reported: steady-state
+    // throughput of the plan, robust to a one-off GC/co-tenant burst in
+    // either direction (round 3's recorded run was inflated ~30-45× by
+    // exactly that; min-of-2 was slightly flattering — VERDICT r4 hygiene).
+    // Still strictly serial.
+    val Passes = 3
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.benchQueries.map { name =>
+    val catalogResults = SparkEntry.benchQueries.map { name =>
       val dependsOnIndex = name.startsWith("q34") || name.startsWith("q35")
       (prewarm, dependsOnIndex) match {
         case (Left(err), true) =>
@@ -85,9 +87,35 @@ object Bench {
                 -1.0
             }
           }
-          if (times.contains(-1.0)) name -> -1.0 else name -> times.min
+          if (times.contains(-1.0)) name -> -1.0 else name -> median(times)
       }
     }
+
+    // Release-shape ANN row (VERDICT r4 "What's missing #2"): V=256 per
+    // split (65,536 cells), M=8, S=256, PCA-64 front, bucketed codes
+    // layout, 200k × 256-d synthesized corpus. Train+build is OFFLINE like
+    // the reference's model training — persisted under target/ and reloaded
+    // by fingerprint — so the timed path is 5 online searches against the
+    // disk-resident bucketed index.
+    val releaseRow: (String, Double) =
+      try {
+        val h = graft.engine.ReleaseShape.ensure(spark)
+        val times = (1 to Passes).map { _ =>
+          val t0 = System.nanoTime()
+          (0 until 5).foreach { q =>
+            graft.engine.ReleaseShape.search(spark, h, q.toLong * 997L)
+              .write.format("noop").mode("overwrite").save()
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        "release_ann" -> median(times)
+      } catch {
+        case e: Throwable =>
+          errors("release_ann") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          "release_ann" -> -1.0
+      }
+    val results = catalogResults :+ releaseRow
 
     def jstr(s: String): String =
       "\"" + s.flatMap {

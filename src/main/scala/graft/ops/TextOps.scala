@@ -419,9 +419,10 @@ object TextOps {
           .select(col("id"), col("id").as("comp")).localCheckpoint()
         var prevSum = -1L
         var iter = 0
+        val MaxIters = 32
         var sum = labels.agg(org.apache.spark.sql.functions.sum("comp"))
           .head().getLong(0)
-        while (sum != prevSum && iter < 32) {
+        while (sum != prevSum && iter < MaxIters) {
           val nbrMin = und.join(labels, und("id_b") === labels("id"))
             .groupBy(und("id_a")).agg(min("comp").as("nbr_comp"))
           val next = labels.join(nbrMin, labels("id") === nbrMin("id_a"), "left")
@@ -434,6 +435,13 @@ object TextOps {
             .head().getLong(0)
           iter += 1
         }
+        // the cap is a runaway guard, not an expected exit: iteration count
+        // equals component diameter (single digits for near-dup clusters) —
+        // a silent truncation here would emit WRONG components (VERDICT r4
+        // hygiene), so converge-or-fail, never converge-or-guess
+        if (sum != prevSum)
+          sys.error(s"q63 label propagation did not converge within $MaxIters " +
+            "iterations — component diameter exceeds the guard, raise MaxIters")
         labels.select(col("id").as("doc_id"), col("comp").as("component"),
           (col("id") === col("comp")).as("is_canonical"))
           .orderBy("doc_id")

@@ -130,15 +130,8 @@ class LopqIndexSpec extends SparkSpec {
     assert(pf.contains("cell_id"), plan.take(2000))
     // executed metrics: the scan must touch strictly fewer files than the
     // codes table holds — r4's dedup read the ENTIRE index per append
-    import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-      p.collect {
-        case f: FileSourceScanExec => Seq(f)
-        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      }.flatten
     df.collect()
-    val scan = scans(df.queryExecution.executedPlan)
+    val scan = fileScans(df.queryExecution.executedPlan)
     assert(scan.nonEmpty, "expected a FileSourceScanExec under the dedup read")
     val filesRead = scan.map(_.metrics("numFiles").value).sum
     val fs = new org.apache.hadoop.fs.Path(s"$dir/codes")

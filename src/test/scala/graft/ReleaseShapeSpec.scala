@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{LopqIndexStore, LopqParams, LopqPca, LopqSearcher, LopqTrainer, ReleaseShape}
+
+/** Scale-shape proof at a scaled-down release twin (VERDICT r4 "What's
+  * missing #2"): same code path as the full release shape Bench builds —
+  * PCA front, M=8, S=256 subquantizers, BUCKETED codes layout — with V=64
+  * so the build fits a test budget. Pins the properties that must survive
+  * V=4096: constant-size plans (ADC data rides a broadcast, never O(V·S)
+  * literals), bucket-level directory pruning with the cell IN-list pushed
+  * to row-group stats, and O(batch) bucketed appends. */
+class ReleaseShapeSpec extends SparkSpec {
+
+  private val N = 8000L
+  private val PcaDims = 64
+  private val Buckets = 64
+  private val p = LopqParams(v = 64, m = 8, subClusters = 256, seed = 7L, kmeansMaxIter = 3)
+  private val dir = "/root/repo/target/graft-index-test/release_twin"
+
+  private def deleteDir(d: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(d)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  private lazy val built = {
+    graft.functions.GraftFunctions.register(spark)
+    deleteDir(dir)
+    val e = ReleaseShape.corpus(spark, N).cache()
+    val pca = LopqPca.train(e, "embedding", PcaDims)
+    val pcaB = spark.sparkContext.broadcast(pca)
+    val applyU = udf((v: Seq[Float]) => pcaB.value(v.toArray).toSeq)
+    val projected = e.select(col("vec_id"), applyU(col("embedding")).as("pvec")).cache()
+    val model = LopqTrainer.train(projected, "pvec", p)
+    val codes = LopqSearcher.encode(projected, "vec_id", "pvec", model)
+    val h = LopqIndexStore.build(spark, dir, model, Some(pca), codes, p, N,
+      ReleaseShape.RawDim, cellBuckets = Buckets)
+    projected.unpersist(); e.unpersist()
+    h
+  }
+
+  private def parquetFiles(d: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(d)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(d), true)
+    var n = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    n
+  }
+
+  test("bucketed layout bounds directory fan-out below the cell count") {
+    val h = built
+    assert(h.cellBuckets === Buckets)
+    assert(h.cellCounts.keys.size > Buckets,
+      "twin must have more populated cells than buckets for the layout to matter")
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("cell_bucket="))
+    assert(dirs <= Buckets, s"$dirs bucket directories exceed the bound $Buckets")
+  }
+
+  test("search plan: bucket partition pruning + pushed cell IN-list + broadcast ADC") {
+    val h = built
+    val df = LopqSearcher.searchApprox(h.codes, h.model,
+      h.pca.get(ReleaseShape.rowVec(42L)), ReleaseShape.Quota, 10, h.cellCounts,
+      h.cellBuckets)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("cell_bucket"), plan.take(3000))
+    assert(plan.contains("PushedFilters: [In(cell_id"),
+      "cell IN-list must reach row-group stats inside each bucket:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), "ADC tables must ride a broadcast join")
+    // constant-size plan: at V=4096/S=256 an inlined literal table would be
+    // megabytes of codegen; the broadcast keeps the plan O(1)
+    assert(plan.length < 50000, s"plan string is ${plan.length} chars — literal bomb?")
+  }
+
+  test("executed search scan reads a small pruned fraction of the codes files") {
+    val h = built
+    val df = LopqSearcher.searchApprox(h.codes, h.model,
+      h.pca.get(ReleaseShape.rowVec(7L)), ReleaseShape.Quota, 10, h.cellCounts,
+      h.cellBuckets)
+    df.collect()
+    val scan = fileScans(df.queryExecution.executedPlan)
+    assert(scan.nonEmpty)
+    val filesRead = scan.map(_.metrics("numFiles").value).sum
+    val total = parquetFiles(s"$dir/codes")
+    assert(filesRead > 0 && filesRead.toDouble / total <= 0.5,
+      s"search read $filesRead of $total code files — pruning lost")
+  }
+
+  test("end-to-end release-path search retrieves the query itself") {
+    val h = built
+    val hits = ReleaseShape.search(spark, h, 42L)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(hits.length === ReleaseShape.TopK)
+    assert(hits.head._1 === 42L && hits.head._2 < 1e-3,
+      s"query vector must rank first at ~zero distance, got ${hits.take(3).toSeq}")
+    // clustered corpus: the same synthetic center should dominate the top-k
+    val sameCenter = hits.count { case (id, _) => id % ReleaseShape.Centers == 42L }
+    assert(sameCenter >= ReleaseShape.TopK / 2,
+      s"only $sameCenter of top-${ReleaseShape.TopK} share the query's center")
+  }
+
+  test("bucketed append is O(batch): new ids land, replayed ids are suppressed") {
+    val h = built
+    val before = spark.read.parquet(s"$dir/codes").count()
+    // 100 genuinely new rows + 50 already-indexed ids in one update
+    val batch = ReleaseShape.corpus(spark, N + 100)
+      .where(col("vec_id") >= N - 50)
+    assert(LopqIndexStore.appendUpdate(spark, dir, batch, "vec_id", "embedding",
+      "append_000001"))
+    val after = spark.read.parquet(s"$dir/codes")
+    assert(after.count() === before + 100,
+      "append must add exactly the new ids (dup ids suppressed)")
+    assert(after.columns.contains("cell_bucket"), after.columns.mkString(","))
+    // the incremental histogram merge must agree with a full recount
+    val loaded = LopqIndexStore.load(spark, dir).get
+    val recount = after.groupBy("cell_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(loaded.cellCounts === recount)
+  }
+}

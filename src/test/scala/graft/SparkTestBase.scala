@@ -23,4 +23,20 @@ object SparkTestBase {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   def sf: String = SparkTestBase.sf
+
+  /** All file scans in an executed plan, descending through AQE wrappers
+    * (AdaptiveSparkPlanExec / QueryStageExec keep their real plan out of
+    * `children`, so a plain TreeNode.collect misses everything final). */
+  def fileScans(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val here = plan match {
+      case f: FileSourceScanExec => Seq(f)
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: QueryStageExec => fileScans(q.plan)
+      case _ => Seq.empty
+    }
+    here ++ plan.children.flatMap(fileScans)
+  }
 }
