@@ -128,6 +128,11 @@ object LopqIndexStore {
     rows.result().toDF()
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/model")
+    // interchange sidecar: the reference's protobuf schema, so a non-Spark
+    // consumer (the reference itself included) can load this model — the
+    // PCA front stays parquet-only, exactly like the reference's proto path
+    // (`lopq/lopq/model.py:748-787` covers the base model only)
+    LopqProto.export(s"$dir/model.pb", model)
   }
 
   def loadModel(spark: SparkSession, dir: String): (LopqModel, Option[LopqPca]) = {
