@@ -90,6 +90,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_salt"))
   }
 
+  test("q53 has no unpartitioned window (the r4 scale-killer stays dead)") {
+    val p = planOf("q53_ingest_pipeline")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, "q53 should still rank within shards via a window")
+    windows.foreach(w =>
+      assert(w.contains("shard"), s"window lost its shard partitioning:\n$w"))
+  }
+
+  test("q64 candidate generation is a hash equi-join, never a cross product") {
+    val p = planOf("q64_simhash_hamming_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "band bucket join degenerated to an all-pairs product")
+  }
+
   test("ANN codes scan prunes cell partitions on disk") {
     val h = EngineOps.index(spark, sf)
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
