@@ -105,6 +105,28 @@ class ReleaseShapeSpec extends SparkSpec {
       s"only $sameCenter of top-${ReleaseShape.TopK} share the query's center")
   }
 
+  test("release-path recall@10 vs brute force stays useful through PCA + ADC") {
+    val h = built
+    import graft.functions.VectorFunctions
+    val e = ReleaseShape.corpus(spark, N)
+    val queries = Seq(3L, 777L, 4242L)
+    val recalls = queries.map { qid =>
+      val ann = ReleaseShape.search(spark, h, qid)
+        .collect().map(_.getLong(0)).toSet
+      val qLit = array(ReleaseShape.rowVec(qid).map(lit): _*)
+      val brute = e
+        .select(col("vec_id"),
+          VectorFunctions.l2DistanceSq(qLit, col("embedding")).as("d"))
+        .orderBy(col("d"), col("vec_id"))
+        .limit(ReleaseShape.TopK)
+        .collect().map(_.getLong(0)).toSet
+      ann.intersect(brute).size.toDouble / ReleaseShape.TopK
+    }
+    info(s"recall@10 per query: ${queries.zip(recalls)}")
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@10 $mean — PCA/ADC path degraded")
+  }
+
   test("bucketed append is O(batch): new ids land, replayed ids are suppressed") {
     val h = built
     val before = spark.read.parquet(s"$dir/codes").count()
