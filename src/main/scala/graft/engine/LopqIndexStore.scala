@@ -59,6 +59,17 @@ final case class LopqIndex(
   */
 object LopqIndexStore {
 
+  /** Per-(session, dir) model cache for the maintenance path: a continuous
+    * stream calls [[appendUpdate]] once per micro-batch, and re-collecting
+    * the model parquet to the driver (O(V·D²) — ~8 MB at release shape)
+    * per batch is pure overhead. Evicted by [[saveModel]] — build/initEmpty
+    * overwriting the dir is the only way a dir's model changes. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (LopqModel, Option[LopqPca])]
+
+  private def cachedModel(spark: SparkSession, dir: String): (LopqModel, Option[LopqPca]) =
+    modelCache.getOrElseUpdate((spark, dir), loadModel(spark, dir))
+
   // ---------------------------------------------------------------- meta
 
   /** Flat string map ⇄ meta.json (hand-rolled: values are identifiers and
@@ -111,6 +122,7 @@ object LopqIndexStore {
   def saveModel(spark: SparkSession, dir: String, model: LopqModel,
       pca: Option[LopqPca]): Unit = {
     import spark.implicits._
+    modelCache.filterInPlace { case ((_, d), _) => d != dir }
     val rows = Seq.newBuilder[ModelRow]
     for (s <- 0 until model.numCoarseSplits; c <- 0 until model.v) {
       rows += ModelRow("coarse", s, c, -1, model.coarse(s)(c).map(_.toDouble).toSeq)
@@ -316,7 +328,7 @@ object LopqIndexStore {
       idCol: String, vecCol: String, updateId: String): Boolean = {
     import spark.implicits._
     if (appliedUpdates(spark, dir).contains(updateId)) return false
-    val (model, pca) = loadModel(spark, dir)
+    val (model, pca) = cachedModel(spark, dir)
     val input = pca match {
       case None => batch0.dropDuplicates(idCol)
       case Some(px) =>
