@@ -112,21 +112,44 @@ object LopqSearcher {
     * `lopq/lopq/search.py:198-200` — while the rerank recomputes exact L2
     * against the FULL-dimension vectors, like the reference reranking with
     * the raw features re-read from HBase. */
+  /** `rerankLookup` selects the rerank's read shape, both exact-identical
+    * in results:
+    *   - `false` (default): ONE lazy job — the ≤ rerankK prefix broadcasts
+    *     against a streaming scan of the vector table. Fastest whenever the
+    *     table streams comfortably (measured: the eager variant costs a
+    *     second job per query and uniform ids defeat row-group pruning at
+    *     test sizes).
+    *   - `true`: materialize the prefix, then read the vector table through
+    *     a PUSHED id IN-list — the reference's rerank shape (per-id point
+    *     lookups against the feature store, `searcher_lopqhbase.py:862-912`).
+    *     The right call once the vector table is too large to stream per
+    *     query (the release corpus at 2M × 4096-d is a 32 GB scan). */
   def search(codes: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,
       model: LopqModel, query: Array[Float], quota: Int, k: Int, rerankK: Int,
       cellCounts: Map[Int, Long], pca: Option[LopqPca] = None,
-      cellBuckets: Int = 0): DataFrame = {
+      cellBuckets: Int = 0, rerankLookup: Boolean = false): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
     val approxQuery = pca.map(_.apply(query)).getOrElse(query)
     val approx = searchApprox(codes, model, approxQuery, quota, rerankK, cellCounts,
       cellBuckets)
     val qLit = array(query.map(lit): _*)
-    // rerank prefix is ≤ rerankK rows → broadcast it against the (large)
-    // vector table; the scan side streams, nothing big shuffles
-    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .join(broadcast(approx), "id")
-      .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(qLit, col("vec"))))
-      .orderBy(col("exact_dist"), col("id"))
-      .limit(k)
-      .select(col("id"), col("adc_dist"), col("exact_dist"))
+    def rerank(candidates: DataFrame, prefixDf: DataFrame): DataFrame =
+      candidates.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .join(broadcast(prefixDf), "id")
+        .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(qLit, col("vec"))))
+        .orderBy(col("exact_dist"), col("id"))
+        .limit(k)
+        .select(col("id"), col("adc_dist"), col("exact_dist"))
+    if (!rerankLookup) rerank(vectors, approx.select("id", "adc_dist"))
+    else {
+      val prefix = approx.select("id", "adc_dist").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      if (prefix.isEmpty)
+        Seq.empty[(Long, Double, Double)].toDF("id", "adc_dist", "exact_dist")
+      else
+        rerank(vectors.where(col(idCol).isin(prefix.map(_._1): _*)),
+          prefix.toSeq.toDF("id", "adc_dist"))
+    }
   }
 }

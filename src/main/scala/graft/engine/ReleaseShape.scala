@@ -54,10 +54,24 @@ object ReleaseShape {
       .toDF("vec_id", "embedding")
   }
 
+  /** Stage the raw-dim vectors as a parquet table beside an index — the
+    * feature store the rerank reads by id (at a real deployment this table
+    * already exists; the generated corpus must be materialized or the
+    * rerank's pushed IN-list would still regenerate every row). */
+  def stageVectors(spark: SparkSession, indexDir: String, n: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      corpus(spark, n).write.parquet(s"$indexDir/vectors")
+  }
+
+  def vectors(spark: SparkSession, indexDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$indexDir/vectors")
+
   /** Load the persisted release-shape index, or train+build it once
     * (PCA front → LOPQ in PCA space → bucketed codes layout). */
-  def ensure(spark: SparkSession): LopqIndex =
-    LopqIndexStore.loadIfValid(spark, dir, P, N, expectPcaDims = PcaDims)
+  def ensure(spark: SparkSession): LopqIndex = {
+    val h = LopqIndexStore.loadIfValid(spark, dir, P, N, expectPcaDims = PcaDims)
       .getOrElse {
         val e = corpus(spark).cache()
         val pca = LopqPca.train(e, "embedding", PcaDims)
@@ -73,12 +87,15 @@ object ReleaseShape {
         e.unpersist()
         built
       }
+    stageVectors(spark, dir, N)
+    h
+  }
 
   /** The online ANN path at the release shape: PCA-projected approximate
-    * stage over the bucketed codes, exact rerank against the raw-dim
-    * corpus. */
+    * stage over the bucketed codes, exact rerank by pushed id lookups
+    * against the staged raw-dim feature table. */
   def search(spark: SparkSession, h: LopqIndex, queryId: Long): DataFrame =
-    LopqSearcher.search(h.codes, corpus(spark), "vec_id", "embedding",
+    LopqSearcher.search(h.codes, vectors(spark, h.dir), "vec_id", "embedding",
       h.model, rowVec(queryId), Quota, TopK, RerankK, h.cellCounts, h.pca,
       h.cellBuckets)
 }

@@ -37,6 +37,7 @@ class ReleaseShapeSpec extends SparkSpec {
     val codes = LopqSearcher.encode(projected, "vec_id", "pvec", model)
     val h = LopqIndexStore.build(spark, dir, model, Some(pca), codes, p, N,
       ReleaseShape.RawDim, cellBuckets = Buckets)
+    ReleaseShape.stageVectors(spark, dir, N)
     projected.unpersist(); e.unpersist()
     h
   }
@@ -125,6 +126,24 @@ class ReleaseShapeSpec extends SparkSpec {
     info(s"recall@10 per query: ${queries.zip(recalls)}")
     val mean = recalls.sum / recalls.size
     assert(mean >= 0.5, s"mean recall@10 $mean — PCA/ADC path degraded")
+  }
+
+  test("lookup rerank (feature-store shape) matches the broadcast-scan rerank") {
+    val h = built
+    val v = ReleaseShape.vectors(spark, dir)
+    def run(lookup: Boolean) =
+      LopqSearcher.search(h.codes, v, "vec_id", "embedding", h.model,
+        ReleaseShape.rowVec(99L), ReleaseShape.Quota, ReleaseShape.TopK,
+        ReleaseShape.RerankK, h.cellCounts, h.pca, h.cellBuckets,
+        rerankLookup = lookup)
+    val scan = run(lookup = false).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val byLookup = run(lookup = true)
+    val lookup = byLookup.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(lookup === scan, "the two rerank read shapes must be result-identical")
+    // the lookup path must push the id IN-list into the vectors scan
+    assert(byLookup.queryExecution.executedPlan.toString.contains("In(vec_id"),
+      byLookup.queryExecution.executedPlan.toString.take(2000))
   }
 
   test("bucketed append is O(batch): new ids land, replayed ids are suppressed") {
