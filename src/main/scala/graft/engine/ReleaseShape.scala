@@ -30,8 +30,11 @@ object ReleaseShape {
   val Centers = 512
   val CellBuckets = 1024
   val P = LopqParams(v = 256, m = 8, subClusters = 256, seed = 7L, kmeansMaxIter = 5)
-  val Quota = 2000
-  val TopK = 10
+  // the reference's release workload constants (BASELINE.md): candidate
+  // quota min(1000·returned, 10000) capped at 10000, sim_limit 100
+  // returned, rerank_nb 100
+  val Quota = 10000
+  val TopK = 100
   val RerankK = 100
 
   def dir: String = graft.ops.EngineOps.indexRoot + "/release_shape"

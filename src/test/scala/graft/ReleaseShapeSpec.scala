@@ -66,7 +66,7 @@ class ReleaseShapeSpec extends SparkSpec {
   test("search plan: bucket partition pruning + pushed cell IN-list + broadcast ADC") {
     val h = built
     val df = LopqSearcher.searchApprox(h.codes, h.model,
-      h.pca.get(ReleaseShape.rowVec(42L)), ReleaseShape.Quota, 10, h.cellCounts,
+      h.pca.get(ReleaseShape.rowVec(42L)), TwinQuota, 10, h.cellCounts,
       h.cellBuckets)
     val plan = df.queryExecution.executedPlan.toString
     val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
@@ -82,7 +82,7 @@ class ReleaseShapeSpec extends SparkSpec {
   test("executed search scan reads a small pruned fraction of the codes files") {
     val h = built
     val df = LopqSearcher.searchApprox(h.codes, h.model,
-      h.pca.get(ReleaseShape.rowVec(7L)), ReleaseShape.Quota, 10, h.cellCounts,
+      h.pca.get(ReleaseShape.rowVec(7L)), TwinQuota, 10, h.cellCounts,
       h.cellBuckets)
     df.collect()
     val scan = fileScans(df.queryExecution.executedPlan)
@@ -93,17 +93,27 @@ class ReleaseShapeSpec extends SparkSpec {
       s"search read $filesRead of $total code files — pruning lost")
   }
 
+  // twin-sized search: the full ReleaseShape constants (quota 10000,
+  // k 100) assume the 200k corpus; at N=8000 a top-100 outruns the ~16
+  // members each synthetic center has
+  private val TwinK = 10
+  private val TwinQuota = 2000
+  private def twinSearch(h: graft.engine.LopqIndex, qid: Long) =
+    LopqSearcher.search(h.codes, ReleaseShape.vectors(spark, dir), "vec_id",
+      "embedding", h.model, ReleaseShape.rowVec(qid), TwinQuota, TwinK,
+      ReleaseShape.RerankK, h.cellCounts, h.pca, h.cellBuckets)
+
   test("end-to-end release-path search retrieves the query itself") {
     val h = built
-    val hits = ReleaseShape.search(spark, h, 42L)
+    val hits = twinSearch(h, 42L)
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
-    assert(hits.length === ReleaseShape.TopK)
+    assert(hits.length === TwinK)
     assert(hits.head._1 === 42L && hits.head._2 < 1e-3,
       s"query vector must rank first at ~zero distance, got ${hits.take(3).toSeq}")
     // clustered corpus: the same synthetic center should dominate the top-k
     val sameCenter = hits.count { case (id, _) => id % ReleaseShape.Centers == 42L }
-    assert(sameCenter >= ReleaseShape.TopK / 2,
-      s"only $sameCenter of top-${ReleaseShape.TopK} share the query's center")
+    assert(sameCenter >= TwinK / 2,
+      s"only $sameCenter of top-$TwinK share the query's center")
   }
 
   test("release-path recall@10 vs brute force stays useful through PCA + ADC") {
@@ -112,16 +122,15 @@ class ReleaseShapeSpec extends SparkSpec {
     val e = ReleaseShape.corpus(spark, N)
     val queries = Seq(3L, 777L, 4242L)
     val recalls = queries.map { qid =>
-      val ann = ReleaseShape.search(spark, h, qid)
-        .collect().map(_.getLong(0)).toSet
+      val ann = twinSearch(h, qid).collect().map(_.getLong(0)).toSet
       val qLit = array(ReleaseShape.rowVec(qid).map(lit): _*)
       val brute = e
         .select(col("vec_id"),
           VectorFunctions.l2DistanceSq(qLit, col("embedding")).as("d"))
         .orderBy(col("d"), col("vec_id"))
-        .limit(ReleaseShape.TopK)
+        .limit(TwinK)
         .collect().map(_.getLong(0)).toSet
-      ann.intersect(brute).size.toDouble / ReleaseShape.TopK
+      ann.intersect(brute).size.toDouble / TwinK
     }
     info(s"recall@10 per query: ${queries.zip(recalls)}")
     val mean = recalls.sum / recalls.size
@@ -133,7 +142,7 @@ class ReleaseShapeSpec extends SparkSpec {
     val v = ReleaseShape.vectors(spark, dir)
     def run(lookup: Boolean) =
       LopqSearcher.search(h.codes, v, "vec_id", "embedding", h.model,
-        ReleaseShape.rowVec(99L), ReleaseShape.Quota, ReleaseShape.TopK,
+        ReleaseShape.rowVec(99L), TwinQuota, TwinK,
         ReleaseShape.RerankK, h.cellCounts, h.pca, h.cellBuckets,
         rerankLookup = lookup)
     val scan = run(lookup = false).collect()
