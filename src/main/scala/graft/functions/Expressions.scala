@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -121,6 +121,79 @@ case class L2DistSqExpr(left: Expression, right: Expression) extends VectorFoldE
     copy(left = l, right = r)
 }
 
+/** SimHash over pre-hashed tokens in ONE fused pass — bit b of the result
+  * is set iff Σ_tokens (bit_b(hash) ? +1 : −1) > 0, identical to the
+  * 32-HOF-pass formulation in [[TextFunctions.simhash]] it replaces: that
+  * shape re-traverses the hash array once per bit through an interpreted
+  * lambda, this one walks it once with all `bits` counters in registers/
+  * one small array (measured as the dominant cost of the simhash pipeline).
+  * Same ref intent as the banded near-dup family (SURVEY LLM-pipeline
+  * surface); DuckDB oracle unchanged — the algorithm is bit-identical. */
+case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if bits >= 1 && bits <= 60 =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> and 1 ≤ bits ≤ 60, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < bits) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val votes = ctx.freshName("votes")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $votes = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $out = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    if ($votes[$b] > 0) $out |= 1L << $b;
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Registration of the graft expressions, two ways:
   *   - [[GraftFunctions.register]]: imperative, idempotent, works on any
   *     existing session (every catalog query calls it via `Tables.apply`);
@@ -133,7 +206,11 @@ object GraftFunctions {
 
   val all: Seq[(String, FunctionBuilder)] = Seq(
     "graft_dot" -> ((c: Seq[Expression]) => DotProductExpr(c(0), c(1))),
-    "graft_l2sq" -> ((c: Seq[Expression]) => L2DistSqExpr(c(0), c(1))))
+    "graft_l2sq" -> ((c: Seq[Expression]) => L2DistSqExpr(c(0), c(1))),
+    "graft_simhash" -> ((c: Seq[Expression]) => {
+      require(c.size == 2 && c(1).foldable, "graft_simhash(hashes, bits-literal)")
+      SimhashExpr(c(0), c(1).eval().asInstanceOf[Number].intValue())
+    }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (n, b) =>
     if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(n)))

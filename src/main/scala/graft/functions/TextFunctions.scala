@@ -84,16 +84,13 @@ object TextFunctions {
 
   /** 64-bit-ish SimHash over tokens, restricted to `bits` ≤ 60 bits of the
     * md5-derived integer: bit b is 1 iff Σ_tokens (bit_b(md5(tok)) ? 1 : -1)
-    * is positive. Returns BIGINT. */
+    * is positive. Returns BIGINT. One fused native pass
+    * ([[graft.functions.SimhashExpr]]) — the HOF formulation it replaces
+    * re-traversed the hash array once per bit. Requires the graft
+    * functions registered on the session ([[GraftFunctions.register]],
+    * done by `Tables.apply` for every catalog query). */
   def simhash(toksCol: Column, bits: Int = 32): Column =
-    bindOnce(transform(toksCol, t => md5Long(t)), hashes => {
-      val bitCols = (0 until bits).map { b =>
-        val votes = aggregate(hashes, lit(0L),
-          (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L)))
-        when(votes > 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      bitCols.reduce(_ + _)
-    })
+    call_function("graft_simhash", transform(toksCol, t => md5Long(t)), lit(bits))
 
   /** Hamming distance between two simhash BIGINTs. */
   def hammingDistance(a: Column, b: Column): Column =

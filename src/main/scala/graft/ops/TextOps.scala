@@ -311,7 +311,8 @@ object TextOps {
               |       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
               |FROM cand JOIN shsig x ON x.doc_id = id_a JOIN shsig y ON y.doc_id = id_b
               |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimMaxHamming
-              |ORDER BY id_a, id_b""".stripMargin)),
+              |ORDER BY id_a, id_b""".stripMargin),
+      bench = true),
 
     // exact-duplicate dedup by content hash; the test corpus has no
     // byte-identical docs, so key on the first-5-token prefix hash too —
