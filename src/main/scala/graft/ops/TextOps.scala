@@ -400,6 +400,56 @@ object TextOps {
               |       round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) AS dup_ratio
               |FROM shall ORDER BY doc_id""".stripMargin)),
 
+    // Corpus-level duplicate-LINE removal (the C4 cleanup move: a sentence
+    // that recurs across the corpus is boilerplate; keep its FIRST
+    // occurrence by (doc_id, pos), drop the rest, reassemble each doc).
+    // One shuffle keyed by line hash — the canonical corpus-dedup shape,
+    // partition-local at any executor count; reassembly is a per-doc
+    // ordered fold. Output carries sha256 of the reassembled text so the
+    // oracle compares content without megabytes of strings.
+    QueryDef(
+      "q67_line_dedup",
+      (s, d) => {
+        val lines = docs(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), "\\. ")))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("line"))
+          .where(col("line") =!= "")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("line"))).orderBy("doc_id", "pos")
+        val kept = lines
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            sha2(array_join(
+              transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+                x => x.getField("line")), ". "), 256).as("kept_sha"))
+        lines.groupBy("doc_id").agg(count(lit(1)).as("n_lines"))
+          .join(kept, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("n_lines"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("kept_sha"), sha2(lit(""), 256)).as("kept_sha"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ls AS (SELECT doc_id, string_split(text, '. ') AS l FROM documents),
+             |lines AS (
+             |  SELECT doc_id, t.i AS pos, l[t.i] AS line
+             |  FROM ls, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) t
+             |  WHERE l[t.i] <> ''),
+             |kept AS (
+             |  SELECT doc_id, pos, line,
+             |         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, pos) AS rn
+             |  FROM lines QUALIFY rn = 1),
+             |agg AS (
+             |  SELECT doc_id, count(*) AS n_kept,
+             |         sha256(string_agg(line, '. ' ORDER BY pos)) AS kept_sha
+             |  FROM kept GROUP BY doc_id),
+             |tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+             |SELECT t.doc_id, t.n_lines,
+             |       coalesce(a.n_kept, 0) AS n_kept,
+             |       coalesce(a.kept_sha, sha256('')) AS kept_sha
+             |FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Near-dup CLUSTERING: connected components over the verified LSH pair
     // graph → one component id per doc, canonical = min doc_id (what a real
     // dedup pipeline does downstream of pair generation: keep one doc per
