@@ -62,10 +62,18 @@ object LopqIndexStore {
   /** Per-(session, dir) model cache for the maintenance path: a continuous
     * stream calls [[appendUpdate]] once per micro-batch, and re-collecting
     * the model parquet to the driver (O(V·D²) — ~8 MB at release shape)
-    * per batch is pure overhead. Evicted by [[saveModel]] — build/initEmpty
-    * overwriting the dir is the only way a dir's model changes. */
+    * per batch is pure overhead. Evicted by [[saveModel]] for in-JVM
+    * rebuilds and by [[evictModel]] for out-of-process ones (the API
+    * `refresh` flow: index dir superseded on disk, then refreshIndex —
+    * without the evict, appends would keep encoding with the stale model,
+    * landing codes in wrong cells). */
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (LopqModel, Option[LopqPca])]
+
+  /** Drop every session's cached model for `dir` — MUST be called whenever
+    * the model under `dir` may have changed outside [[saveModel]]'s JVM. */
+  def evictModel(dir: String): Unit =
+    modelCache.filterInPlace { case ((_, d), _) => d != dir }
 
   private def cachedModel(spark: SparkSession, dir: String): (LopqModel, Option[LopqPca]) =
     modelCache.getOrElseUpdate((spark, dir), loadModel(spark, dir))
@@ -122,7 +130,7 @@ object LopqIndexStore {
   def saveModel(spark: SparkSession, dir: String, model: LopqModel,
       pca: Option[LopqPca]): Unit = {
     import spark.implicits._
-    modelCache.filterInPlace { case ((_, d), _) => d != dir }
+    evictModel(dir)
     val rows = Seq.newBuilder[ModelRow]
     for (s <- 0 until model.numCoarseSplits; c <- 0 until model.v) {
       rows += ModelRow("coarse", s, c, -1, model.coarse(s)(c).map(_.toDouble).toSeq)
@@ -220,12 +228,13 @@ object LopqIndexStore {
     * its encoded codes. Overwrites any previous index. */
   def build(spark: SparkSession, dir: String, model: LopqModel, pca: Option[LopqPca],
       codes: DataFrame, params: LopqParams, n: Long, dim: Int,
-      initialUpdateId: String = "full_build_000000",
+      initialUpdateId: String = "0000-00-00_full_build", // sorts below any real (timestamp-prefixed) update id
       cellBuckets: Int = 0): LopqIndex = {
     import spark.implicits._
     writeCodes(dir, codes, cellBuckets, SaveMode.Overwrite)
     saveModel(spark, dir, model, pca)
     writeCounts(spark, dir)
+    writeTip(spark, dir, Some(initialUpdateId))
     Seq((initialUpdateId, n)).toDF("update_id", "n_rows")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
     writeMeta(dir, metaFor(params, n, dim, pca, cellBuckets))
@@ -240,17 +249,29 @@ object LopqIndexStore {
       cellBuckets: Int = 0): Unit = {
     import spark.implicits._
     saveModel(spark, dir, model, pca)
+    writeTip(spark, dir, None)
     Seq.empty[(String, Long)].toDF("update_id", "n_rows")
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/manifest")
     writeMeta(dir, metaFor(params, 0L, dim, pca, cellBuckets))
   }
 
-  /** Load the index at `dir`, or None if absent. */
+  /** Load the index at `dir`, or None if absent. Self-heals the cell
+    * histogram: if its total disagrees with the codes row count (a crash
+    * between the codes append and the counts merge — see the commit-order
+    * note in [[appendUpdate]]; every crash window skews the TOTAL, so the
+    * sum is a sufficient invariant), the counts are rebuilt from the codes.
+    * Both sides of the check are metadata-only parquet reads. */
   def load(spark: SparkSession, dir: String): Option[LopqIndex] =
     readMeta(dir).map { meta =>
       val (model, pca) = loadModel(spark, dir)
       val codes = spark.read.parquet(s"$dir/codes")
-      LopqIndex(model, pca, codes, readCounts(spark, dir), dir, bucketsOf(meta))
+      val countsPath = new org.apache.hadoop.fs.Path(s"$dir/cell_counts")
+      val fs = countsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val counts0 = if (fs.exists(countsPath)) readCounts(spark, dir) else Map.empty[Int, Long]
+      val counts =
+        if (counts0.valuesIterator.sum == codes.count()) counts0
+        else { writeCounts(spark, dir); readCounts(spark, dir) }
+      LopqIndex(model, pca, codes, counts, dir, bucketsOf(meta))
     }
 
   /** Load only if the stored fingerprint matches `(params, n)` — a changed
@@ -274,18 +295,54 @@ object LopqIndexStore {
 
   /** Lexicographic high-watermark of applied updates (ref
     * `last_indexed_update`, `searcher_lopqhbase.py:632-653`): callers scan
-    * the updates table for ids strictly above this. */
-  def watermark(spark: SparkSession, dir: String): Option[String] = {
-    val m = spark.read.parquet(s"$dir/manifest")
-    m.agg(max("update_id")).head() match {
-      case r if r.isNullAt(0) => None
-      case r => Some(r.getString(0))
+    * the updates table for ids strictly above this.
+    *
+    * Served from the `tip` sidecar — ONE small file, no manifest scan — so
+    * the per-append replay check stays O(1) forever (r5 collected the full
+    * manifest per micro-batch: O(updates-ever) driver work). A legacy dir
+    * without a tip migrates once via a manifest aggregation. */
+  def watermark(spark: SparkSession, dir: String): Option[String] =
+    readTip(spark, dir)
+
+  private def tipPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/tip")
+
+  /** Atomic (write-temp + rename) so a reader never sees a torn tip. */
+  private def writeTip(spark: SparkSession, dir: String, wm: Option[String]): Unit = {
+    val p = tipPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tip.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(wm.getOrElse("").getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
+    ()
+  }
+
+  private def readTip(spark: SparkSession, dir: String): Option[String] = {
+    val p = tipPath(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      Option(s.trim).filter(_.nonEmpty)
+    } else {
+      // one-time migration for an index persisted before the tip existed
+      val wm = spark.read.parquet(s"$dir/manifest")
+        .agg(max("update_id")).head() match {
+        case r if r.isNullAt(0) => None
+        case r => Some(r.getString(0))
+      }
+      writeTip(spark, dir, wm)
+      wm
     }
   }
 
-  private def appliedUpdates(spark: SparkSession, dir: String): Set[String] =
-    spark.read.parquet(s"$dir/manifest")
-      .select("update_id").collect().map(_.getString(0)).toSet
+  /** Reference semantics (`searcher_lopqhbase.py:600-617`): the updates
+    * scan resumes STRICTLY ABOVE `last_indexed_update`, so anything at or
+    * below the watermark is already applied (update ids are
+    * timestamp-prefixed, hence lexicographically monotone). */
+  private def isApplied(spark: SparkSession, dir: String, updateId: String): Boolean =
+    readTip(spark, dir).exists(updateId <= _)
 
   /** The visited/touched-cell predicate in the layout the index uses:
     * directory pruning on `cell_id` itself, or on `cell_bucket` with the
@@ -323,11 +380,16 @@ object LopqIndexStore {
     * skip-already-indexed per update `searcher_lopqhbase.py:600-617`), and
     * the cell histogram is merged incrementally instead of re-aggregated.
     *
+    * CONTRACT: update ids must be lexicographically monotone (the
+    * reference's ids are timestamp-prefixed, `searcher_lopqhbase.py:
+    * 600-617`, and its scan resumes strictly above `last_indexed_update`) —
+    * an id at or below the current watermark is treated as already applied.
+    *
     * Returns true if the batch was applied, false if it was a duplicate. */
   def appendUpdate(spark: SparkSession, dir: String, batch0: DataFrame,
       idCol: String, vecCol: String, updateId: String): Boolean = {
     import spark.implicits._
-    if (appliedUpdates(spark, dir).contains(updateId)) return false
+    if (isApplied(spark, dir, updateId)) return false
     val (model, pca) = cachedModel(spark, dir)
     val input = pca match {
       case None => batch0.dropDuplicates(idCol)
@@ -350,11 +412,20 @@ object LopqIndexStore {
       val batchCounts = deduped.groupBy("cell_id").agg(count(lit(1)).as("cnt"))
         .as[(Int, Long)].collect().toSeq
       val n = batchCounts.map(_._2).sum
+      // Commit order: codes → counts → tip → manifest. Every crash window
+      // is recoverable (r5 committed the manifest BEFORE the counts, so a
+      // crash in between marked the update applied with a permanently stale
+      // histogram): a crash before the tip leaves the update unapplied, so
+      // the replay's anti-join suppresses the rows and the histogram is
+      // repaired by the sum check in [[load]]; a crash after the tip only
+      // loses the manifest AUDIT row — codes, counts, and the replay
+      // watermark are already consistent.
       writeCodes(dir, deduped,
         readMeta(dir).map(bucketsOf).getOrElse(0), SaveMode.Append)
+      mergeCounts(spark, dir, batchCounts)
+      writeTip(spark, dir, Some(updateId))
       Seq((updateId, n)).toDF("update_id", "n_rows")
         .write.mode(SaveMode.Append).parquet(s"$dir/manifest")
-      mergeCounts(spark, dir, batchCounts)
       true
     } finally {
       encoded.unpersist()

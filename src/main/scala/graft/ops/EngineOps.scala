@@ -72,6 +72,10 @@ object EngineOps {
     indexCache.remove((s, d))
     pcaCache.remove((s, d))
     oracleReady.remove((s, d))
+    // the store's own model cache too: an index dir rebuilt OUT of this JVM
+    // would otherwise keep appendUpdate encoding with the superseded model
+    // (wrong cells, dedup defeated) while searches serve the new one
+    LopqIndexStore.evictModel(indexDir(d))
     index(s, d)
   }
 

@@ -179,6 +179,86 @@ class LopqIndexSpec extends SparkSpec {
       "the query vector itself must be retrievable through the PCA front")
   }
 
+  test("a refused replay is decided from the tip alone — zero Spark jobs") {
+    val h = built
+    deleteDir(incrDir + "_tip")
+    LopqIndexStore.initEmpty(spark, incrDir + "_tip", h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    assert(LopqIndexStore.appendUpdate(spark, incrDir + "_tip", e, "vec_id",
+      "embedding", "u000"))
+    // r5 collected the FULL manifest per append (O(updates-ever) driver
+    // work); the tip makes the replay check one sidecar-file read — pinned
+    // by asserting the refusal path schedules no Spark job at all
+    spark.sparkContext.setJobGroup("replay-refusal", "must stay empty")
+    try {
+      assert(!LopqIndexStore.appendUpdate(spark, incrDir + "_tip", e, "vec_id",
+        "embedding", "u000"))
+      val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup("replay-refusal")
+      assert(jobs.isEmpty, s"refusal ran Spark jobs: ${jobs.toSeq}")
+    } finally spark.sparkContext.clearJobGroup()
+  }
+
+  test("load self-heals a cell histogram skewed by a crashed append") {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val h = built
+    val cdir = incrDir + "_crash"
+    deleteDir(cdir)
+    LopqIndexStore.initEmpty(spark, cdir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    assert(LopqIndexStore.appendUpdate(spark, cdir, e, "vec_id", "embedding", "u000"))
+    // simulate the crash window between the codes append and the counts
+    // merge: halve every count on disk, out of band
+    val skewed = spark.read.parquet(s"$cdir/cell_counts")
+      .withColumn("cnt", (c("cnt") / lit(2)).cast("long")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    import spark.implicits._
+    skewed.toDF("cell_id", "cnt").repartition(1)
+      .write.mode("overwrite").parquet(s"$cdir/cell_counts")
+    val loaded = LopqIndexStore.load(spark, cdir).get
+    val recount = loaded.codes.groupBy("cell_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(loaded.cellCounts === recount, "load must rebuild a skewed histogram")
+  }
+
+  test("evictModel makes appends see an out-of-process model swap") {
+    val h = built
+    val adir = incrDir + "_swap"
+    deleteDir(adir)
+    LopqIndexStore.initEmpty(spark, adir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    // populate the model cache for adir
+    assert(LopqIndexStore.appendUpdate(spark, adir,
+      e.where(col("vec_id") < 100), "vec_id", "embedding", "u000"))
+    // out-of-band rebuild: a DIFFERENT model lands under adir (copy the
+    // model files of a fresh differently-seeded index, no saveModel in
+    // this JVM → the cache has no idea)
+    val otherDir = incrDir + "_swap_other"
+    deleteDir(otherDir)
+    val m2 = LopqTrainer.train(e, "embedding", p.copy(seed = 4242L))
+    LopqIndexStore.initEmpty(spark, otherDir, m2, None, p.copy(seed = 4242L), 64)
+    val fs = new org.apache.hadoop.fs.Path(adir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$adir/model"), true)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(s"$otherDir/model"),
+      fs, new org.apache.hadoop.fs.Path(s"$adir/model"),
+      false, spark.sparkContext.hadoopConfiguration)
+    // the ADVICE r5 scenario: without the evict, this append would encode
+    // with the STALE cached model
+    LopqIndexStore.evictModel(adir)
+    val batch = e.where(col("vec_id") >= 100 && col("vec_id") < 200)
+    assert(LopqIndexStore.appendUpdate(spark, adir, batch, "vec_id", "embedding", "u001"))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "coarse0", "coarse1", "fine").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq))
+        .sortBy(_._1).toSeq
+    val appended = spark.read.parquet(s"$adir/codes")
+      .where(col("id") >= 100 && col("id") < 200)
+    assert(snap(appended) === snap(
+      LopqSearcher.encode(batch, "vec_id", "embedding", m2)),
+      "append after evictModel must encode with the swapped-in model")
+  }
+
   test("a streaming query maintains the persisted index incrementally") {
     val h = built
     val streamDir = "/root/repo/target/graft-index-test/stream"

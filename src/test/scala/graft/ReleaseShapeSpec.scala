@@ -140,19 +140,37 @@ class ReleaseShapeSpec extends SparkSpec {
   test("lookup rerank (feature-store shape) matches the broadcast-scan rerank") {
     val h = built
     val v = ReleaseShape.vectors(spark, dir)
-    def run(lookup: Boolean) =
+    def run(shape: graft.engine.RerankShape) =
       LopqSearcher.search(h.codes, v, "vec_id", "embedding", h.model,
         ReleaseShape.rowVec(99L), TwinQuota, TwinK,
         ReleaseShape.RerankK, h.cellCounts, h.pca, h.cellBuckets,
-        rerankLookup = lookup)
-    val scan = run(lookup = false).collect()
+        rerankShape = shape)
+    val scan = run(graft.engine.RerankShape.Scan).collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toSeq
-    val byLookup = run(lookup = true)
+    val byLookup = run(graft.engine.RerankShape.Lookup)
     val lookup = byLookup.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(lookup === scan, "the two rerank read shapes must be result-identical")
     // the lookup path must push the id IN-list into the vectors scan
     assert(byLookup.queryExecution.executedPlan.toString.contains("In(vec_id"),
       byLookup.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("Auto rerank shape self-selects from the vector-table size") {
+    import graft.engine.RerankShape
+    val v = built; val vecs = ReleaseShape.vectors(spark, dir)
+    // the 8k-row twin table is far under the threshold → streaming scan
+    assert(!RerankShape.useLookup(vecs, RerankShape.Auto))
+    // shrink the threshold below the table size → the SAME table flips to
+    // the pushed-lookup shape; no caller flag involved (VERDICT r5 #2)
+    spark.conf.set(RerankShape.ThresholdConf, "1024")
+    try assert(RerankShape.useLookup(vecs, RerankShape.Auto))
+    finally spark.conf.unset(RerankShape.ThresholdConf)
+    // the benched release corpus (200k × 256-d ≈ 200 MB staged parquet) is
+    // over the default 128 MB threshold → release_ann measures the
+    // scale-safe lookup shape
+    assert(ReleaseShape.N * ReleaseShape.RawDim * 4L >
+      RerankShape.DefaultThresholdBytes)
+    assert(v.cellBuckets === Buckets)
   }
 
   test("bucketed append is O(batch): new ids land, replayed ids are suppressed") {
