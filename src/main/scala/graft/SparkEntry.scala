@@ -27,5 +27,8 @@ object SparkEntry {
     catalog.flatMap(q => q.oracle.map(q.name -> _)).toMap
 
   /** Headline queries for Bench. */
-  def benchQueries: Seq[String] = catalog.filter(_.bench).map(_.name)
+  def benchQueries: Seq[String] = benchDefs.map(_.name)
+
+  /** Full defs of the headline queries (Bench needs `dependsOnIndex`). */
+  def benchDefs: Seq[ops.QueryDef] = catalog.filter(_.bench)
 }

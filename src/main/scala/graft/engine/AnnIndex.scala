@@ -22,12 +22,16 @@ trait AnnIndex {
 
 /** Exact brute-force scan — the correctness baseline (ref
   * `lopq/lopq/eval.py:7-38`). One codegen'd distance per row, then
-  * `TakeOrderedAndProject`; no index build. */
+  * `TakeOrderedAndProject`; no index build. Guarded: refuses above
+  * `spark.graft.allpairs.maxRows` so the eval baseline can't silently
+  * become a production plan (use [[LopqAnnIndex]] at scale). */
 final class BruteForceIndex(vectors: DataFrame, idCol: String, vecCol: String)
   extends AnnIndex {
   val name = "brute"
-  lazy val count: Long = vectors.count()
+  lazy val count: Long = graft.core.AllPairsGuard.check(vectors,
+    "brute-force AnnIndex", "the 'lopq' AnnIndex (persisted pruned-cell ANN)")
   def search(query: Array[Float], k: Int): DataFrame = {
+    count // trip the guard before scheduling a full-scan query
     val qLit = array(query.map(lit): _*)
     vectors
       .select(col(idCol).as("id"),

@@ -32,6 +32,18 @@ final case class LopqIndex(
   def codesPath: String = s"$dir/codes"
 }
 
+/** A servable index handle WITHOUT the rotation tensor on the driver — the
+  * release-magnitude serve shape (see [[SlimLopqModel]]): queries fetch the
+  * two rotation slices of each visited cell from the persisted model store,
+  * O(visited clusters) per query instead of O(V·(D/2)²) resident. */
+final case class LopqSlimIndex(
+    slim: SlimLopqModel,
+    pca: Option[LopqPca],
+    codes: DataFrame,
+    cellCounts: Map[Int, Long],
+    dir: String,
+    cellBuckets: Int = 0)
+
 /** Durable storage of the LOPQ index — the Spark-native replacement for the
   * reference's pickled model + LMDB code store + per-update code pickles:
   *
@@ -145,9 +157,18 @@ object LopqIndexStore {
       rows += ModelRow("pca_mu", 0, -1, -1, px.mu.toSeq)
       for (j <- 0 until px.pcaDims) rows += ModelRow("pca_p", 0, j, -1, px.p(j).toSeq)
     }
+    // Layout for per-SLICE reads (the slim serve path): partition dirs by
+    // `part` so a non-rot load never touches the tensor's files, and
+    // range-partition + sort the rot rows by (split, a) into ~2 MB files so
+    // a visited cluster's slice read prunes to a couple of files via file
+    // stats and the pushed IN-list (at V=4096/(D/2)=128 the tensor is
+    // ~536 MB — a single-file layout would force a full read per slice).
+    val rotBytes = 2L * model.v * model.halfDim * model.halfDim * 8L
+    val nFiles = math.max(1, math.min(512, (rotBytes / (2L << 20)).toInt))
     rows.result().toDF()
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/model")
+      .repartitionByRange(nFiles, col("part"), col("split"), col("a"), col("b"))
+      .sortWithinPartitions("part", "split", "a", "b")
+      .write.mode(SaveMode.Overwrite).partitionBy("part").parquet(s"$dir/model")
     // interchange sidecar: the reference's protobuf schema, so a non-Spark
     // consumer (the reference itself included) can load this model — the
     // PCA front stays parquet-only, exactly like the reference's proto path
@@ -196,6 +217,79 @@ object LopqIndexStore {
       }
     (model, pca)
   }
+
+  /** Load every model component EXCEPT the rotation tensor: O(V·D/2) driver
+    * memory instead of O(V·(D/2)²). With the partitioned model layout the
+    * `part != rot` filter is directory-level — the tensor's files are never
+    * opened (also correct, via row-group stats, on a legacy single-file
+    * model). */
+  def loadModelSlim(spark: SparkSession, dir: String): (SlimLopqModel, Option[LopqPca]) = {
+    val meta = readMeta(dir).getOrElse(sys.error(s"no meta.json under $dir"))
+    val v = meta("v").toInt
+    val mTotal = meta("m").toInt
+    val renorm = meta.getOrElse("renorm", "false").toBoolean
+    val rows = spark.read.parquet(s"$dir/model")
+      .where(col("part") =!= "rot")
+      .select("part", "split", "a", "b", "vec").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getSeq[Double](4).toArray))
+
+    def floats(part: String): Map[(Int, Int, Int), Array[Float]] =
+      rows.filter(_._1 == part)
+        .map(r => (r._2, r._3, r._4) -> r._5.map(_.toFloat)).toMap
+
+    val coarseM = floats("coarse")
+    val muM = floats("mu")
+    val subqM = floats("subq")
+    val fineSplits = mTotal / 2
+    val subClusters = subqM.keys.map(_._3).max + 1
+    val slim = SlimLopqModel(
+      coarse = Array.tabulate(2, v)((s, c) => coarseM((s, c, -1))),
+      mus = Array.tabulate(2, v)((s, c) => muM((s, c, -1))),
+      subquantizers = Array.tabulate(2, fineSplits, subClusters)((s, f, sc) => subqM((s, f, sc))))
+
+    val pcaDims = meta.getOrElse("pcaDims", "0").toInt
+    val pca =
+      if (pcaDims == 0) None
+      else {
+        val doubles = rows.filter(r => r._1 == "pca_mu" || r._1 == "pca_p")
+          .map(r => (r._1, r._3) -> r._5).toMap
+        Some(LopqPca(
+          mu = doubles(("pca_mu", -1)),
+          p = Array.tabulate(pcaDims)(j => doubles(("pca_p", j))),
+          renorm = renorm))
+      }
+    (slim, pca)
+  }
+
+  /** The pruned read behind [[rotationSlices]] — package-visible so the
+    * spec can pin its executed-scan metrics (rows/files actually read). */
+  private[graft] def rotationSliceScan(spark: SparkSession, dir: String,
+      keys: Seq[(Int, Int)]): DataFrame = {
+    val bySplit = (0 to 1).flatMap { s =>
+      val clusters = keys.collect { case (`s`, a) => a }
+      if (clusters.isEmpty) None
+      else Some(col("split") === s && col("a").isin(clusters: _*))
+    }
+    spark.read.parquet(s"$dir/model")
+      .where(col("part") === "rot" && bySplit.reduce(_ || _))
+      .select("split", "a", "b", "vec")
+  }
+
+  /** Fetch just the rotation slices for the given `(split, cluster)` keys —
+    * the per-QUERY model transfer of the slim serve path: O(keys·(D/2)²)
+    * data moved, independent of V (the reference ships the whole pickled
+    * model to every searcher process instead,
+    * `searcher_lopqhbase.py:104-223`). */
+  def rotationSlices(spark: SparkSession, dir: String,
+      keys: Seq[(Int, Int)]): Map[(Int, Int), Array[Array[Float]]] =
+    rotationSliceScan(spark, dir, keys).collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+      .map { case (k, rs) =>
+        val mat = new Array[Array[Float]](rs.length)
+        rs.foreach(r => mat(r.getInt(2)) = r.getSeq[Double](3).toArray.map(_.toFloat))
+        k -> mat
+      }
 
   // ------------------------------------------------------------- codes
 
@@ -265,31 +359,49 @@ object LopqIndexStore {
     readMeta(dir).map { meta =>
       val (model, pca) = loadModel(spark, dir)
       val codes = spark.read.parquet(s"$dir/codes")
-      val countsPath = new org.apache.hadoop.fs.Path(s"$dir/cell_counts")
-      val fs = countsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val counts0 = if (fs.exists(countsPath)) readCounts(spark, dir) else Map.empty[Int, Long]
-      val counts =
-        if (counts0.valuesIterator.sum == codes.count()) counts0
-        else { writeCounts(spark, dir); readCounts(spark, dir) }
-      LopqIndex(model, pca, codes, counts, dir, bucketsOf(meta))
+      LopqIndex(model, pca, codes, healedCounts(spark, dir, codes), dir, bucketsOf(meta))
     }
+
+  /** [[load]] without the rotation tensor — the serve-path handle. */
+  def loadSlim(spark: SparkSession, dir: String): Option[LopqSlimIndex] =
+    readMeta(dir).map { meta =>
+      val (slim, pca) = loadModelSlim(spark, dir)
+      val codes = spark.read.parquet(s"$dir/codes")
+      LopqSlimIndex(slim, pca, codes, healedCounts(spark, dir, codes), dir, bucketsOf(meta))
+    }
+
+  private def healedCounts(spark: SparkSession, dir: String,
+      codes: DataFrame): Map[Int, Long] = {
+    val countsPath = new org.apache.hadoop.fs.Path(s"$dir/cell_counts")
+    val fs = countsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val counts0 = if (fs.exists(countsPath)) readCounts(spark, dir) else Map.empty[Int, Long]
+    if (counts0.valuesIterator.sum == codes.count()) counts0
+    else { writeCounts(spark, dir); readCounts(spark, dir) }
+  }
 
   /** Load only if the stored fingerprint matches `(params, n)` — a changed
     * corpus or parameterization forces a rebuild instead of silently
     * serving stale codes. */
+  def fingerprintOk(dir: String, params: LopqParams, n: Long,
+      expectPcaDims: Int = 0): Boolean =
+    readMeta(dir).exists { meta =>
+      meta.get("v").contains(params.v.toString) &&
+        meta.get("m").contains(params.m.toString) &&
+        meta.get("subClusters").contains(params.subClusters.toString) &&
+        meta.get("seed").contains(params.seed.toString) &&
+        meta.get("n").contains(n.toString) &&
+        meta.get("pcaDims").contains(expectPcaDims.toString)
+    }
+
   def loadIfValid(spark: SparkSession, dir: String, params: LopqParams, n: Long,
       expectPcaDims: Int = 0): Option[LopqIndex] =
-    readMeta(dir) match {
-      case Some(meta)
-          if meta.get("v").contains(params.v.toString) &&
-            meta.get("m").contains(params.m.toString) &&
-            meta.get("subClusters").contains(params.subClusters.toString) &&
-            meta.get("seed").contains(params.seed.toString) &&
-            meta.get("n").contains(n.toString) &&
-            meta.get("pcaDims").contains(expectPcaDims.toString) =>
-        load(spark, dir)
-      case _ => None
-    }
+    if (fingerprintOk(dir, params, n, expectPcaDims)) load(spark, dir) else None
+
+  /** [[loadIfValid]] for the slim serve handle: the fingerprint check and
+    * the load itself both avoid materializing the rotation tensor. */
+  def loadSlimIfValid(spark: SparkSession, dir: String, params: LopqParams, n: Long,
+      expectPcaDims: Int = 0): Option[LopqSlimIndex] =
+    if (fingerprintOk(dir, params, n, expectPcaDims)) loadSlim(spark, dir) else None
 
   // ------------------------------------------- incremental maintenance
 

@@ -92,13 +92,18 @@ object LopqSearcher {
   def selectCells(model: LopqModel, query: Array[Float], quota: Int,
       cellCounts: Map[Int, Long]): Seq[Int] = {
     val (d0, d1) = model.coarseDistances(query)
+    selectCellsFrom(model.v, d0, d1, quota, cellCounts)
+  }
+
+  private[graft] def selectCellsFrom(v: Int, d0: Array[Double], d1: Array[Double],
+      quota: Int, cellCounts: Map[Int, Long]): Seq[Int] = {
     val it = CellMath.multisequence(d0, d1)
     val cells = Seq.newBuilder[Int]
     var retrieved = 0L
     var exhausted = false
     while (!exhausted && retrieved < quota && it.hasNext) {
       val ((c0, c1), _) = it.next()
-      val cell = CellMath.cellId(c0, c1, model.v)
+      val cell = CellMath.cellId(c0, c1, v)
       val cnt = cellCounts.getOrElse(cell, 0L)
       if (cnt > 0) { cells += cell; retrieved += cnt }
       exhausted = !it.hasNext
@@ -129,18 +134,28 @@ object LopqSearcher {
       quota: Int, k: Int, cellCounts: Map[Int, Long],
       cellBuckets: Int = 0): DataFrame = {
     val cells = selectCells(model, query, quota, cellCounts)
-    if (cells.isEmpty)
-      return codes.sparkSession.emptyDataFrame
-        .withColumn("id", lit(0L)).withColumn("cell_id", lit(0))
-        .withColumn("adc_dist", lit(0.0)).limit(0)
+    if (cells.isEmpty) emptyApprox(codes)
+    else approxOverCells(codes, cells,
+      adcTablesDf(codes, model, query, cells), k, cellBuckets)
+  }
+
+  private def emptyApprox(codes: DataFrame): DataFrame =
+    codes.sparkSession.emptyDataFrame
+      .withColumn("id", lit(0L)).withColumn("cell_id", lit(0))
+      .withColumn("adc_dist", lit(0.0)).limit(0)
+
+  /** The cluster side of the approximate stage, shared by the full-model
+    * and slim paths: partition-pruned scan of the visited cells, broadcast
+    * ADC join, codegen lookup-sum, `TakeOrderedAndProject` top-k. */
+  private def approxOverCells(codes: DataFrame, cells: Seq[Int],
+      tablesDf: DataFrame, k: Int, cellBuckets: Int): DataFrame =
     codes
       .where(LopqIndexStore.cellFilter(cells, cellBuckets)) // → partition pruning on disk
-      .join(broadcast(adcTablesDf(codes, model, query, cells)), "cell_id")
+      .join(broadcast(tablesDf), "cell_id")
       .withColumn("adc_dist", VectorFunctions.adcDistance(col("fine"), col("adc_tables")))
       .orderBy(col("adc_dist"), col("id")) // + limit → TakeOrderedAndProject
       .limit(k)
       .select("id", "cell_id", "adc_dist")
-  }
 
   /** Full query: ADC top-`rerankK` then exact-L2 rerank of the prefix via a
     * broadcast join back to the raw vectors, final top-`k`
@@ -151,6 +166,41 @@ object LopqSearcher {
     * `lopq/lopq/search.py:198-200` — while the rerank recomputes exact L2
     * against the FULL-dimension vectors, like the reference reranking with
     * the raw features re-read from HBase. */
+  /** Full query against a [[LopqSlimIndex]] — the release-MAGNITUDE serve
+    * path: the rotation tensor (the only O(V·(D/2)²) model component, 536 MB
+    * at the reference's release constants) is NEVER resident; each query
+    * fetches only the two rotation slices of each visited cell from the
+    * persisted model store (a file-and-row-group-pruned read of
+    * O(distinct visited clusters · (D/2)²) bytes — independent of V), builds
+    * the ADC tables from them, and runs the same pruned-scan + broadcast-ADC
+    * + rerank plan as [[search]]. Results are bit-identical to the
+    * full-model path (spec-pinned). */
+  def searchSlim(index: LopqSlimIndex, vectors: DataFrame, idCol: String,
+      vecCol: String, query: Array[Float], quota: Int, k: Int, rerankK: Int,
+      rerankShape: RerankShape = RerankShape.Auto): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val slim = index.slim
+    val approxQuery = index.pca.map(_.apply(query)).getOrElse(query)
+    val (d0, d1) = slim.coarseDistances(approxQuery)
+    val cells = selectCellsFrom(slim.v, d0, d1, quota, index.cellCounts)
+    val approx =
+      if (cells.isEmpty) emptyApprox(index.codes)
+      else {
+        val keys = cells.flatMap { cell =>
+          val (c0, c1) = CellMath.unpackCell(cell, slim.v)
+          Seq((0, c0), (1, c1))
+        }.distinct
+        val rot = LopqIndexStore.rotationSlices(spark, index.dir, keys)
+        val tablesDf = cells.map { cell =>
+          val cc = CellMath.unpackCell(cell, slim.v)
+          (cell, slim.adcTables(approxQuery, cc, (s, c) => rot((s, c))).map(_.toSeq).toSeq)
+        }.toDF("cell_id", "adc_tables")
+        approxOverCells(index.codes, cells, tablesDf, rerankK, index.cellBuckets)
+      }
+    rerankExact(approx, vectors, idCol, vecCol, query, k, rerankShape)
+  }
+
   /** The rerank read shape is self-selecting by default — see
     * [[RerankShape]]. */
   def search(codes: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,

@@ -128,7 +128,11 @@ case class L2DistSqExpr(left: Expression, right: Expression) extends VectorFoldE
   * lambda, this one walks it once with all `bits` counters in registers/
   * one small array (measured as the dominant cost of the simhash pipeline).
   * Same ref intent as the banded near-dup family (SURVEY LLM-pipeline
-  * surface); DuckDB oracle unchanged — the algorithm is bit-identical. */
+  * surface); DuckDB oracle unchanged — the algorithm is bit-identical,
+  * INCLUDING on null elements: a null hash votes −1 on every bit, exactly
+  * like the HOF's `when(bit).otherwise(-1)` and the oracle's `CASE … ELSE
+  * -1` fall-through (unreachable from md5-hashed tokens, but ADVICE r5
+  * flagged the former return-NULL divergence as a latent oracle mismatch). */
 case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -147,12 +151,16 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
     val votes = new Array[Int](bits)
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return null
-      val h = arr.getLong(i)
-      var b = 0
-      while (b < bits) {
-        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
-        b += 1
+      if (arr.isNullAt(i)) {
+        var b = 0
+        while (b < bits) { votes(b) -= 1; b += 1 } // null token: −1 every bit
+      } else {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < bits) {
+          votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
       }
       i += 1
     }
@@ -174,19 +182,20 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
          |final int $n = $a.numElements();
          |final int[] $votes = new int[$bits];
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  final long $h = $a.getLong($i);
-         |  for (int $b = 0; $b < $bits; $b++) {
-         |    $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |  if ($a.isNullAt($i)) {
+         |    for (int $b = 0; $b < $bits; $b++) { $votes[$b] -= 1; }
+         |  } else {
+         |    final long $h = $a.getLong($i);
+         |    for (int $b = 0; $b < $bits; $b++) {
+         |      $votes[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |    }
          |  }
          |}
-         |if (!${ev.isNull}) {
-         |  long $out = 0L;
-         |  for (int $b = 0; $b < $bits; $b++) {
-         |    if ($votes[$b] > 0) $out |= 1L << $b;
-         |  }
-         |  ${ev.value} = $out;
+         |long $out = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($votes[$b] > 0) $out |= 1L << $b;
          |}
+         |${ev.value} = $out;
        """.stripMargin
     })
 

@@ -19,7 +19,11 @@ case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    /** Query serves against the prebuilt LOPQ index: Bench must gate it on
+      * the prewarm having succeeded (an explicit flag — r5 string-matched
+      * query names, VERDICT r5 hygiene #7). */
+    dependsOnIndex: Boolean = false)
 
 object Tables {
   /** Session config required to read the test tables: `events.ts` is

@@ -325,7 +325,8 @@ object EngineOps {
           .orderBy("q_id", "rank")
       },
       stashed("q34_lopq_ann"),
-      bench = true),
+      bench = true,
+      dependsOnIndex = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle
     // (ref get_recall, lopq/lopq/eval.py:92-142).
@@ -353,7 +354,8 @@ object EngineOps {
           .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / TopK).as("recall"))
           .orderBy("q_id")
       },
-      stashed("q35_lopq_recall")),
+      stashed("q35_lopq_recall"),
+      dependsOnIndex = true),
 
     // §2.4 global PCA train + apply (ref train_pca model.py:242-287 +
     // apply_PCA model.py:961-978): the projection itself is the query —

@@ -117,6 +117,9 @@ object VectorQueries {
     QueryDef(
       "q32_embed_neardup",
       (s, d) => {
+        graft.core.AllPairsGuard.check(emb(s, d),
+          "q32_embed_neardup (exact all-pairs embedding near-dup)",
+          "q33_lsh_neardup (LSH-bucketed twin, identical threshold semantics)")
         val e = emb(s, d)
           .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))

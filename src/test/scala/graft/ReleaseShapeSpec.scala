@@ -173,6 +173,51 @@ class ReleaseShapeSpec extends SparkSpec {
     assert(v.cellBuckets === Buckets)
   }
 
+  test("slim serve path (no rotation tensor on the driver) is bit-identical") {
+    val h = built
+    val slim = LopqIndexStore.loadSlim(spark, dir).get
+    assert(slim.slim.v === h.model.v && slim.cellBuckets === Buckets)
+    val v = ReleaseShape.vectors(spark, dir)
+    for (qid <- Seq(42L, 777L)) {
+      val full = LopqSearcher.search(h.codes, v, "vec_id", "embedding", h.model,
+        ReleaseShape.rowVec(qid), 200, TwinK, ReleaseShape.RerankK,
+        h.cellCounts, h.pca, h.cellBuckets).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val viaSlim = LopqSearcher.searchSlim(slim, v, "vec_id", "embedding",
+        ReleaseShape.rowVec(qid), 200, TwinK, ReleaseShape.RerankK).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      assert(viaSlim === full, s"slim serve diverged from the full model for q$qid")
+    }
+  }
+
+  test("per-query model transfer is O(visited clusters), independent of V") {
+    val h = built
+    val slim = LopqIndexStore.loadSlim(spark, dir).get
+    val q = slim.pca.get(ReleaseShape.rowVec(42L))
+    val (d0, d1) = slim.slim.coarseDistances(q)
+    val cells = LopqSearcher.selectCellsFrom(slim.slim.v, d0, d1, 200, slim.cellCounts)
+    val keys = cells.flatMap { cell =>
+      val (c0, c1) = graft.core.CellMath.unpackCell(cell, slim.slim.v)
+      Seq((0, c0), (1, c1))
+    }.distinct
+    val scanDf = LopqIndexStore.rotationSliceScan(spark, dir, keys)
+    val fetched = scanDf.collect()
+    // exactly the visited clusters' slices move: one (D/2)-row matrix per
+    // distinct (split, cluster), nothing else
+    assert(fetched.length === keys.size * slim.slim.halfDim)
+    val totalRotRows = 2 * slim.slim.v * slim.slim.halfDim
+    assert(fetched.length.toDouble / totalRotRows <= 0.6,
+      s"slice read fetched ${fetched.length} of $totalRotRows rotation rows")
+    // the executed scan must also PRUNE: `part=rot` is a directory filter
+    // in the partitioned model layout, so non-tensor files are never listed
+    val scan = fileScans(scanDf.queryExecution.executedPlan)
+    assert(scan.nonEmpty)
+    val filesRead = scan.map(_.metrics("numFiles").value).sum
+    val totalModelFiles = parquetFiles(s"$dir/model")
+    assert(filesRead < totalModelFiles,
+      s"slice read opened $filesRead of $totalModelFiles model files")
+  }
+
   test("bucketed append is O(batch): new ids land, replayed ids are suppressed") {
     val h = built
     val before = spark.read.parquet(s"$dir/codes").count()

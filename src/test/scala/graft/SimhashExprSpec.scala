@@ -7,7 +7,9 @@ import graft.functions.TextFunctions
 /** The native one-pass [[graft.functions.SimhashExpr]] must be bit-identical
   * to the per-bit HOF formulation it replaced (which the DuckDB oracle still
   * mirrors): same majority rule, same tie handling (votes = 0 → bit clear),
-  * empty array → 0, null element → null. */
+  * empty array → 0, null element → a −1 vote on every bit (the HOF's
+  * `otherwise(-1)` fall-through — ADVICE r5: returning NULL here diverged
+  * from the formula the expression claims to equal). */
 class SimhashExprSpec extends SparkSpec {
 
   /** The replaced 32-pass HOF formula, kept here as the executable
@@ -43,9 +45,18 @@ class SimhashExprSpec extends SparkSpec {
     val got = df.select(col("id"), call_function("graft_simhash", col("h"), lit(4)).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 3L))
-    // a null element nulls the row
-    val withNull = Seq((4L, Seq[java.lang.Long](1L, null))).toDF("id", "h")
-      .select(call_function("graft_simhash", col("h"), lit(4)).as("s"))
-    assert(withNull.head().isNullAt(0))
+    // a null element votes −1 on every bit, exactly like the HOF formula:
+    // [1, null] → bit0: +1−1=0 clear; all other bits: −2 < 0 clear
+    val withNull = Seq(
+      (4L, Seq[java.lang.Long](1L, null)),
+      (5L, Seq[java.lang.Long](1L, 1L, null))) // bit0: +2−1>0 set
+      .toDF("id", "h")
+      .select(col("id"), call_function("graft_simhash", col("h"), lit(4)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withNull === Map(4L -> 0L, 5L -> 1L))
+    // and the HOF itself agrees on the null-bearing input
+    val hof = Seq((5L, Seq[java.lang.Long](1L, 1L, null))).toDF("id", "h")
+      .select(hofSimhash(col("h"), 4).as("s")).head().getLong(0)
+    assert(hof === 1L)
   }
 }
