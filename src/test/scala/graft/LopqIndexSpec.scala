@@ -179,6 +179,32 @@ class LopqIndexSpec extends SparkSpec {
       "the query vector itself must be retrievable through the PCA front")
   }
 
+  test("append adds an O(batch) counts delta file, never a histogram rewrite") {
+    val h = built
+    val ddir = incrDir + "_delta"
+    deleteDir(ddir)
+    LopqIndexStore.initEmpty(spark, ddir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    def countsFiles: Int = {
+      val cp = new org.apache.hadoop.fs.Path(s"$ddir/cell_counts")
+      val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(cp)) 0
+      else fs.listStatus(cp).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    assert(LopqIndexStore.appendUpdate(spark, ddir,
+      e.where(col("vec_id") < 200), "vec_id", "embedding", "u000"))
+    val afterFirst = countsFiles
+    assert(LopqIndexStore.appendUpdate(spark, ddir,
+      e.where(col("vec_id") >= 200), "vec_id", "embedding", "u001"))
+    // one delta file per append: the histogram is a log, not a rewrite
+    // (r5 read + rewrote the WHOLE histogram through the driver per batch)
+    assert(countsFiles === afterFirst + 1)
+    val loaded = LopqIndexStore.load(spark, ddir).get
+    val recount = loaded.codes.groupBy("cell_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(loaded.cellCounts === recount, "summed deltas must equal a recount")
+  }
+
   test("a refused replay is decided from the tip alone — zero Spark jobs") {
     val h = built
     deleteDir(incrDir + "_tip")
