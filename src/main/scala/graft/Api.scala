@@ -23,10 +23,16 @@ final class GraftApi(spark: SparkSession, sfDir: String,
   private def vectors: DataFrame = Tables(spark, sfDir, "embeddings")
 
   /** Conf-driven searcher selection, like the reference's `get_searcher`
-    * registry dispatch. */
+    * registry dispatch. `lopq_slim` serves the SAME persisted index through
+    * the release-magnitude path (rotation tensor never driver-resident). */
   private def searcher: AnnIndex = searcherName match {
     case "lopq" =>
       AnnIndexes.lopq(EngineOps.index(spark, sfDir), vectors, "vec_id", "embedding")
+    case "lopq_slim" =>
+      EngineOps.index(spark, sfDir) // ensure built + persisted
+      AnnIndexes.lopqSlim(
+        graft.engine.LopqIndexStore.loadSlim(spark, EngineOps.indexDir(sfDir)).get,
+        vectors, "vec_id", "embedding")
     case "brute" => AnnIndexes.brute(vectors, "vec_id", "embedding")
     case other => throw new IllegalArgumentException(s"unknown searcher: $other")
   }

@@ -53,6 +53,19 @@ final class LopqAnnIndex(index: LopqIndex, vectors: DataFrame, idCol: String,
       .select(col("id"), col("exact_dist").as("dist"))
 }
 
+/** The release-MAGNITUDE searcher behind the same plugin trait: slim serve —
+  * the rotation tensor never driver-resident, per-query slice fetch (see
+  * [[SlimLopqModel]]). A facade user switches searchers by name, exactly
+  * like flipping the reference's searcher conf. */
+final class LopqSlimAnnIndex(index: LopqSlimIndex, vectors: DataFrame,
+    idCol: String, vecCol: String, quota: Int, rerankK: Int) extends AnnIndex {
+  val name = "lopq_slim"
+  def count: Long = index.cellCounts.valuesIterator.sum
+  def search(query: Array[Float], k: Int): DataFrame =
+    LopqSearcher.searchSlim(index, vectors, idCol, vecCol, query, quota, k, rerankK)
+      .select(col("id"), col("exact_dist").as("dist"))
+}
+
 /** Plugin registry (conf name → constructor), mirroring the reference's
   * `get_searcher` dispatch. */
 object AnnIndexes {
@@ -64,5 +77,10 @@ object AnnIndexes {
       quota: Int = 200, rerankK: Int = 50): AnnIndex = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     new LopqAnnIndex(index, vectors, idCol, vecCol, quota, rerankK)
+  }
+  def lopqSlim(index: LopqSlimIndex, vectors: DataFrame, idCol: String,
+      vecCol: String, quota: Int = 200, rerankK: Int = 50): AnnIndex = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    new LopqSlimAnnIndex(index, vectors, idCol, vecCol, quota, rerankK)
   }
 }

@@ -82,10 +82,13 @@ object LopqIndexStore {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (LopqModel, Option[LopqPca])]
 
-  /** Drop every session's cached model for `dir` — MUST be called whenever
-    * the model under `dir` may have changed outside [[saveModel]]'s JVM. */
-  def evictModel(dir: String): Unit =
+  /** Drop every session's cached model AND rotation-slice cache for `dir` —
+    * MUST be called whenever the model under `dir` may have changed outside
+    * [[saveModel]]'s JVM. */
+  def evictModel(dir: String): Unit = {
     modelCache.filterInPlace { case ((_, d), _) => d != dir }
+    sliceCaches.filterInPlace { case ((_, d), _) => d != dir }
+  }
 
   private def cachedModel(spark: SparkSession, dir: String): (LopqModel, Option[LopqPca]) =
     modelCache.getOrElseUpdate((spark, dir), loadModel(spark, dir))
@@ -280,16 +283,65 @@ object LopqIndexStore {
     * the per-QUERY model transfer of the slim serve path: O(keys·(D/2)²)
     * data moved, independent of V (the reference ships the whole pickled
     * model to every searcher process instead,
-    * `searcher_lopqhbase.py:104-223`). */
-  def rotationSlices(spark: SparkSession, dir: String,
-      keys: Seq[(Int, Int)]): Map[(Int, Int), Array[Array[Float]]] =
-    rotationSliceScan(spark, dir, keys).collect()
-      .groupBy(r => (r.getInt(0), r.getInt(1)))
-      .map { case (k, rs) =>
-        val mat = new Array[Array[Float]](rs.length)
-        rs.foreach(r => mat(r.getInt(2)) = r.getSeq[Double](3).toArray.map(_.toFloat))
-        k -> mat
+    * `searcher_lopqhbase.py:104-223`).
+    *
+    * Slices are memoized per dir in a BOUNDED LRU (the Spark analogue of the
+    * reference memoizing its subquantizer distance tables per coarse pair,
+    * `lopq/lopq/search.py:151-164`): repeat queries against the same hot
+    * clusters skip the fetch job entirely, while the bound
+    * (`spark.graft.slim.sliceCacheBytes`, default 64 MB) keeps the driver
+    * O(1) in V — the cache can never grow back into the tensor. Evicted
+    * alongside the model caches on [[evictModel]]. */
+  val SliceCacheBytesConf = "spark.graft.slim.sliceCacheBytes"
+  val DefaultSliceCacheBytes: Long = 64L << 20
+
+  private final class SliceCache(maxBytes: Long) {
+    private val lru = new java.util.LinkedHashMap[(Int, Int), Array[Array[Float]]](64, 0.75f, true)
+    private var bytes = 0L
+    private def sizeOf(m: Array[Array[Float]]): Long =
+      m.length.toLong * (if (m.length == 0) 0 else m(0).length) * 4L
+    def get(k: (Int, Int)): Option[Array[Array[Float]]] =
+      this.synchronized(Option(lru.get(k)))
+    def put(k: (Int, Int), v: Array[Array[Float]]): Unit = this.synchronized {
+      if (lru.containsKey(k)) return
+      lru.put(k, v)
+      bytes += sizeOf(v)
+      val it = lru.entrySet().iterator()
+      while (bytes > maxBytes && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { bytes -= sizeOf(e.getValue); it.remove() }
       }
+    }
+  }
+
+  private val sliceCaches =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), SliceCache]
+
+  /** Fetch counter for the spec: total rotation ROWS read from the store
+    * (cache misses only). */
+  private[graft] val sliceRowsFetched = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def rotationSlices(spark: SparkSession, dir: String,
+      keys: Seq[(Int, Int)]): Map[(Int, Int), Array[Array[Float]]] = {
+    val cache = sliceCaches.getOrElseUpdate((spark, dir), {
+      val max = spark.conf.get(SliceCacheBytesConf, DefaultSliceCacheBytes.toString).toLong
+      new SliceCache(max)
+    })
+    val cached = keys.flatMap(k => cache.get(k).map(k -> _)).toMap
+    val missing = keys.filterNot(cached.contains)
+    val fetched =
+      if (missing.isEmpty) Map.empty[(Int, Int), Array[Array[Float]]]
+      else rotationSliceScan(spark, dir, missing).collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rs) =>
+          val mat = new Array[Array[Float]](rs.length)
+          rs.foreach(r => mat(r.getInt(2)) = r.getSeq[Double](3).toArray.map(_.toFloat))
+          sliceRowsFetched.addAndGet(rs.length.toLong)
+          cache.put(k, mat)
+          k -> mat
+        }
+    cached ++ fetched
+  }
 
   // ------------------------------------------------------------- codes
 

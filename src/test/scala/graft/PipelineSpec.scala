@@ -107,4 +107,13 @@ class PipelineSpec extends SparkSpec {
     val out = api.searchByIds(Seq(1L), 3).collect()
     assert(out.length == 1 && out(0).getString(1).contains(""""queryId":1"""))
   }
+
+  test("GraftApi lopq_slim serves the same responses as lopq") {
+    // the release-magnitude searcher is a conf-name swap for a facade user
+    val full = new GraftApi(spark, sf, searcherName = "lopq")
+      .searchByIds(Seq(0L, 7L), 5).collect().map(_.getString(1)).toSeq
+    val slim = new GraftApi(spark, sf, searcherName = "lopq_slim")
+      .searchByIds(Seq(0L, 7L), 5).collect().map(_.getString(1)).toSeq
+    assert(slim === full)
+  }
 }

@@ -218,6 +218,22 @@ class ReleaseShapeSpec extends SparkSpec {
       s"slice read opened $filesRead of $totalModelFiles model files")
   }
 
+  test("rotation-slice LRU makes repeat queries fetch nothing") {
+    val h = built
+    val slim = LopqIndexStore.loadSlim(spark, dir).get
+    val v = ReleaseShape.vectors(spark, dir)
+    def run(): Unit =
+      LopqSearcher.searchSlim(slim, v, "vec_id", "embedding",
+        ReleaseShape.rowVec(6021L), 200, TwinK, ReleaseShape.RerankK).collect()
+    val before = LopqIndexStore.sliceRowsFetched.get()
+    run()
+    val afterFirst = LopqIndexStore.sliceRowsFetched.get()
+    assert(afterFirst > before, "first query must fetch its visited slices")
+    run()
+    assert(LopqIndexStore.sliceRowsFetched.get() === afterFirst,
+      "repeat query must be served entirely from the bounded slice cache")
+  }
+
   test("bucketed append is O(batch): new ids land, replayed ids are suppressed") {
     val h = built
     val before = spark.read.parquet(s"$dir/codes").count()
