@@ -82,11 +82,19 @@ object LopqIndexStore {
   private val modelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (LopqModel, Option[LopqPca])]
 
+  /** Slim twin of [[modelCache]] for the slim-encode append path. */
+  private val slimModelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (SlimLopqModel, Option[LopqPca])]
+
+  private def cachedSlimModel(spark: SparkSession, dir: String): (SlimLopqModel, Option[LopqPca]) =
+    slimModelCache.getOrElseUpdate((spark, dir), loadModelSlim(spark, dir))
+
   /** Drop every session's cached model AND rotation-slice cache for `dir` —
     * MUST be called whenever the model under `dir` may have changed outside
     * [[saveModel]]'s JVM. */
   def evictModel(dir: String): Unit = {
     modelCache.filterInPlace { case ((_, d), _) => d != dir }
+    slimModelCache.filterInPlace { case ((_, d), _) => d != dir }
     sliceCaches.filterInPlace { case ((_, d), _) => d != dir }
   }
 
@@ -568,15 +576,28 @@ object LopqIndexStore {
       idCol: String, vecCol: String, updateId: String): Boolean = {
     import spark.implicits._
     if (isApplied(spark, dir, updateId)) return false
-    val (model, pca) = cachedModel(spark, dir)
-    val input = pca match {
+    val meta = readMeta(dir).getOrElse(sys.error(s"no meta.json under $dir"))
+    val slimThreshold = spark.conf
+      .get(SlimEncodeBytesConf, DefaultSlimEncodeBytes.toString).toLong
+    def projected(pca: Option[LopqPca]): DataFrame = pca match {
       case None => batch0.dropDuplicates(idCol)
       case Some(px) =>
         val pcaB = spark.sparkContext.broadcast(px)
         val applyU = udf((v: Seq[Float]) => pcaB.value(v.toArray).toSeq)
         batch0.dropDuplicates(idCol).withColumn(vecCol, applyU(col(vecCol)))
     }
-    val encoded = LopqSearcher.encode(input, idCol, vecCol, model)
+    // Past the threshold the tensor stays OUT of the driver and the
+    // broadcast: coarse codes from the slim model, fine codes from just the
+    // batch's touched clusters' slices (O(batch) model transfer).
+    val (encoded0, cleanup) =
+      if (rotBytesOf(meta) > slimThreshold) {
+        val (slim, pca) = cachedSlimModel(spark, dir)
+        slimEncode(spark, dir, projected(pca), idCol, vecCol, slim)
+      } else {
+        val (model, pca) = cachedModel(spark, dir)
+        (LopqSearcher.encode(projected(pca), idCol, vecCol, model), () => ())
+      }
+    val encoded = encoded0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // the batch's touched cells: O(batch) distinct values, driver-bounded
@@ -607,7 +628,60 @@ object LopqIndexStore {
       true
     } finally {
       encoded.unpersist()
-      ()
+      cleanup()
     }
+  }
+
+  /** Rotation-tensor bytes implied by the meta alone — decides the append
+    * encode path without loading a single model row. */
+  private def rotBytesOf(meta: Map[String, String]): Long = {
+    val v = meta("v").toLong
+    val pcaDims = meta.getOrElse("pcaDims", "0").toInt
+    val dim = if (pcaDims > 0) pcaDims else meta("dim").toInt
+    val halfDim = dim / 2
+    2L * v * halfDim * halfDim * 4L
+  }
+
+  /** Models whose tensor exceeds this encode maintenance batches via
+    * [[slimEncode]] instead of a full-model broadcast. */
+  val SlimEncodeBytesConf = "spark.graft.append.slimEncodeBytes"
+  val DefaultSlimEncodeBytes: Long = 64L << 20
+
+  /** Encode one update batch WITHOUT the rotation tensor: coarse codes from
+    * the slim broadcast (O(V·D/2)), then fine codes with only the batch's
+    * touched clusters' rotation slices — ≤ 2·|batch| slices, fetched through
+    * the bounded LRU (hot ingest clusters stay cached across micro-batches).
+    * Bit-identical to [[LopqSearcher.encode]] (spec-pinned); a giant
+    * backfill batch touching every cluster degrades to streaming the tensor
+    * once, which is what the classic broadcast does anyway.
+    *
+    * Returns the codes frame plus a cleanup to drop the cached coarse stage
+    * AFTER the caller has materialized the codes. */
+  private def slimEncode(spark: SparkSession, dir: String, input: DataFrame,
+      idCol: String, vecCol: String,
+      slim: SlimLopqModel): (DataFrame, () => Unit) = {
+    val slimB = spark.sparkContext.broadcast(slim)
+    val coarseU = udf { (vec: Seq[Float]) =>
+      val cc = slimB.value.predictCoarse(vec.toArray)
+      (cc._1, cc._2)
+    }
+    val coarse = input.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cc", coarseU(col("vec")))
+      .select(col("id"), col("vec"),
+        col("cc._1").as("coarse0"), col("cc._2").as("coarse1"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = coarse
+      .agg(collect_set(col("coarse0")), collect_set(col("coarse1"))).head()
+    val keys = sets.getSeq[Int](0).map((0, _)) ++ sets.getSeq[Int](1).map((1, _))
+    val rotB = spark.sparkContext.broadcast(rotationSlices(spark, dir, keys))
+    val fineU = udf { (vec: Seq[Float], c0: Int, c1: Int) =>
+      slimB.value
+        .predictFineWith(vec.toArray, (c0, c1), (s, c) => rotB.value((s, c))).toSeq
+    }
+    val codes = coarse
+      .withColumn("fine", fineU(col("vec"), col("coarse0"), col("coarse1")))
+      .withColumn("cell_id", col("coarse0") * lit(slim.v) + col("coarse1"))
+      .select("id", "coarse0", "coarse1", "fine", "cell_id")
+    (codes, () => { coarse.unpersist(); () })
   }
 }

@@ -39,6 +39,37 @@ final case class SlimLopqModel(
     (VectorOps.distancesSq(s(0), coarse(0)), VectorOps.distancesSq(s(1), coarse(1)))
   }
 
+  /** Nearest coarse centroid per split (≡ [[LopqModel.predictCoarse]] —
+    * needs no rotations). */
+  def predictCoarse(x: Array[Float]): (Int, Int) = {
+    val s = VectorOps.splits(x, numCoarseSplits)
+    (VectorOps.argminL2(s(0), coarse(0)), VectorOps.argminL2(s(1), coarse(1)))
+  }
+
+  /** Fine codes given the coarse codes and just THEIR two rotation slices —
+    * bit-identical to [[LopqModel.predictFine]] (same primitives, same
+    * order). The slim-encode path of [[LopqIndexStore.appendUpdate]]. */
+  def predictFineWith(x: Array[Float], cc: (Int, Int),
+      rot: (Int, Int) => Array[Array[Float]]): Array[Short] = {
+    val s = VectorOps.splits(x, numCoarseSplits)
+    val out = new Array[Short](m)
+    var split = 0
+    while (split < numCoarseSplits) {
+      val c = if (split == 0) cc._1 else cc._2
+      val r = VectorOps.subtract(VectorOps.subtract(s(split), coarse(split)(c)), mus(split)(c))
+      val px = VectorOps.matVec(rot(split, c), r)
+      val subs = VectorOps.splits(px, numFineSplits)
+      var f = 0
+      while (f < numFineSplits) {
+        out(split * numFineSplits + f) =
+          VectorOps.argminL2(subs(f), subquantizers(split)(f)).toShort
+        f += 1
+      }
+      split += 1
+    }
+    out
+  }
+
   /** ADC distance tables for ONE visited cell, given just that cell's two
     * rotation slices (`rot(split, cluster)`) — bit-identical to
     * [[LopqModel.subquantizerDistances]]. */

@@ -179,6 +179,29 @@ class LopqIndexSpec extends SparkSpec {
       "the query vector itself must be retrievable through the PCA front")
   }
 
+  test("slim append encode (no tensor on the driver) equals the classic path") {
+    val h = built
+    val sdir = incrDir + "_slimenc"
+    deleteDir(sdir)
+    LopqIndexStore.initEmpty(spark, sdir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    // threshold 0 forces every model over it → the slim path runs at test
+    // shape; at real release shape the 268 MB tensor trips it naturally
+    spark.conf.set(LopqIndexStore.SlimEncodeBytesConf, "0")
+    try {
+      assert(LopqIndexStore.appendUpdate(spark, sdir,
+        e.where(col("vec_id") < 250), "vec_id", "embedding", "u000"))
+      assert(LopqIndexStore.appendUpdate(spark, sdir,
+        e.where(col("vec_id") >= 250), "vec_id", "embedding", "u001"))
+    } finally spark.conf.unset(LopqIndexStore.SlimEncodeBytesConf)
+    def snap(path: String) = spark.read.parquet(path)
+      .select("id", "coarse0", "coarse1", "fine", "cell_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq, r.getInt(4)))
+      .sortBy(_._1).toSeq
+    assert(snap(s"$sdir/codes") === snap(s"$dir/codes"),
+      "slim-encoded appends must equal the one-shot full-model encode")
+  }
+
   test("append adds an O(batch) counts delta file, never a histogram rewrite") {
     val h = built
     val ddir = incrDir + "_delta"
