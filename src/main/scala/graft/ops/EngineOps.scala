@@ -227,6 +227,9 @@ object EngineOps {
            |SELECT q_id, rank, n_id, round(adc_dist, 6) AS adc_dist,
            |       round(exact_dist, 6) AS exact_dist
            |FROM ranked WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+      // the slim serve path answers the SAME queries — one oracle, two
+      // physical paths (full-model broadcast vs per-query rotation slices)
+      oracleStash("q69_lopq_ann_slim") = oracleStash("q34_lopq_ann")
 
       oracleStash("q35_lopq_recall") =
         s"""$annCtes,
@@ -326,6 +329,33 @@ object EngineOps {
       },
       stashed("q34_lopq_ann"),
       bench = true,
+      dependsOnIndex = true),
+
+    // The same ANN queries through the release-MAGNITUDE serve path
+    // (SlimLopqModel + per-query rotation slices, tensor never resident) —
+    // hash-gated against the SAME generated oracle as q34: one semantics,
+    // two physical serve paths, both in the driver's correctness gate.
+    QueryDef(
+      "q69_lopq_ann_slim",
+      (s, d) => {
+        ensureOracle(s, d)
+        index(s, d) // build/persist the index before loading it slim
+        val slim = LopqIndexStore.loadSlim(s, indexDir(d)).get
+        val e = t(s, d, "embeddings")
+        val perQuery = queryVectors(s, d).map { case (qid, vec) =>
+          LopqSearcher.searchSlim(slim, e, "vec_id", "embedding", vec,
+            Quota, TopK, RerankK)
+            .withColumn("q_id", lit(qid))
+        }
+        val w = Window.partitionBy("q_id").orderBy(col("exact_dist"), col("id"))
+        perQuery.reduce(_.unionAll(_))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("q_id"), col("rank"), col("id").as("n_id"),
+            round(col("adc_dist"), 6).as("adc_dist"),
+            round(col("exact_dist"), 6).as("exact_dist"))
+          .orderBy("q_id", "rank")
+      },
+      stashed("q69_lopq_ann_slim"),
       dependsOnIndex = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle
