@@ -129,7 +129,7 @@ object Bench {
           name -> -1.0
       }
 
-    import graft.engine.ReleaseShape
+    import graft.engine.{LopqIndexStore, ReleaseShape}
     val releaseResults = Seq(
       releaseRow("release_ann", () => {
         val h = ReleaseShape.ensure(spark)
@@ -138,7 +138,20 @@ object Bench {
       releaseRow("release_ann_v2", () => {
         val idx = ReleaseShape.ensureSlim(spark, ReleaseShape.V2)
         qid => ReleaseShape.searchSlim(spark, ReleaseShape.V2, idx, qid)
-      }))
+      })) ++ {
+      // v3 = THE release model constants (V=4096/split → 16.7M cells,
+      // 536 MB tensor). Its offline build needs a >8g driver
+      // (`runMain graft.BuildRelease v3`, once per workspace), so the row
+      // appears only when the prebuilt index is present — serving it is
+      // heap-light by construction (slim path, tensor never resident).
+      val v3 = ReleaseShape.V3
+      if (LopqIndexStore.fingerprintOk(v3.dir, v3.p, v3.n, v3.pcaDims))
+        Seq(releaseRow("release_ann_v3", () => {
+          val idx = ReleaseShape.ensureSlim(spark, v3)
+          qid => ReleaseShape.searchSlim(spark, v3, idx, qid)
+        }))
+      else Seq.empty
+    }
     val results = catalogResults ++ releaseResults
 
     def jstr(s: String): String =

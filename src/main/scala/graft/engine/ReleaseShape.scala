@@ -59,6 +59,19 @@ object ReleaseShape {
   // materially, and the model fingerprint pins whatever was trained)
   val V2 = ReleaseShapeDef("release_shape_v2", 600000L, 512, 256, 1024, 1024,
     LopqParams(v = 1024, m = 8, subClusters = 256, seed = 7L, kmeansMaxIter = 3))
+  // THE reference release MODEL constants exactly (`conf/conf_search_
+  // sbpycaffe_release.json` + shape docs `lopq/lopq/model.py:466-473`):
+  // V=4096/split → 16,777,216 cells, M=8, S=256, PCA-256 → the true 536 MB
+  // float32 rotation tensor. Remaining deltas vs the release DEPLOYMENT are
+  // corpus-side only (600k vs 2M rows, raw 512 vs 4096-d). The offline
+  // build needs a bigger driver heap (SPARK_DRIVER_MEM >= 16g; run
+  // `runMain graft.BuildRelease v3` once) — SERVING does not: the slim path
+  // is O(visited clusters) regardless of V, and Bench includes the
+  // `release_ann_v3` row whenever the prebuilt index is present. At 146
+  // mean rows/cluster some clusters fall under D/2 samples and get the
+  // reference's own identity-rotation fallback (`model.py:196-200`).
+  val V3 = ReleaseShapeDef("release_shape_v3", 600000L, 512, 256, 1024, 1024,
+    LopqParams(v = 4096, m = 8, subClusters = 256, seed = 7L, kmeansMaxIter = 3))
 
   // ---- V1 aliases (specs and the r4/r5 bench path use these) ----
   val N: Long = V1.n

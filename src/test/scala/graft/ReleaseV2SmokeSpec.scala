@@ -3,91 +3,97 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.CellMath
-import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
+import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape, ReleaseShapeDef}
 
-/** Release-MAGNITUDE smoke against the PERSISTED v2 index (V=1024/split →
-  * 1,048,576 cells, PCA-256, 600k × 512-d) that `Bench` builds once per
-  * workspace. Everything ReleaseShapeSpec pins at twin scale is re-pinned
-  * here at the real shape: slim serve quality, pruned codes read, and
-  * per-query model transfer ≪ the 268 MB tensor. Skips (assume) when the
-  * workspace has no built v2 index — the bench run creates it. */
+/** Release-MAGNITUDE smoke against the PERSISTED big indexes that
+  * `Bench`/`BuildRelease` create once per workspace: v2 (V=1024/split →
+  * 1,048,576 cells, 268 MB tensor) and v3 (THE release model constants,
+  * V=4096/split → 16,777,216 cells, 536 MB tensor). Everything
+  * ReleaseShapeSpec pins at twin scale is re-pinned here at the real
+  * shapes: slim serve quality, pruned codes read, and per-query model
+  * transfer ≪ the tensor. Each test assume-skips when its index is not
+  * built in this workspace. */
 class ReleaseV2SmokeSpec extends SparkSpec {
 
-  private val s = ReleaseShape.V2
-
-  private def indexPresent: Boolean =
+  private def indexPresent(s: ReleaseShapeDef): Boolean =
     LopqIndexStore.fingerprintOk(s.dir, s.p, s.n, s.pcaDims) &&
       new java.io.File(s"${s.dir}/vectors").isDirectory
 
-  private lazy val idx = {
+  private def slimOf(s: ReleaseShapeDef) = {
     graft.functions.GraftFunctions.register(spark)
     LopqIndexStore.loadSlim(spark, s.dir).get
   }
 
-  test("v2 slim search retrieves the query itself at ~zero distance") {
-    assume(indexPresent, "v2 index not built in this workspace (run Bench)")
-    val hits = ReleaseShape.searchSlim(spark, s, idx, 4242L).collect()
-      .map(r => (r.getLong(0), r.getDouble(2)))
-    assert(hits.length === ReleaseShape.TopK)
-    assert(hits.head._1 === 4242L && hits.head._2 < 1e-3,
-      s"query must rank first at ~zero distance, got ${hits.take(3).toSeq}")
-  }
+  for (s <- Seq(ReleaseShape.V2, ReleaseShape.V3)) {
 
-  test("v2 codes scan stays pruned at 1,048,576 cells") {
-    assume(indexPresent, "v2 index not built in this workspace (run Bench)")
-    val q = idx.pca.get(ReleaseShape.rowVecFor(s, 997L))
-    val (d0, d1) = idx.slim.coarseDistances(q)
-    val cells = LopqSearcher.selectCellsFrom(idx.slim.v, d0, d1,
-      ReleaseShape.Quota, idx.cellCounts)
-    assert(cells.nonEmpty)
-    val keys = cells.flatMap { c =>
-      val (c0, c1) = CellMath.unpackCell(c, idx.slim.v)
-      Seq((0, c0), (1, c1))
-    }.distinct
-    // per-query model transfer: exactly the visited clusters' slices, a
-    // small fraction of the 2·V·(D/2) = 262,144-row tensor
-    val fetched = LopqIndexStore.rotationSliceScan(spark, s.dir, keys).collect()
-    assert(fetched.length === keys.size * idx.slim.halfDim)
-    val totalRotRows = 2 * idx.slim.v * idx.slim.halfDim
-    val ratio = fetched.length.toDouble / totalRotRows
-    info(f"visited cells=${cells.size}, clusters=${keys.size}, " +
-      f"slice rows=${fetched.length} of $totalRotRows (${ratio * 100}%.2f%%)")
-    assert(ratio <= 0.2, s"per-query slice read fetched $ratio of the tensor")
-    // and the executed codes read prunes at the bucket/file level (Scan
-    // rerank shape: in the benched Lookup shape the approx stage executes
-    // eagerly inside searchSlim, so its scan isn't in the returned plan)
-    val approx = LopqSearcher.searchSlim(idx,
-      ReleaseShape.vectors(spark, s.dir), "vec_id", "embedding",
-      ReleaseShape.rowVecFor(s, 997L), ReleaseShape.Quota, 10, 10,
-      rerankShape = graft.engine.RerankShape.Scan)
-    approx.collect()
-    val scans = fileScans(approx.queryExecution.executedPlan)
-    assert(scans.nonEmpty)
-    val codesScan = scans.filter(_.output.exists(_.name == "fine"))
-    assert(codesScan.nonEmpty, scans.map(_.toString.take(100)).mkString("\n"))
-    val filesRead = codesScan.map(_.metrics("numFiles").value).sum
-    info(s"codes files read: $filesRead")
-    assert(filesRead > 0 && filesRead <= s.cellBuckets / 2,
-      s"codes read touched $filesRead files — bucket pruning lost at v2 scale")
-  }
-
-  /** At this corpus geometry each synthetic center has ~586 members whose
-    * pairwise distances differ only by noise — ordering WITHIN a center is
-    * unrankable by construction (for any ANN reranking 100 of quota 10000,
-    * the reference's release constants included), so exact-rank recall@k is
-    * not the meaningful metric here (the twin, at ~16 members/center, pins
-    * it where the geometry supports it). The semantic-retrieval question —
-    * does the index fetch the right REGION of the space — is: the top-k
-    * must be dominated by the query's own center. */
-  test("v2 slim top-k is dominated by the query's center") {
-    assume(indexPresent, "v2 index not built in this workspace (run Bench)")
-    val fractions = Seq(31L, 4242L, 123457L).map { qid =>
-      val hits = ReleaseShape.searchSlim(spark, s, idx, qid).collect()
+    test(s"${s.name}: slim search retrieves the query itself at ~zero distance") {
+      assume(indexPresent(s), s"${s.name} not built in this workspace")
+      val idx = slimOf(s)
+      val hits = ReleaseShape.searchSlim(spark, s, idx, 4242L).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
       assert(hits.length === ReleaseShape.TopK)
-      hits.count(_.getLong(0) % s.centers == qid % s.centers).toDouble / hits.length
+      assert(hits.head._1 === 4242L && hits.head._2 < 1e-3,
+        s"query must rank first at ~zero distance, got ${hits.take(3).toSeq}")
     }
-    info(s"same-center fraction of top-${ReleaseShape.TopK}: $fractions")
-    assert(fractions.forall(_ >= 0.8),
-      s"top-k drifted off the query's center: $fractions")
+
+    test(s"${s.name}: codes scan stays pruned at ${s.p.v.toLong * s.p.v} cells") {
+      assume(indexPresent(s), s"${s.name} not built in this workspace")
+      val idx = slimOf(s)
+      val q = idx.pca.get(ReleaseShape.rowVecFor(s, 997L))
+      val (d0, d1) = idx.slim.coarseDistances(q)
+      val cells = LopqSearcher.selectCellsFrom(idx.slim.v, d0, d1,
+        ReleaseShape.Quota, idx.cellCounts)
+      assert(cells.nonEmpty)
+      val keys = cells.flatMap { c =>
+        val (c0, c1) = CellMath.unpackCell(c, idx.slim.v)
+        Seq((0, c0), (1, c1))
+      }.distinct
+      // per-query model transfer: exactly the visited clusters' slices, a
+      // small fraction of the 2·V·(D/2)-row tensor
+      val fetched = LopqIndexStore.rotationSliceScan(spark, s.dir, keys).collect()
+      assert(fetched.length === keys.size * idx.slim.halfDim)
+      val totalRotRows = 2 * idx.slim.v * idx.slim.halfDim
+      val ratio = fetched.length.toDouble / totalRotRows
+      info(f"visited cells=${cells.size}, clusters=${keys.size}, " +
+        f"slice rows=${fetched.length} of $totalRotRows (${ratio * 100}%.2f%%)")
+      assert(ratio <= 0.2, s"per-query slice read fetched $ratio of the tensor")
+      // and the executed codes read prunes at the bucket/file level (Scan
+      // rerank shape: in the benched Lookup shape the approx stage executes
+      // eagerly inside searchSlim, so its scan isn't in the returned plan)
+      val approx = LopqSearcher.searchSlim(idx,
+        ReleaseShape.vectors(spark, s.dir), "vec_id", "embedding",
+        ReleaseShape.rowVecFor(s, 997L), ReleaseShape.Quota, 10, 10,
+        rerankShape = graft.engine.RerankShape.Scan)
+      approx.collect()
+      val scans = fileScans(approx.queryExecution.executedPlan)
+      assert(scans.nonEmpty)
+      val codesScan = scans.filter(_.output.exists(_.name == "fine"))
+      assert(codesScan.nonEmpty, scans.map(_.toString.take(100)).mkString("\n"))
+      val filesRead = codesScan.map(_.metrics("numFiles").value).sum
+      info(s"codes files read: $filesRead")
+      assert(filesRead > 0 && filesRead <= s.cellBuckets / 2,
+        s"codes read touched $filesRead files — bucket pruning lost at scale")
+    }
+
+    /** At this corpus geometry each synthetic center has ~586 members whose
+      * pairwise distances differ only by noise — ordering WITHIN a center is
+      * unrankable by construction (for any ANN reranking 100 of quota 10000,
+      * the reference's release constants included), so exact-rank recall@k
+      * is not the meaningful metric here (the twin, at ~16 members/center,
+      * pins it where the geometry supports it). The semantic-retrieval
+      * question — does the index fetch the right REGION of the space — is:
+      * the top-k must be dominated by the query's own center. */
+    test(s"${s.name}: slim top-k is dominated by the query's center") {
+      assume(indexPresent(s), s"${s.name} not built in this workspace")
+      val idx = slimOf(s)
+      val fractions = Seq(31L, 4242L, 123457L).map { qid =>
+        val hits = ReleaseShape.searchSlim(spark, s, idx, qid).collect()
+        assert(hits.length === ReleaseShape.TopK)
+        hits.count(_.getLong(0) % s.centers == qid % s.centers).toDouble / hits.length
+      }
+      info(s"same-center fraction of top-${ReleaseShape.TopK}: $fractions")
+      assert(fractions.forall(_ >= 0.8),
+        s"top-k drifted off the query's center: $fractions")
+    }
   }
 }
