@@ -203,6 +203,97 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+/** MinHash signature over pre-hashed shingles in ONE fused pass — element j
+  * is min over shingles of `(a_j·h + b_j) mod P`, identical to the
+  * per-permutation HOF formulation [[TextFunctions.minhashFromHashes]]
+  * replaced (the same move r5 made for simhash): that shape re-traverses
+  * the hash array once per permutation through interpreted lambdas; this
+  * walks it once with all minima in one local array. Coefficients are the
+  * deterministic [[TextFunctions.minhashCoeffs]]; all inputs live in
+  * [0, P) with P = 2³¹−1, so `h·a + b < 2⁶²` never wraps (same contract as
+  * the DuckDB oracle). Null elements are skipped by every permutation
+  * (array_min semantics); an empty/all-null input yields an all-null
+  * signature — exactly the HOF/oracle behavior. */
+case class MinhashExpr(child: Expression, numHashes: Int) extends UnaryExpression {
+  private lazy val as: Array[Long] =
+    TextFunctions.minhashCoeffs(numHashes).map(_._1).toArray
+  private lazy val bs: Array[Long] =
+    TextFunctions.minhashCoeffs(numHashes).map(_._2).toArray
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) if numHashes >= 1 && numHashes <= 1024 =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> and 1 ≤ numHashes ≤ 1024, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val v = (h * as(j) + bs(j)) % TextFunctions.MinhashPrime
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](numHashes)
+    if (seen) { var j = 0; while (j < numHashes) { out(j) = mins(j); j += 1 } }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $seen = true;
+         |    final long $h = $a.getLong($i);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      final long $v = ($h * $aRef[$j] + $bRef[$j]) % ${TextFunctions.MinhashPrime}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |final Object[] $out = new Object[$numHashes];
+         |for (int $j = 0; $j < $numHashes; $j++) {
+         |  $out[$j] = $seen ? (Object) java.lang.Long.valueOf($mins[$j]) : (Object) null;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Registration of the graft expressions, two ways:
   *   - [[GraftFunctions.register]]: imperative, idempotent, works on any
   *     existing session (every catalog query calls it via `Tables.apply`);
@@ -219,6 +310,10 @@ object GraftFunctions {
     "graft_simhash" -> ((c: Seq[Expression]) => {
       require(c.size == 2 && c(1).foldable, "graft_simhash(hashes, bits-literal)")
       SimhashExpr(c(0), c(1).eval().asInstanceOf[Number].intValue())
+    }),
+    "graft_minhash" -> ((c: Seq[Expression]) => {
+      require(c.size == 2 && c(1).foldable, "graft_minhash(hashes, numHashes-literal)")
+      MinhashExpr(c(0), c(1).eval().asInstanceOf[Number].intValue())
     }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (n, b) =>

@@ -74,13 +74,14 @@ object TextFunctions {
 
   /** MinHash signature from pre-hashed shingles ([[shingleHashes]]):
     * sig_j = min over shingles of (a_j·h + b_j) mod P — the classic
-    * universal-hash MinHash (Broder '97). The hash array is bound once —
-    * the `numHashes` permutations scan the same materialized array. */
+    * universal-hash MinHash (Broder '97). One fused native pass
+    * ([[graft.functions.MinhashExpr]]) — the HOF formulation it replaces
+    * re-traversed the hash array once per permutation through interpreted
+    * lambdas. Requires the graft functions registered on the session
+    * ([[GraftFunctions.register]], done by `Tables.apply` for every
+    * catalog query). */
   def minhashFromHashes(hashCol: Column, numHashes: Int): Column =
-    bindOnce(hashCol, hs =>
-      array(minhashCoeffs(numHashes).map { case (a, b) =>
-        array_min(transform(hs, h => (h * a + b) % MinhashPrime))
-      }: _*))
+    call_function("graft_minhash", hashCol, lit(numHashes))
 
   /** 64-bit-ish SimHash over tokens, restricted to `bits` ≤ 60 bits of the
     * md5-derived integer: bit b is 1 iff Σ_tokens (bit_b(md5(tok)) ? 1 : -1)
