@@ -479,7 +479,8 @@ object EngineOps {
         }
         drain(ckpt)
         drain(ckpt + "_replay") // same files, same batch ids → manifest no-op
-        assert(LopqIndexStore.watermark(s, sDir).contains("stream_000001"),
+        assert(LopqIndexStore.watermark(s, sDir)
+          .contains(f"stream_${1L}%019d"),
           "expected exactly two applied stream updates")
         s.read.parquet(s"$sDir/codes")
           .select(col("id"), col("coarse0").cast("long").as("coarse0"),

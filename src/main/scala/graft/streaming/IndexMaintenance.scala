@@ -31,9 +31,12 @@ object IndexMaintenance {
     source.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (df: DataFrame, batchId: Long) =>
-        // zero-padded so the manifest high-watermark orders lexically
+        // zero-padded across the FULL Long range so the watermark orders
+        // lexically forever: at %06d a stream crossing 1M micro-batches
+        // would roll over ("stream_1000000" < "stream_999999") and the
+        // ≤-watermark replay check would refuse every append from then on
         LopqIndexStore.appendUpdate(spark, indexDir, df, idCol, vecCol,
-          f"${updatePrefix}_$batchId%06d")
+          f"${updatePrefix}_$batchId%019d")
         ()
       }
       .trigger(trigger)

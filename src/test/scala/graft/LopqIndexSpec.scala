@@ -228,6 +228,15 @@ class LopqIndexSpec extends SparkSpec {
     assert(loaded.cellCounts === recount, "summed deltas must equal a recount")
   }
 
+  test("stream update ids order lexically across any batch-id magnitude") {
+    // the ≤-watermark replay check requires monotone ids forever: %06d
+    // rolled over at 1M micro-batches ("stream_1000000" < "stream_999999")
+    // and would have refused every append from then on
+    val ids = Seq(0L, 1L, 999999L, 1000000L, Long.MaxValue)
+      .map(b => f"stream_$b%019d")
+    assert(ids === ids.sorted)
+  }
+
   test("a refused replay is decided from the tip alone — zero Spark jobs") {
     val h = built
     deleteDir(incrDir + "_tip")
