@@ -86,8 +86,10 @@ object LopqIndexStore {
   private val slimModelCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (SlimLopqModel, Option[LopqPca])]
 
-  private def cachedSlimModel(spark: SparkSession, dir: String): (SlimLopqModel, Option[LopqPca]) =
+  private def cachedSlimModel(spark: SparkSession, dir: String): (SlimLopqModel, Option[LopqPca]) = {
+    sweepStoppedSessions()
     slimModelCache.getOrElseUpdate((spark, dir), loadModelSlim(spark, dir))
+  }
 
   /** Drop every session's cached model AND rotation-slice cache for `dir` —
     * MUST be called whenever the model under `dir` may have changed outside
@@ -98,8 +100,25 @@ object LopqIndexStore {
     sliceCaches.filterInPlace { case ((_, d), _) => d != dir }
   }
 
-  private def cachedModel(spark: SparkSession, dir: String): (LopqModel, Option[LopqPca]) =
+  /** Evict cache entries keyed by a stopped SparkSession — run on every
+    * insert path so a long-lived JVM cycling sessions can't accumulate a
+    * model copy plus up to 64 MB of slice cache per dead (session, dir)
+    * pair. The liveness predicate is injectable for the unit test. */
+  private[graft] def sweepStoppedSessions(isStopped: SparkSession => Boolean =
+      s => s.sparkContext.isStopped): Unit = {
+    modelCache.filterInPlace { case ((s, _), _) => !isStopped(s) }
+    slimModelCache.filterInPlace { case ((s, _), _) => !isStopped(s) }
+    sliceCaches.filterInPlace { case ((s, _), _) => !isStopped(s) }
+  }
+
+  /** Total live entries across the three session-keyed caches (spec hook). */
+  private[graft] def sessionCacheEntries: Int =
+    modelCache.size + slimModelCache.size + sliceCaches.size
+
+  private def cachedModel(spark: SparkSession, dir: String): (LopqModel, Option[LopqPca]) = {
+    sweepStoppedSessions()
     modelCache.getOrElseUpdate((spark, dir), loadModel(spark, dir))
+  }
 
   // ---------------------------------------------------------------- meta
 
@@ -331,6 +350,7 @@ object LopqIndexStore {
 
   def rotationSlices(spark: SparkSession, dir: String,
       keys: Seq[(Int, Int)]): Map[(Int, Int), Array[Array[Float]]] = {
+    sweepStoppedSessions()
     val cache = sliceCaches.getOrElseUpdate((spark, dir), {
       val max = spark.conf.get(SliceCacheBytesConf, DefaultSliceCacheBytes.toString).toLong
       new SliceCache(max)
@@ -492,16 +512,41 @@ object LopqIndexStore {
 
   private def tipPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/tip")
 
-  /** Atomic (write-temp + rename) so a reader never sees a torn tip. */
+  /** Atomic (write-temp + overwrite-rename) so a reader never sees a torn
+    * OR missing tip: delete-then-rename had a window where a concurrent
+    * reader found no tip, re-ran the manifest migration (the manifest
+    * commits AFTER the tip in [[appendUpdate]]'s order, so it computes the
+    * PREVIOUS watermark), and clobbered the just-written newer tip with a
+    * stale value. `FileContext.rename(OVERWRITE)` replaces in one step. */
   private def writeTip(spark: SparkSession, dir: String, wm: Option[String]): Unit = {
-    val p = tipPath(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/.tip.tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = tipPath(dir).getFileSystem(conf)
+    val p = fs.makeQualified(tipPath(dir))
+    val tmp = fs.makeQualified(new org.apache.hadoop.fs.Path(s"$dir/.tip.tmp"))
     val out = fs.create(tmp, true)
     try out.write(wm.getOrElse("").getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    fs.rename(tmp, p)
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     ()
+  }
+
+  /** Re-pads a trailing integer run to the 19 digits a `Long` needs, for
+    * WATERMARK COMPARISON only (stored ids stay verbatim). An index
+    * persisted before [[graft.streaming.IndexMaintenance]] moved from %06d
+    * to %019d stream ids holds a tip like `stream_000001`, which sorts
+    * lexicographically ABOVE every new-format id
+    * (`stream_0000000000000000002` < `stream_000001`) — without
+    * normalization the ≤-watermark check would refuse every future append
+    * on such an index as a duplicate: silent, permanent data loss.
+    * Zero-padding compares digit runs numerically, which is the order both
+    * formats mean; ids with no trailing digits (the reference's
+    * timestamp-prefixed ids, the build sentinel) pass through unchanged. */
+  private[graft] def normalizeUpdateId(id: String): String = {
+    var i = id.length
+    while (i > 0 && id.charAt(i - 1) >= '0' && id.charAt(i - 1) <= '9') i -= 1
+    val digits = id.length - i
+    if (digits == 0 || digits >= 19) id
+    else id.substring(0, i) + "0" * (19 - digits) + id.substring(i)
   }
 
   private def readTip(spark: SparkSession, dir: String): Option[String] = {
@@ -512,12 +557,15 @@ object LopqIndexStore {
       val s = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       Option(s.trim).filter(_.nonEmpty)
     } else {
-      // one-time migration for an index persisted before the tip existed
+      // One-time migration for an index persisted before the tip existed.
+      // The max is taken over NORMALIZED ids (a legacy manifest can mix
+      // %06d and %019d stream ids, where the raw lexicographic max is the
+      // wrong row); the RAW id of the winning row is what gets stored.
+      val normU = udf(normalizeUpdateId _)
       val wm = spark.read.parquet(s"$dir/manifest")
-        .agg(max("update_id")).head() match {
-        case r if r.isNullAt(0) => None
-        case r => Some(r.getString(0))
-      }
+        .select(col("update_id"))
+        .orderBy(normU(col("update_id")).desc)
+        .limit(1).collect().headOption.map(_.getString(0))
       writeTip(spark, dir, wm)
       wm
     }
@@ -526,9 +574,11 @@ object LopqIndexStore {
   /** Reference semantics (`searcher_lopqhbase.py:600-617`): the updates
     * scan resumes STRICTLY ABOVE `last_indexed_update`, so anything at or
     * below the watermark is already applied (update ids are
-    * timestamp-prefixed, hence lexicographically monotone). */
+    * timestamp-prefixed, hence lexicographically monotone). Both sides are
+    * [[normalizeUpdateId]]-normalized so a pre-%019d tip keeps accepting
+    * new-format ids. */
   private def isApplied(spark: SparkSession, dir: String, updateId: String): Boolean =
-    readTip(spark, dir).exists(updateId <= _)
+    readTip(spark, dir).exists(t => normalizeUpdateId(updateId) <= normalizeUpdateId(t))
 
   /** The visited/touched-cell predicate in the layout the index uses:
     * directory pruning on `cell_id` itself, or on `cell_bucket` with the

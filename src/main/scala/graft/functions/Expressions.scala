@@ -5,7 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -213,7 +215,11 @@ case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
   * [0, P) with P = 2³¹−1, so `h·a + b < 2⁶²` never wraps (same contract as
   * the DuckDB oracle). Null elements are skipped by every permutation
   * (array_min semantics); an empty/all-null input yields an all-null
-  * signature — exactly the HOF/oracle behavior. */
+  * signature — exactly the HOF/oracle behavior. A NULL input array ALSO
+  * yields the all-null signature, not SQL NULL: the HOF formulation is
+  * `array(array_min(transform(NULL, …)), …)` = `[NULL, …]`, and the DuckDB
+  * oracle mirrors that, so short-circuiting to NULL here would be an
+  * oracle divergence on any NULL text column. */
 case class MinhashExpr(child: Expression, numHashes: Int) extends UnaryExpression {
   private lazy val as: Array[Long] =
     TextFunctions.minhashCoeffs(numHashes).map(_._1).toArray
@@ -221,7 +227,7 @@ case class MinhashExpr(child: Expression, numHashes: Int) extends UnaryExpressio
     TextFunctions.minhashCoeffs(numHashes).map(_._2).toArray
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "graft_minhash"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -229,6 +235,14 @@ case class MinhashExpr(child: Expression, numHashes: Int) extends UnaryExpressio
       TypeCheckResult.TypeCheckSuccess
     case dt => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires ARRAY<BIGINT> and 1 ≤ numHashes ≤ 1024, got ${dt.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val value = child.eval(input)
+    // NULL array → all-null signature (never SQL NULL): the HOF/oracle shape
+    if (value == null)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](numHashes))
+    else nullSafeEval(value)
   }
 
   override def nullSafeEval(input: Any): Any = {
@@ -255,40 +269,50 @@ case class MinhashExpr(child: Expression, numHashes: Int) extends UnaryExpressio
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
-      val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val h = ctx.freshName("h")
-      val v = ctx.freshName("v")
-      val mins = ctx.freshName("mins")
-      val seen = ctx.freshName("seen")
-      val out = ctx.freshName("out")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    val a = childGen.value
+    val aRef = ctx.addReferenceObj("minhashA", as, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bs, "long[]")
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val n = ctx.freshName("n")
+    val h = ctx.freshName("h")
+    val v = ctx.freshName("v")
+    val mins = ctx.freshName("mins")
+    val seen = ctx.freshName("seen")
+    val out = ctx.freshName("out")
+    val javaType = CodeGenerator.javaType(dataType)
+    val body =
       s"""
-         |final int $n = $a.numElements();
-         |final long[] $mins = new long[$numHashes];
-         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-         |boolean $seen = false;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if (!$a.isNullAt($i)) {
-         |    $seen = true;
-         |    final long $h = $a.getLong($i);
+         |${childGen.code}
+         |final Object[] $out = new Object[$numHashes];
+         |if (!${childGen.isNull}) {
+         |  final int $n = $a.numElements();
+         |  final long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  boolean $seen = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if (!$a.isNullAt($i)) {
+         |      $seen = true;
+         |      final long $h = $a.getLong($i);
+         |      for (int $j = 0; $j < $numHashes; $j++) {
+         |        final long $v = ($h * $aRef[$j] + $bRef[$j]) % ${TextFunctions.MinhashPrime}L;
+         |        if ($v < $mins[$j]) $mins[$j] = $v;
+         |      }
+         |    }
+         |  }
+         |  if ($seen) {
          |    for (int $j = 0; $j < $numHashes; $j++) {
-         |      final long $v = ($h * $aRef[$j] + $bRef[$j]) % ${TextFunctions.MinhashPrime}L;
-         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |      $out[$j] = java.lang.Long.valueOf($mins[$j]);
          |    }
          |  }
          |}
-         |final Object[] $out = new Object[$numHashes];
-         |for (int $j = 0; $j < $numHashes; $j++) {
-         |  $out[$j] = $seen ? (Object) java.lang.Long.valueOf($mins[$j]) : (Object) null;
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |final $javaType ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
-    })
+    ev.copy(code = code"$body", isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

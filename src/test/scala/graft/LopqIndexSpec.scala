@@ -237,6 +237,54 @@ class LopqIndexSpec extends SparkSpec {
     assert(ids === ids.sorted)
   }
 
+  test("a legacy %06d tip keeps accepting %019d appends (watermark normalization)") {
+    // an index persisted before the stream-id format changed holds e.g.
+    // 'stream_000001', which sorts ABOVE every new-format id — without
+    // normalization isApplied would refuse every future append: silent,
+    // permanent data loss on any pre-existing streaming index
+    val h = built
+    val ldir = incrDir + "_legacy"
+    deleteDir(ldir)
+    LopqIndexStore.initEmpty(spark, ldir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    assert(LopqIndexStore.appendUpdate(spark, ldir,
+      e.where(col("vec_id") < 100), "vec_id", "embedding", "stream_000001"))
+    // new-format id for micro-batch 2 — lexically BELOW the legacy tip raw,
+    // numerically above it
+    assert(f"stream_${2L}%019d" < "stream_000001", "precondition: raw order is inverted")
+    assert(LopqIndexStore.appendUpdate(spark, ldir,
+      e.where(col("vec_id") >= 100 && col("vec_id") < 200),
+      "vec_id", "embedding", f"stream_${2L}%019d"),
+      "a new-format id above the legacy watermark must be applied")
+    // and a replay at-or-below the (numeric) watermark is still refused
+    assert(!LopqIndexStore.appendUpdate(spark, ldir,
+      e.where(col("vec_id") < 100), "vec_id", "embedding", f"stream_${1L}%019d"))
+    assert(!LopqIndexStore.appendUpdate(spark, ldir,
+      e.where(col("vec_id") < 100), "vec_id", "embedding", "stream_000002"))
+    // ids without a trailing digit run pass through normalization verbatim
+    assert(LopqIndexStore.normalizeUpdateId("0000-00-00_full_build")
+      === "0000-00-00_full_build")
+    assert(LopqIndexStore.normalizeUpdateId("stream_000001")
+      === f"stream_${1L}%019d")
+  }
+
+  test("cache entries of a stopped SparkSession are swept on insert") {
+    val h = built
+    // populate the session-keyed slice cache for the live session (the
+    // model caches share the same sweep, called on their insert paths too)
+    LopqIndexStore.rotationSlices(spark, dir, Seq((0, 0)))
+    assert(LopqIndexStore.sessionCacheEntries > 0)
+    // a sweep that believes every session is stopped drops everything —
+    // the production predicate is sparkContext.isStopped, checked on every
+    // insert path, so a long-lived JVM cycling sessions cannot accumulate
+    // model copies + slice LRUs for dead sessions
+    LopqIndexStore.sweepStoppedSessions(_ => true)
+    assert(LopqIndexStore.sessionCacheEntries === 0)
+    // the live session repopulates on next use
+    LopqIndexStore.rotationSlices(spark, dir, Seq((0, 0)))
+    assert(LopqIndexStore.sessionCacheEntries > 0)
+  }
+
   test("a refused replay is decided from the tip alone — zero Spark jobs") {
     val h = built
     deleteDir(incrDir + "_tip")

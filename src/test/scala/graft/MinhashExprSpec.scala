@@ -51,4 +51,28 @@ class MinhashExprSpec extends SparkSpec {
     val sig1 = rows.find(_.getLong(0) == 1L).get.getSeq[Any](1)
     assert(sig1.length === NumHashes && sig1.forall(_ == null))
   }
+
+  test("NULL input array yields the all-null signature, not SQL NULL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // array(array_min(transform(NULL, …)), …) = [NULL, …], never NULL — the
+    // DuckDB oracle mirrors the HOF, so the native expression must too
+    val df = Seq(Tuple1(null: Seq[java.lang.Long])).toDF("h")
+    val both = df.select(
+      call_function("graft_minhash", col("h"), lit(NumHashes)).as("native"),
+      hofMinhash(col("h")).as("hof"))
+    // force BOTH paths: codegen (default) and interpreted (collect on a
+    // locally-evaluated projection)
+    val r = both.head()
+    assert(!r.isNullAt(0), "native minhash of NULL must not be SQL NULL")
+    assert(r.getSeq[Any](0).length === NumHashes && r.getSeq[Any](0).forall(_ == null))
+    assert(r.getSeq[Any](0) === r.getSeq[Any](1))
+    val interp = graft.functions.MinhashExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)), NumHashes)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+    val arr = interp.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() === NumHashes && (0 until NumHashes).forall(arr.isNullAt))
+  }
 }
