@@ -8,10 +8,37 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
 /** Dev tool: per-stage wall-clock of one slim release query (cell walk,
   * slice fetch, ADC-table build, approx scan, rerank) — where does a
   * release-shape query's latency actually go?
-  * Usage: runMain graft.ProbeRelease [v2|v3] [queryId]
-  */
+  * Usage: runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
+  *
+  * `histogram` mode instead times [[graft.core.CellHistogram.selectCells]]
+  * on a synthetic FULLY-SATURATED release grid (V=4096/split → 16.7M
+  * populated cells) — the 100-TB worst case the driver-resident histogram
+  * must survive (VERDICT r6 "What's wrong #2" done-condition). */
 object ProbeRelease {
+
+  /** Worst-case selection probe: every one of the 16,777,216 cells
+    * populated, release quota. Prints per-pass latency; no Spark needed. */
+  private def probeHistogram(): Unit = {
+    val v = 4096
+    val p = v * v
+    val rnd = new scala.util.Random(7L)
+    val ids = Array.range(0, p)
+    val cnts = Array.fill(p)(1L + rnd.nextInt(200))
+    val hist = graft.core.CellHistogram.fromSorted(ids, cnts)
+    val mb = (ids.length * 12L) >> 20
+    println(s"[probe-release] synthetic histogram: P=$p cells, ~$mb MB primitive arrays")
+    (1 to 5).foreach { pass =>
+      val d0 = Array.fill(v)(rnd.nextDouble())
+      val d1 = Array.fill(v)(rnd.nextDouble())
+      val t0 = System.nanoTime()
+      val cells = hist.selectCells(v, d0, d1, ReleaseShape.Quota)
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[probe-release] selectCells pass $pass%d ${ms}%9.1f ms (${cells.size} cells)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("histogram")) { probeHistogram(); return }
     val s = args.headOption.getOrElse("v3") match {
       case "v2" => ReleaseShape.V2
       case _ => ReleaseShape.V3

@@ -46,7 +46,7 @@ final class BruteForceIndex(vectors: DataFrame, idCol: String, vecCol: String)
 final class LopqAnnIndex(index: LopqIndex, vectors: DataFrame, idCol: String,
     vecCol: String, quota: Int, rerankK: Int) extends AnnIndex {
   val name = "lopq"
-  def count: Long = index.cellCounts.valuesIterator.sum
+  def count: Long = index.cellCounts.total
   def search(query: Array[Float], k: Int): DataFrame =
     LopqSearcher.search(index.codes, vectors, idCol, vecCol, index.model,
       query, quota, k, rerankK, index.cellCounts, index.pca, index.cellBuckets)
@@ -60,7 +60,7 @@ final class LopqAnnIndex(index: LopqIndex, vectors: DataFrame, idCol: String,
 final class LopqSlimAnnIndex(index: LopqSlimIndex, vectors: DataFrame,
     idCol: String, vecCol: String, quota: Int, rerankK: Int) extends AnnIndex {
   val name = "lopq_slim"
-  def count: Long = index.cellCounts.valuesIterator.sum
+  def count: Long = index.cellCounts.total
   def search(query: Array[Float], k: Int): DataFrame =
     LopqSearcher.searchSlim(index, vectors, idCol, vecCol, query, quota, k, rerankK)
       .select(col("id"), col("exact_dist").as("dist"))

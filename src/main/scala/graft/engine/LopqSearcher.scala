@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
-import graft.core.CellMath
+import graft.core.{CellHistogram, CellMath}
 import graft.functions.VectorFunctions
 
 /** How the exact rerank reads the raw-vector table (both result-identical,
@@ -87,43 +87,27 @@ object LopqSearcher {
   /** Driver-side cell selection: walk cells best-first until the visited
     * cells hold ≥ quota items (whole-cell retrieval semantics of the
     * reference, `search.py:110-135`). `cellCounts` is the index's cell
-    * histogram — collect it once per index build, it has at most
-    * |distinct cells| ≤ n entries. */
+    * histogram — primitive parallel arrays, O(populated cells) once per
+    * index load. */
   def selectCells(model: LopqModel, query: Array[Float], quota: Int,
-      cellCounts: Map[Int, Long]): Seq[Int] = {
+      cellCounts: CellHistogram): Seq[Int] = {
     val (d0, d1) = model.coarseDistances(query)
     selectCellsFrom(model.v, d0, d1, quota, cellCounts)
   }
 
   /** Same visit semantics as the reference's multisequence walk
     * (`search.py:110-135`: cells in nondecreasing d0+d1 until the quota is
-    * covered), computed over the POPULATED cells only. The heap walk
-    * enumerates the full V² grid — fine at V ≤ 256, but at V=4096/split the
-    * grid is 16.7M cells of which < 0.1% are populated, and skipping the
-    * empties cost a measured ~450 ms of driver CPU per query. The histogram
-    * this walk consults is already driver-resident, so scoring its P ≤ n
-    * populated cells directly is O(P log P) (< 1 ms at P=16k; a k-smallest
-    * selection replaces the sort if P ever rivals n). Ties break by cell
-    * id — deterministic, and every downstream consumer (runtime-generated
+    * covered), computed over the POPULATED cells only — and since r7 via
+    * [[CellHistogram.selectCells]]: a quota-BOUNDED selection over the
+    * primitive arrays instead of a full O(P log P) sort of a boxed map
+    * (at a saturated release grid P = 16.7M, the sort was seconds of
+    * driver CPU per query and the map ~1 GB of heap). Ties break by cell
+    * id — deterministic, bit-identical to the sort it replaced
+    * (spec-pinned), and every downstream consumer (runtime-generated
     * oracles included) derives from this one function. */
   private[graft] def selectCellsFrom(v: Int, d0: Array[Double], d1: Array[Double],
-      quota: Int, cellCounts: Map[Int, Long]): Seq[Int] = {
-    val ordered = cellCounts.iterator
-      .collect { case (cell, cnt) if cnt > 0 =>
-        (d0(cell / v) + d1(cell % v), cell, cnt)
-      }
-      .toArray
-      .sortBy(t => (t._1, t._2))
-    val cells = Seq.newBuilder[Int]
-    var retrieved = 0L
-    var i = 0
-    while (i < ordered.length && retrieved < quota) {
-      cells += ordered(i)._2
-      retrieved += ordered(i)._3
-      i += 1
-    }
-    cells.result()
-  }
+      quota: Int, cellCounts: CellHistogram): Seq[Int] =
+    cellCounts.selectCells(v, d0, d1, quota)
 
   /** ADC distance tables for each visited cell as a tiny DataFrame
     * `(cell_id, adc_tables ARRAY<ARRAY<DOUBLE>>)` — broadcast-joined to the
@@ -145,7 +129,7 @@ object LopqSearcher {
     * [[LopqIndexStore]]): directory pruning happens on `cell_bucket`, the
     * `cell_id` IN-list prunes row groups within each bucket. */
   def searchApprox(codes: DataFrame, model: LopqModel, query: Array[Float],
-      quota: Int, k: Int, cellCounts: Map[Int, Long],
+      quota: Int, k: Int, cellCounts: CellHistogram,
       cellBuckets: Int = 0): DataFrame = {
     val cells = selectCells(model, query, quota, cellCounts)
     if (cells.isEmpty) emptyApprox(codes)
@@ -219,7 +203,7 @@ object LopqSearcher {
     * [[RerankShape]]. */
   def search(codes: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,
       model: LopqModel, query: Array[Float], quota: Int, k: Int, rerankK: Int,
-      cellCounts: Map[Int, Long], pca: Option[LopqPca] = None,
+      cellCounts: CellHistogram, pca: Option[LopqPca] = None,
       cellBuckets: Int = 0, rerankShape: RerankShape = RerankShape.Auto): DataFrame = {
     val approxQuery = pca.map(_.apply(query)).getOrElse(query)
     val approx = searchApprox(codes, model, approxQuery, quota, rerankK, cellCounts,

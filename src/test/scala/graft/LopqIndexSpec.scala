@@ -53,7 +53,7 @@ class LopqIndexSpec extends SparkSpec {
     val qv = e.where(col("vec_id") === 3).select("embedding")
       .head().getSeq[Float](0).toArray
     def run(codes: org.apache.spark.sql.DataFrame, m: graft.engine.LopqModel,
-        counts: Map[Int, Long]) =
+        counts: graft.core.CellHistogram) =
       LopqSearcher.search(codes, e, "vec_id", "embedding", m, qv, 200, 10, 50, counts)
         .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(run(loaded.codes, loaded.model, loaded.cellCounts) ===
@@ -77,8 +77,8 @@ class LopqIndexSpec extends SparkSpec {
     val h = built
     val fromCodes = h.codes.groupBy("cell_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(h.cellCounts === fromCodes)
-    assert(h.cellCounts.values.sum === 500L)
+    assert(h.cellCounts.toMap === fromCodes)
+    assert(h.cellCounts.total === 500L)
   }
 
   test("loadIfValid rejects a changed fingerprint") {
@@ -120,7 +120,7 @@ class LopqIndexSpec extends SparkSpec {
 
   test("appendUpdate's dedup scan reads only the touched cell partitions") {
     val h = built
-    val cells = h.cellCounts.keys.toSeq.sorted
+    val cells = h.cellCounts.cellIds.toSeq.sorted
     assert(cells.size > 4, "need several populated cells for a pruning test")
     val some = cells.take(2)
     // the exact read path appendUpdate anti-joins against
@@ -225,7 +225,44 @@ class LopqIndexSpec extends SparkSpec {
     val loaded = LopqIndexStore.load(spark, ddir).get
     val recount = loaded.codes.groupBy("cell_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(loaded.cellCounts === recount, "summed deltas must equal a recount")
+    assert(loaded.cellCounts.toMap === recount, "summed deltas must equal a recount")
+  }
+
+  test("counts-log compaction is a distributed job — no histogram through the driver") {
+    val h = built
+    val cdir = incrDir + "_compact"
+    deleteDir(cdir)
+    LopqIndexStore.initEmpty(spark, cdir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    def countsFiles: Int = {
+      val cp = new org.apache.hadoop.fs.Path(s"$cdir/cell_counts")
+      val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(cp)) 0
+      else fs.listStatus(cp).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    spark.conf.set(LopqIndexStore.CompactCountsAtConf, "3")
+    try {
+      for (i <- 0 until 3)
+        assert(LopqIndexStore.appendUpdate(spark, cdir,
+          e.where(col("vec_id") >= i * 100 && col("vec_id") < (i + 1) * 100),
+          "vec_id", "embedding", f"u$i%03d"))
+      assert(countsFiles === 3)
+      // the 4th append crosses the threshold → compaction back to one base
+      // file, via a pure Spark aggregation (r6 routed the merged histogram
+      // through the driver with readCounts().toSeq — O(populated cells))
+      val collectedBefore = LopqIndexStore.histogramRowsCollected.get()
+      assert(LopqIndexStore.appendUpdate(spark, cdir,
+        e.where(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "embedding", "u003"))
+      assert(countsFiles === 1, "compaction must collapse the delta log")
+      assert(LopqIndexStore.histogramRowsCollected.get() === collectedBefore,
+        "compaction pulled histogram rows through the driver")
+      // delta-log semantics unchanged: post-compaction totals still heal
+      val loaded = LopqIndexStore.load(spark, cdir).get
+      val recount = loaded.codes.groupBy("cell_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(loaded.cellCounts.toMap === recount)
+    } finally spark.conf.unset(LopqIndexStore.CompactCountsAtConf)
   }
 
   test("stream update ids order lexically across any batch-id magnitude") {
@@ -323,7 +360,7 @@ class LopqIndexSpec extends SparkSpec {
     val loaded = LopqIndexStore.load(spark, cdir).get
     val recount = loaded.codes.groupBy("cell_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(loaded.cellCounts === recount, "load must rebuild a skewed histogram")
+    assert(loaded.cellCounts.toMap === recount, "load must rebuild a skewed histogram")
   }
 
   test("evictModel makes appends see an out-of-process model swap") {

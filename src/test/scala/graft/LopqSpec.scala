@@ -17,8 +17,8 @@ class LopqSpec extends SparkSpec {
     val p = LopqParams(v = 8, m = 4, subClusters = 16, seed = 42L, kmeansMaxIter = 10)
     val m = LopqTrainer.train(e, "embedding", p)
     val c = LopqSearcher.encode(e, "vec_id", "embedding", m).cache()
-    val cnt = c.groupBy("cell_id").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cnt = graft.core.CellHistogram(c.groupBy("cell_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
     (m, c, cnt)
   }
 
@@ -35,7 +35,7 @@ class LopqSpec extends SparkSpec {
     assert(codes.count() === 500)
     val bad = codes.where(col("cell_id") =!= col("coarse0") * model.v + col("coarse1")).count()
     assert(bad === 0)
-    assert(counts.values.sum === 500L)
+    assert(counts.total === 500L)
   }
 
   test("predict(x) is stable under reconstruct (code self-consistency)") {

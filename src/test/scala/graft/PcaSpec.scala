@@ -61,8 +61,8 @@ class PcaSpec extends SparkSpec {
     val p = LopqParams(v = 8, m = 4, subClusters = 16, seed = 42L, kmeansMaxIter = 10)
     val model = LopqTrainer.train(projected, "pvec", p)
     val codes = LopqSearcher.encode(projected, "vec_id", "pvec", model).cache()
-    val counts = codes.groupBy("cell_id").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = graft.core.CellHistogram(codes.groupBy("cell_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq)
 
     val all = e.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))

@@ -54,7 +54,7 @@ class ReleaseShapeSpec extends SparkSpec {
   test("bucketed layout bounds directory fan-out below the cell count") {
     val h = built
     assert(h.cellBuckets === Buckets)
-    assert(h.cellCounts.keys.size > Buckets,
+    assert(h.cellCounts.size > Buckets,
       "twin must have more populated cells than buckets for the layout to matter")
     val fs = new org.apache.hadoop.fs.Path(s"$dir/codes")
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -250,6 +250,6 @@ class ReleaseShapeSpec extends SparkSpec {
     val loaded = LopqIndexStore.load(spark, dir).get
     val recount = after.groupBy("cell_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(loaded.cellCounts === recount)
+    assert(loaded.cellCounts.toMap === recount)
   }
 }
