@@ -199,6 +199,119 @@ object LopqSearcher {
     rerankExact(approx, vectors, idCol, vecCol, query, k, rerankShape)
   }
 
+  /** Conf: past this many distinct visited cells the batch join skips the
+    * pushed IN-list (a plan with millions of literals is itself the
+    * bottleneck, and at that point the batch visits most of the index
+    * anyway — a full codes scan is the right plan). */
+  val AnnJoinMaxPushedCellsConf = "spark.graft.annjoin.maxPushedCells"
+  val DefaultAnnJoinMaxPushedCells = 65536
+
+  /** SET-ORIENTED ANN similarity join — every query row of `queries` gets
+    * its top-`k` neighbours from the index in ONE shuffle-joined plan, no
+    * per-query driver loop (SURVEY §7.1 north-star `similarity_join`; the
+    * reference can only answer query-at-a-time over REST,
+    * `searcher/generic_searcher.py:286-414`, and its bulk evaluator loops
+    * client-side, `lopq/lopq/eval.py:7-38`).
+    *
+    * Shape (jobs do NOT scale with the query count):
+    *   1. one distributed pass over `queries`: PCA-project + per-query
+    *      visited-cell walk (slim model + primitive-array histogram ride a
+    *      broadcast; the walk is the SAME pinned [[CellHistogram.selectCells]]
+    *      the per-query path uses);
+    *   2. one O(distinct visited cells) aggregation → the batch's cell
+    *      union (pushed into the codes scan below) and its cluster set,
+    *      whose rotation slices are fetched once through the bounded LRU
+    *      (O(batch-touched clusters · (D/2)²) transfer — a batch visiting
+    *      every cluster degrades to streaming the tensor once, exactly like
+    *      the slim-encode backfill);
+    *   3. one distributed pass building the per-(q_id, visited cell) ADC
+    *      tables from the broadcast slices;
+    *   4. ONE equi-join of the (bucket/partition-pruned, IN-pushed) codes
+    *      scan against the tables on `cell_id` (Catalyst broadcasts the
+    *      query side while it is small), ADC lookup-sum, per-query
+    *      top-`rerankK` window;
+    *   5. exact rerank: equi-join candidates back to `vectors` by id and to
+    *      the raw queries by q_id, per-query top-`k` window.
+    *
+    * Result: `(q_id, rank, id, adc_dist, exact_dist)` — per query
+    * BIT-IDENTICAL to looping [[searchSlim]]/[[search]] (spec-pinned; the
+    * windows use the same (dist, id) tie-breaks as the per-query
+    * TakeOrderedAndProject prefixes).
+    *
+    * `queries` is cached for the plan's lifetime (O(batch) rows: raw +
+    * projected vector + visited cells per query). */
+  def annJoin(index: LopqSlimIndex, queries: DataFrame, qIdCol: String,
+      qVecCol: String, vectors: DataFrame, idCol: String, vecCol: String,
+      quota: Int, k: Int, rerankK: Int): DataFrame = {
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val slimB = spark.sparkContext.broadcast(index.slim)
+    val histB = spark.sparkContext.broadcast(index.cellCounts)
+    val pcaB = spark.sparkContext.broadcast(index.pca)
+    val vCoarse = index.slim.v
+
+    val walkU = udf { (vec: Seq[Float]) =>
+      val raw = vec.toArray
+      val aq = pcaB.value.map(_.apply(raw)).getOrElse(raw)
+      val (d0, d1) = slimB.value.coarseDistances(aq)
+      (aq.toSeq, histB.value.selectCells(slimB.value.v, d0, d1, quota))
+    }
+    val qcells = queries
+      .select(col(qIdCol).as("q_id"), col(qVecCol).as("q_vec"))
+      .withColumn("w", walkU(col("q_vec")))
+      .select(col("q_id"), col("q_vec"), col("w._1").as("aq"), col("w._2").as("cells"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // the batch's visited-cell union: driver-bounded by the POPULATED cell
+    // count, not by the query count
+    val unionCells = qcells.select(explode(col("cells")).as("cell_id"))
+      .distinct().as[Int].collect().sorted
+    val clusterKeys = unionCells.flatMap { c =>
+      val (c0, c1) = CellMath.unpackCell(c, vCoarse)
+      Seq((0, c0), (1, c1))
+    }.distinct.toSeq
+    val rotB = spark.sparkContext.broadcast(
+      LopqIndexStore.rotationSlices(spark, index.dir, clusterKeys))
+
+    val tablesU = udf { (aq: Seq[Float], cell: Int) =>
+      val cc = CellMath.unpackCell(cell, vCoarse)
+      slimB.value.adcTables(aq.toArray, cc, (s, c) => rotB.value((s, c)))
+        .map(_.toSeq).toSeq
+    }
+    val qadc = qcells
+      .select(col("q_id"), col("aq"), explode(col("cells")).as("cell_id"))
+      .withColumn("adc_tables", tablesU(col("aq"), col("cell_id")))
+      .select("q_id", "cell_id", "adc_tables")
+
+    val maxPushed = spark.conf
+      .get(AnnJoinMaxPushedCellsConf, DefaultAnnJoinMaxPushedCells.toString).toInt
+    val pruned =
+      if (unionCells.length <= maxPushed)
+        index.codes.where(LopqIndexStore.cellFilter(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(unionCells),
+          index.cellBuckets))
+      else index.codes
+
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adc_dist"), col("id"))
+    val cand = pruned
+      .join(qadc, "cell_id")
+      .withColumn("adc_dist", VectorFunctions.adcDistance(col("fine"), col("adc_tables")))
+      .withColumn("arnk", row_number().over(wApprox))
+      .where(col("arnk") <= rerankK)
+      .select("q_id", "id", "adc_dist")
+
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("exact_dist"), col("id"))
+    cand
+      .join(vectors.select(col(idCol).as("id"), col(vecCol).as("n_vec")), "id")
+      .join(qcells.select(col("q_id"), col("q_vec")), "q_id")
+      .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(col("q_vec"), col("n_vec"))))
+      .withColumn("rank", row_number().over(wExact).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("id"), col("adc_dist"), col("exact_dist"))
+  }
+
   /** The rerank read shape is self-selecting by default — see
     * [[RerankShape]]. */
   def search(codes: DataFrame, vectors: DataFrame, idCol: String, vecCol: String,
