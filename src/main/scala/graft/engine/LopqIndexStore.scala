@@ -350,6 +350,11 @@ object LopqIndexStore {
     * (cache misses only). */
   private[graft] val sliceRowsFetched = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Slice-LRU effectiveness counters (keys requested vs keys missed) —
+    * the maintenance-cadence proof reads the hit rate off these. */
+  private[graft] val sliceKeysRequested = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val sliceKeysMissed = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def rotationSlices(spark: SparkSession, dir: String,
       keys: Seq[(Int, Int)]): Map[(Int, Int), Array[Array[Float]]] = {
     sweepStoppedSessions()
@@ -359,6 +364,8 @@ object LopqIndexStore {
     })
     val cached = keys.flatMap(k => cache.get(k).map(k -> _)).toMap
     val missing = keys.filterNot(cached.contains)
+    sliceKeysRequested.addAndGet(keys.size.toLong)
+    sliceKeysMissed.addAndGet(missing.size.toLong)
     val fetched =
       if (missing.isEmpty) Map.empty[(Int, Int), Array[Array[Float]]]
       else rotationSliceScan(spark, dir, missing).collect()
@@ -376,7 +383,7 @@ object LopqIndexStore {
   // ------------------------------------------------------------- codes
 
   private def writeCounts(spark: SparkSession, dir: String): Unit =
-    spark.read.parquet(s"$dir/codes")
+    readCodes(spark, dir)
       .groupBy("cell_id").agg(count(lit(1)).as("cnt"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/cell_counts")
@@ -472,6 +479,137 @@ object LopqIndexStore {
     writeMeta(dir, metaFor(params, 0L, dim, pca, cellBuckets))
   }
 
+  /** Clone JUST the model (+ meta, + proto sidecar) of an existing index
+    * into a fresh dir with an empty manifest and no codes — the starting
+    * point for maintenance proofs at release scale: appends run against
+    * the true release-size model without retraining it or mutating the
+    * benched source index. A pure filesystem copy; the tensor never rides
+    * through the driver. */
+  def cloneEmpty(spark: SparkSession, srcDir: String, dstDir: String): Unit = {
+    import spark.implicits._
+    evictModel(dstDir) // a previous clone's caches must not survive the swap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(dstDir)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.mkdirs(dst)
+    def cp(name: String): Unit = {
+      val s = new org.apache.hadoop.fs.Path(s"$srcDir/$name")
+      if (fs.exists(s))
+        org.apache.hadoop.fs.FileUtil.copy(fs, s, fs,
+          new org.apache.hadoop.fs.Path(s"$dstDir/$name"), false, conf)
+      ()
+    }
+    cp("model"); cp("meta.json"); cp("model.pb")
+    writeTip(spark, dstDir, None)
+    Seq.empty[(String, Long)].toDF("update_id", "n_rows")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dstDir/manifest")
+  }
+
+  // -------------------------------------------------- codes delta log
+
+  /** Streaming appends land in `codes_delta` as ONE plain parquet file per
+    * update, and are periodically PROMOTED into the bucketed/partitioned
+    * base — the LSM shape of the reference's updates-then-reindex flow
+    * (`searcher_lopqhbase.py:655-770` re-scans updates into its in-memory
+    * codes; an LMDB insert is likewise an in-place B-tree append).
+    *
+    * Why: a `partitionBy` append fans a 2048-row release update into one
+    * file PER TOUCHED BUCKET (~1000 tiny files at V=1024) — measured via
+    * `graft.MaintainRelease`, 200 release-cadence batches shed 200k+ files
+    * and append latency grew with the file count (every dedup scan re-lists
+    * the table). With the delta log an append is O(1) files, and the
+    * promote every [[CompactDeltaAtConf]] appends adds at most one file per
+    * touched bucket per PROMOTION, 64× less often.
+    *
+    * Crash safety (single writer, like the rest of the store): promotion
+    * first RENAMES the whole delta dir to `codes_delta_compacting` (atomic),
+    * then appends its rows to the base THROUGH an id anti-join against the
+    * touched cells (so a replay after a crash never duplicates), then
+    * deletes the dir. [[readCodes]] runs the recovery before serving. */
+  val CompactDeltaAtConf = "spark.graft.codes.compactDeltaAt"
+  val DefaultCompactDeltaAt = 64
+
+  private def deltaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/codes_delta")
+  private def compactingPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/codes_delta_compacting")
+
+  /** The full codes table: bucketed base ∪ un-promoted delta appends, after
+    * finishing any interrupted promotion. This is THE reader — the raw
+    * `codes` path alone misses delta rows. */
+  def readCodes(spark: SparkSession, dir: String): DataFrame = {
+    recoverPromotion(spark, dir)
+    val fs = deltaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val baseExists = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes"))
+    val deltaExists = fs.exists(deltaPath(dir))
+    val buckets = readMeta(dir).map(bucketsOf).getOrElse(0)
+    // delta files are layout-agnostic (no partition column on disk) — the
+    // base's layout column is derived on read so the union lines up and
+    // cellFilter's bucket predicate applies to both branches
+    def delta = {
+      val df = spark.read.parquet(deltaPath(dir).toString)
+      if (buckets > 0) df.withColumn("cell_bucket", col("cell_id") % buckets) else df
+    }
+    (baseExists, deltaExists) match {
+      case (true, true) => spark.read.parquet(s"$dir/codes").unionByName(delta)
+      case (true, false) => spark.read.parquet(s"$dir/codes")
+      case (false, true) => delta
+      case (false, false) => spark.read.parquet(s"$dir/codes") // error like before
+    }
+  }
+
+  /** Finish a promotion interrupted by a crash — idempotent: the anti-join
+    * drops any rows an earlier partial run already landed in the base. */
+  private def recoverPromotion(spark: SparkSession, dir: String): Unit = {
+    val fs = compactingPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(compactingPath(dir))) promoteCompacting(spark, dir)
+  }
+
+  private def promoteCompacting(spark: SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    val fs = compactingPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = spark.read.parquet(compactingPath(dir).toString)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = readMeta(dir).map(bucketsOf).getOrElse(0)
+      val touched = rows.select("cell_id").distinct().as[Int].collect().toSeq
+      val basePath = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val deduped =
+        if (fs.exists(basePath))
+          rows.join(
+            spark.read.parquet(s"$dir/codes")
+              .where(cellFilter(touched, buckets)).select("id"),
+            Seq("id"), "left_anti")
+        else rows
+      writeCodes(dir, deduped.select("id", "coarse0", "coarse1", "fine", "cell_id"),
+        buckets, SaveMode.Append)
+      fs.delete(compactingPath(dir), true)
+      ()
+    } finally { rows.unpersist(); () }
+  }
+
+  /** One delta file per append; past the threshold, atomically stage the
+    * whole delta dir and promote it into the base layout. */
+  private def appendCodesDelta(spark: SparkSession, dir: String,
+      batch: DataFrame): Unit = {
+    val fs = deltaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batch.repartition(1)
+      .write.mode(SaveMode.Append).parquet(deltaPath(dir).toString)
+    val compactAt = spark.conf
+      .get(CompactDeltaAtConf, DefaultCompactDeltaAt.toString).toInt
+    val files = fs.listStatus(deltaPath(dir))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    if (files > compactAt) {
+      // atomic stage: a crash at any later point is recovered by the
+      // anti-join replay in recoverPromotion
+      if (!fs.exists(compactingPath(dir))) {
+        fs.rename(deltaPath(dir), compactingPath(dir))
+        ()
+      }
+      promoteCompacting(spark, dir)
+    }
+  }
+
   /** Load the index at `dir`, or None if absent. Self-heals the cell
     * histogram: if its total disagrees with the codes row count (a crash
     * between the codes append and the counts merge — see the commit-order
@@ -481,7 +619,7 @@ object LopqIndexStore {
   def load(spark: SparkSession, dir: String): Option[LopqIndex] =
     readMeta(dir).map { meta =>
       val (model, pca) = loadModel(spark, dir)
-      val codes = spark.read.parquet(s"$dir/codes")
+      val codes = readCodes(spark, dir)
       LopqIndex(model, pca, codes, healedCounts(spark, dir, codes), dir, bucketsOf(meta))
     }
 
@@ -489,7 +627,7 @@ object LopqIndexStore {
   def loadSlim(spark: SparkSession, dir: String): Option[LopqSlimIndex] =
     readMeta(dir).map { meta =>
       val (slim, pca) = loadModelSlim(spark, dir)
-      val codes = spark.read.parquet(s"$dir/codes")
+      val codes = readCodes(spark, dir)
       LopqSlimIndex(slim, pca, codes, healedCounts(spark, dir, codes), dir, bucketsOf(meta))
     }
 
@@ -624,7 +762,7 @@ object LopqIndexStore {
   private[graft] def indexedIdsInCells(spark: SparkSession, dir: String,
       cells: Seq[Int]): DataFrame = {
     val buckets = readMeta(dir).map(bucketsOf).getOrElse(0)
-    spark.read.parquet(s"$dir/codes")
+    readCodes(spark, dir)
       .where(cellFilter(cells, buckets))
       .select("id")
   }
@@ -681,10 +819,11 @@ object LopqIndexStore {
     try {
       // the batch's touched cells: O(batch) distinct values, driver-bounded
       val touched = encoded.select("cell_id").distinct().as[Int].collect().toSeq.sorted
-      val codesPath = new org.apache.hadoop.fs.Path(s"$dir/codes")
-      val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = deltaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val anyCodes = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes")) ||
+        fs.exists(deltaPath(dir)) || fs.exists(compactingPath(dir))
       val deduped =
-        if (fs.exists(codesPath))
+        if (anyCodes)
           encoded.join(indexedIdsInCells(spark, dir, touched), Seq("id"), "left_anti")
         else encoded
       val batchCounts = deduped.groupBy("cell_id").agg(count(lit(1)).as("cnt"))
@@ -698,8 +837,7 @@ object LopqIndexStore {
       // repaired by the sum check in [[load]]; a crash after the tip only
       // loses the manifest AUDIT row — codes, counts, and the replay
       // watermark are already consistent.
-      writeCodes(dir, deduped,
-        readMeta(dir).map(bucketsOf).getOrElse(0), SaveMode.Append)
+      appendCodesDelta(spark, dir, deduped)
       appendCountsDelta(spark, dir, batchCounts)
       writeTip(spark, dir, Some(updateId))
       Seq((updateId, n)).toDF("update_id", "n_rows")

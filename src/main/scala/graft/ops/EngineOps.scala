@@ -487,7 +487,7 @@ object EngineOps {
           "index_update_emb_2026-08-12_000000"))
         assert(LopqIndexStore.watermark(s, incrDir)
           .contains("index_update_emb_2026-08-12_000001"))
-        s.read.parquet(s"$incrDir/codes")
+        LopqIndexStore.readCodes(s, incrDir)
           .select(col("id"), col("coarse0").cast("long").as("coarse0"),
             col("coarse1").cast("long").as("coarse1"),
             concat_ws(",", col("fine").cast("array<string>")).as("fine_str"),
@@ -536,7 +536,7 @@ object EngineOps {
         assert(LopqIndexStore.watermark(s, sDir)
           .contains(f"stream_${1L}%019d"),
           "expected exactly two applied stream updates")
-        s.read.parquet(s"$sDir/codes")
+        LopqIndexStore.readCodes(s, sDir)
           .select(col("id"), col("coarse0").cast("long").as("coarse0"),
             col("coarse1").cast("long").as("coarse1"),
             concat_ws(",", col("fine").cast("array<string>")).as("fine_str"),

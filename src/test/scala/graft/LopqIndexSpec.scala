@@ -101,20 +101,21 @@ class LopqIndexSpec extends SparkSpec {
       "replaying an applied update must be skipped")
     assert(LopqIndexStore.watermark(spark, incrDir) === Some("u001"))
 
-    def snap(path: String) = spark.read.parquet(path)
+    def snap(df: org.apache.spark.sql.DataFrame) = df
       .select("id", "coarse0", "coarse1", "fine", "cell_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq, r.getInt(4)))
       .sortBy(_._1).toSeq
-    assert(snap(s"$incrDir/codes") === snap(s"$dir/codes"))
+    assert(snap(LopqIndexStore.readCodes(spark, incrDir))
+      === snap(LopqIndexStore.readCodes(spark, dir)))
 
     // duplicate-id suppression on insert (ref lopq/lopq/search.py:340-364):
     // a NEW update id carrying already-indexed vectors must add no rows —
     // batch-level replay is caught by the manifest, row-level overlap by
     // the id anti-join
-    val before = spark.read.parquet(s"$incrDir/codes").count()
+    val before = LopqIndexStore.readCodes(spark, incrDir).count()
     assert(LopqIndexStore.appendUpdate(spark, incrDir,
       b1.unionAll(b1), "vec_id", "embedding", "u002"))
-    assert(spark.read.parquet(s"$incrDir/codes").count() === before,
+    assert(LopqIndexStore.readCodes(spark, incrDir).count() === before,
       "overlapping ids must be suppressed, in-batch and cross-batch")
   }
 
@@ -194,11 +195,11 @@ class LopqIndexSpec extends SparkSpec {
       assert(LopqIndexStore.appendUpdate(spark, sdir,
         e.where(col("vec_id") >= 250), "vec_id", "embedding", "u001"))
     } finally spark.conf.unset(LopqIndexStore.SlimEncodeBytesConf)
-    def snap(path: String) = spark.read.parquet(path)
+    def snap(d: String) = LopqIndexStore.readCodes(spark, d)
       .select("id", "coarse0", "coarse1", "fine", "cell_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq, r.getInt(4)))
       .sortBy(_._1).toSeq
-    assert(snap(s"$sdir/codes") === snap(s"$dir/codes"),
+    assert(snap(sdir) === snap(dir),
       "slim-encoded appends must equal the one-shot full-model encode")
   }
 
@@ -226,6 +227,61 @@ class LopqIndexSpec extends SparkSpec {
     val recount = loaded.codes.groupBy("cell_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(loaded.cellCounts.toMap === recount, "summed deltas must equal a recount")
+  }
+
+  test("appends are O(1) files; past the threshold the delta promotes into the base") {
+    // the 2048-row release update previously fanned into one file PER
+    // TOUCHED PARTITION (~1000 at V=1024) and append latency grew with the
+    // table's file count (measured via graft.MaintainRelease) — the delta
+    // log writes ONE file per append and promotes in bulk
+    val h = built
+    val ldir = incrDir + "_lsm"
+    deleteDir(ldir)
+    LopqIndexStore.initEmpty(spark, ldir, h.model, None, p, 64)
+    val e = Tables(spark, sf, "embeddings")
+    def files(sub: String): Int = {
+      val cp = new org.apache.hadoop.fs.Path(s"$ldir/$sub")
+      val fs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(cp)) 0
+      else {
+        val it = fs.listFiles(cp, true)
+        var n = 0
+        while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        n
+      }
+    }
+    spark.conf.set(LopqIndexStore.CompactDeltaAtConf, "3")
+    try {
+      for (i <- 0 until 3)
+        assert(LopqIndexStore.appendUpdate(spark, ldir,
+          e.where(col("vec_id") >= i * 100 && col("vec_id") < (i + 1) * 100),
+          "vec_id", "embedding", f"u$i%03d"))
+      assert(files("codes_delta") === 3, "exactly ONE delta file per append")
+      assert(files("codes") === 0, "no base writes below the threshold")
+      // 4th append crosses the threshold → the whole delta (incl. this
+      // batch) promotes into the partitioned base
+      assert(LopqIndexStore.appendUpdate(spark, ldir,
+        e.where(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "embedding", "u003"))
+      assert(files("codes_delta") === 0, "promotion must consume the delta")
+      assert(files("codes") > 0)
+      assert(LopqIndexStore.readCodes(spark, ldir).count() === 400)
+      // crash-replay idempotence: a compacting dir whose rows are ALREADY
+      // in the base (crash after the base append, before the dir delete)
+      // must promote to nothing — the anti-join eats the duplicates
+      LopqIndexStore.readCodes(spark, ldir)
+        .select("id", "coarse0", "coarse1", "fine", "cell_id")
+        .where(col("id") < 100).repartition(1)
+        .write.parquet(s"$ldir/codes_delta_compacting")
+      assert(LopqIndexStore.readCodes(spark, ldir).count() === 400,
+        "replayed promotion must not duplicate rows")
+      assert(files("codes_delta_compacting") === 0, "recovery must consume the dir")
+      // and the healed histogram agrees with a recount
+      val loaded = LopqIndexStore.load(spark, ldir).get
+      val recount = loaded.codes.groupBy("cell_id").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(loaded.cellCounts.toMap === recount)
+    } finally spark.conf.unset(LopqIndexStore.CompactDeltaAtConf)
   }
 
   test("counts-log compaction is a distributed job — no histogram through the driver") {
@@ -395,7 +451,7 @@ class LopqIndexSpec extends SparkSpec {
       df.select("id", "coarse0", "coarse1", "fine").collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq))
         .sortBy(_._1).toSeq
-    val appended = spark.read.parquet(s"$adir/codes")
+    val appended = LopqIndexStore.readCodes(spark, adir)
       .where(col("id") >= 100 && col("id") < 200)
     assert(snap(appended) === snap(
       LopqSearcher.encode(batch, "vec_id", "embedding", m2)),
@@ -427,19 +483,19 @@ class LopqIndexSpec extends SparkSpec {
     }
     drain(s"$streamDir/_ckpt1")
 
-    def snap(path: String) = spark.read.parquet(path)
+    def snap(d: String) = LopqIndexStore.readCodes(spark, d)
       .select("id", "coarse0", "coarse1", "fine", "cell_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getSeq[Short](3).toSeq, r.getInt(4)))
       .sortBy(_._1).toSeq
-    assert(snap(s"$streamDir/codes") === snap(s"$dir/codes"),
+    assert(snap(streamDir) === snap(dir),
       "streamed index must equal the one-shot encode")
     assert(LopqIndexStore.watermark(spark, streamDir).exists(_.startsWith("stream_")))
 
     // a replayed drain (fresh checkpoint, same files → same batch-id update
     // ids) must be refused by the manifest and add nothing
-    val before = spark.read.parquet(s"$streamDir/codes").count()
+    val before = LopqIndexStore.readCodes(spark, streamDir).count()
     drain(s"$streamDir/_ckpt2")
-    assert(spark.read.parquet(s"$streamDir/codes").count() === before,
+    assert(LopqIndexStore.readCodes(spark, streamDir).count() === before,
       "manifest must make the stream replay a no-op")
   }
 }

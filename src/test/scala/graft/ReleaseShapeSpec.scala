@@ -236,13 +236,13 @@ class ReleaseShapeSpec extends SparkSpec {
 
   test("bucketed append is O(batch): new ids land, replayed ids are suppressed") {
     val h = built
-    val before = spark.read.parquet(s"$dir/codes").count()
+    val before = LopqIndexStore.readCodes(spark, dir).count()
     // 100 genuinely new rows + 50 already-indexed ids in one update
     val batch = ReleaseShape.corpus(spark, N + 100)
       .where(col("vec_id") >= N - 50)
     assert(LopqIndexStore.appendUpdate(spark, dir, batch, "vec_id", "embedding",
       "append_000001"))
-    val after = spark.read.parquet(s"$dir/codes")
+    val after = LopqIndexStore.readCodes(spark, dir)
     assert(after.count() === before + 100,
       "append must add exactly the new ids (dup ids suppressed)")
     assert(after.columns.contains("cell_bucket"), after.columns.mkString(","))
