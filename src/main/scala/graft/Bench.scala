@@ -151,6 +151,15 @@ object Bench {
           qid => ReleaseShape.searchSlim(spark, v3, idx, qid)
         }))
       else Seq.empty
+    } ++ {
+      // release-WIDTH rerank (VERDICT r6 #3): the lookup-shaped exact
+      // rerank against the staged 2M × 2048-d (~16 GB) feature table —
+      // the regime where a per-query streaming scan is impossible. Staged
+      // once via `runMain graft.BuildRelease wide`; row appears when present.
+      if (ReleaseShape.wideStaged(spark))
+        Seq(releaseRow("release_rerank_wide", () =>
+          qid => ReleaseShape.rerankWide(spark, qid)))
+      else Seq.empty
     }
     val results = catalogResults ++ releaseResults
 

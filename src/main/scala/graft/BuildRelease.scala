@@ -9,15 +9,12 @@ import graft.engine.ReleaseShape
   * 536 MB rotation tensor) needs driver heap for the trainer's collected
   * accumulators and the model write: run with `SPARK_DRIVER_MEM=20g`.
   * Serving never does — Bench loads it slim.
-  * Usage: runMain graft.BuildRelease [v1|v2|v3]
+  * `wide` stages the 2M × 2048-d (~16 GB) release-width rerank table
+  * instead of an index — see [[ReleaseShape.stageWide]].
+  * Usage: runMain graft.BuildRelease [v1|v2|v3|wide]
   */
 object BuildRelease {
   def main(args: Array[String]): Unit = {
-    val s = args.headOption.getOrElse("v3") match {
-      case "v1" => ReleaseShape.V1
-      case "v2" => ReleaseShape.V2
-      case _ => ReleaseShape.V3
-    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,9 +24,19 @@ object BuildRelease {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
-    ReleaseShape.ensureFor(spark, s)
-    ReleaseShape.stageVectorsFor(spark, s, s.dir, s.n)
-    println(f"[build-release] ${s.name} ready in ${(System.nanoTime() - t0) / 1e9}%.1f s at ${s.dir}")
+    if (args.headOption.contains("wide")) {
+      ReleaseShape.stageWide(spark)
+      println(f"[build-release] wide rerank table ready in ${(System.nanoTime() - t0) / 1e9}%.1f s at ${ReleaseShape.wideDir}")
+    } else {
+      val s = args.headOption.getOrElse("v3") match {
+        case "v1" => ReleaseShape.V1
+        case "v2" => ReleaseShape.V2
+        case _ => ReleaseShape.V3
+      }
+      ReleaseShape.ensureFor(spark, s)
+      ReleaseShape.stageVectorsFor(spark, s, s.dir, s.n)
+      println(f"[build-release] ${s.name} ready in ${(System.nanoTime() - t0) / 1e9}%.1f s at ${s.dir}")
+    }
     spark.stop()
   }
 }

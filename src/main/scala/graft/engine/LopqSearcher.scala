@@ -142,11 +142,26 @@ object LopqSearcher {
       .withColumn("id", lit(0L)).withColumn("cell_id", lit(0))
       .withColumn("adc_dist", lit(0.0)).limit(0)
 
+  /** Above `spark.sql.parquet.pushdown.inFilterThreshold` (default 10!)
+    * Spark pushes an IN-list to parquet as a min/max RANGE — useless for
+    * scattered ids or cells (measured: a 100-id lookup rerank against the
+    * 16 GB release-width table decoded 98 % of its rows). Every point-
+    * lookup shape in the engine raises the threshold to cover its actual
+    * list size; monotone — never lowered — so concurrent queries only gain
+    * pruning. */
+  private[graft] def ensureInPushdown(spark: org.apache.spark.sql.SparkSession,
+      needed: Int): Unit = {
+    val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val cur = spark.conf.get(key, "10").toInt
+    if (cur < needed) spark.conf.set(key, needed.toString)
+  }
+
   /** The cluster side of the approximate stage, shared by the full-model
     * and slim paths: partition-pruned scan of the visited cells, broadcast
     * ADC join, codegen lookup-sum, `TakeOrderedAndProject` top-k. */
   private def approxOverCells(codes: DataFrame, cells: Seq[Int],
-      tablesDf: DataFrame, k: Int, cellBuckets: Int): DataFrame =
+      tablesDf: DataFrame, k: Int, cellBuckets: Int): DataFrame = {
+    ensureInPushdown(codes.sparkSession, cells.size)
     codes
       .where(LopqIndexStore.cellFilter(cells, cellBuckets)) // → partition pruning on disk
       .join(broadcast(tablesDf), "cell_id")
@@ -154,6 +169,7 @@ object LopqSearcher {
       .orderBy(col("adc_dist"), col("id")) // + limit → TakeOrderedAndProject
       .limit(k)
       .select("id", "cell_id", "adc_dist")
+  }
 
   /** Full query: ADC top-`rerankK` then exact-L2 rerank of the prefix via a
     * broadcast join back to the raw vectors, final top-`k`
@@ -285,6 +301,7 @@ object LopqSearcher {
 
     val maxPushed = spark.conf
       .get(AnnJoinMaxPushedCellsConf, DefaultAnnJoinMaxPushedCells.toString).toInt
+    ensureInPushdown(spark, math.min(unionCells.length, maxPushed))
     val pruned =
       if (unionCells.length <= maxPushed)
         index.codes.where(LopqIndexStore.cellFilter(
@@ -350,6 +367,7 @@ object LopqSearcher {
       val prefixDf = spark.createDataFrame(
         java.util.Arrays.asList(prefix.map(r => Row(r.get(0), r.getDouble(1))): _*),
         prefixSchema)
+      ensureInPushdown(spark, prefix.length)
       val candidates =
         if (prefix.isEmpty) vectors.where(lit(false))
         else vectors.where(col(idCol).isin(prefix.map(_.get(0)).toSeq: _*))
