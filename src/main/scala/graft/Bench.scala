@@ -152,6 +152,20 @@ object Bench {
         }))
       else Seq.empty
     } ++ {
+      // v4 = the release DEPLOYMENT magnitude (v3's model constants over
+      // the 2M × raw-4096-d corpus, rerank against the ~32 GB lookup-layout
+      // feature table). Built once via `runMain graft.BuildRelease v4`
+      // (20g driver + ~32 GB disk); loaded directly (never ensureSlim —
+      // the generic builder's cache-the-raw-corpus path is wrong at 32 GB).
+      val v4 = ReleaseShape.V4
+      if (LopqIndexStore.fingerprintOk(v4.dir, v4.p, v4.n, v4.pcaDims))
+        Seq(releaseRow("release_ann_v4", () => {
+          graft.functions.GraftFunctions.register(spark)
+          val idx = LopqIndexStore.loadSlim(spark, v4.dir).get
+          qid => ReleaseShape.searchSlim(spark, v4, idx, qid)
+        }))
+      else Seq.empty
+    } ++ {
       // release-WIDTH rerank (VERDICT r6 #3): the lookup-shaped exact
       // rerank against the staged 2M × 2048-d (~16 GB) feature table —
       // the regime where a per-query streaming scan is impossible. Staged

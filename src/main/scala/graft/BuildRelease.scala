@@ -11,7 +11,10 @@ import graft.engine.ReleaseShape
   * Serving never does — Bench loads it slim.
   * `wide` stages the 2M × 2048-d (~16 GB) release-width rerank table
   * instead of an index — see [[ReleaseShape.stageWide]].
-  * Usage: runMain graft.BuildRelease [v1|v2|v3|wide]
+  * `v4` builds the release DEPLOYMENT magnitude — v3's model constants
+  * over the 2M × raw-4096-d corpus with the ~32 GB lookup-layout feature
+  * table (see [[ReleaseShape.ensureV4]]).
+  * Usage: runMain graft.BuildRelease [v1|v2|v3|v4|wide]
   */
 object BuildRelease {
   def main(args: Array[String]): Unit = {
@@ -27,6 +30,11 @@ object BuildRelease {
     if (args.headOption.contains("wide")) {
       ReleaseShape.stageWide(spark)
       println(f"[build-release] wide rerank table ready in ${(System.nanoTime() - t0) / 1e9}%.1f s at ${ReleaseShape.wideDir}")
+    } else if (args.headOption.contains("v4")) {
+      // the release DEPLOYMENT magnitude: 2M × raw 4096-d through v3's
+      // model constants + the 32 GB lookup-layout feature table
+      ReleaseShape.ensureV4(spark)
+      println(f"[build-release] v4 ready in ${(System.nanoTime() - t0) / 1e9}%.1f s at ${ReleaseShape.V4.dir}")
     } else {
       val s = args.headOption.getOrElse("v3") match {
         case "v1" => ReleaseShape.V1

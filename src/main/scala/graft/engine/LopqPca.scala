@@ -60,10 +60,7 @@ object LopqPca {
     * eigenvalues, and the eigenvalue-balanced permutation into 2 buckets so
     * variance splits evenly across the coarse halves. */
   def train(df: DataFrame, vecCol: String, pcaDims: Int, renorm: Boolean = false): LopqPca = {
-    import breeze.linalg.{eigSym, DenseMatrix => BDM}
     val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val dims = math.min(pcaDims, dim)
-    require(dims % 2 == 0, s"pcaDims $dims must be even (split into 2 halves)")
 
     val covAgg = udaf(new CovarianceAgg(dim))
     val row = df
@@ -71,10 +68,85 @@ object LopqPca {
       .agg(covAgg(col("v")).as("s"))
       .select(col("s.count"), col("s.sum"), col("s.outer"))
       .head()
-    val n = row.getLong(0).toDouble
-    val sum = row.getSeq[Double](1).toArray
-    val outer = row.getSeq[Double](2).toArray
+    fromMoments(dim, pcaDims, row.getLong(0), row.getSeq[Double](1).toArray,
+      row.getSeq[Double](2).toArray, renorm)
+  }
 
+  /** [[train]] twin for release-width D (4096, `featurizer/generic_
+    * featurizer.py:51-56`): the D² moment buffer is ~134 MB of doubles —
+    * through the udaf row encoder that boxes and re-serializes at every
+    * partial merge, so here each partition accumulates into primitive
+    * arrays (`mapPartitions`). The partials then merge BLOCK-DISTRIBUTED:
+    * each partition emits its outer-product matrix as keyed row-block
+    * slices (~4 MB each) that meet in a `reduceByKey`, so no single task
+    * result approaches `spark.driver.maxResultSize` (a whole-matrix
+    * treeReduce shipped 134 MB per partial and died at 8 partials ×
+    * 134 MB > 1 GB) and the merge itself parallelizes across reducers —
+    * the same shape that survives 1000 executors. Identical math to
+    * [[train]] (same `fromMoments` tail). */
+  def trainWide(df: DataFrame, vecCol: String, pcaDims: Int, renorm: Boolean = false): LopqPca = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // row-block slicing of the D×D moment matrix: ~4 MB per block
+    val rowsPerBlock = math.max(1, (4 << 20) / (dim * 8))
+    val nBlocks = (dim + rowsPerBlock - 1) / rowsPerBlock
+    val parts = math.min(df.rdd.getNumPartitions,
+      df.sparkSession.sparkContext.defaultParallelism)
+    val slices = df.select(col(vecCol)).coalesce(parts).rdd.mapPartitions { it =>
+      var count = 0L
+      val sum = new Array[Double](dim)
+      val outer = new Array[Double](dim * dim)
+      val x = new Array[Double](dim)
+      it.foreach { row =>
+        val v = row.getSeq[Float](0)
+        var i = 0
+        while (i < dim) { x(i) = v(i).toDouble; i += 1 }
+        count += 1L
+        i = 0
+        while (i < dim) {
+          val xi = x(i)
+          sum(i) += xi
+          val base = i * dim
+          var j = 0
+          while (j < dim) { outer(base + j) += xi * x(j); j += 1 }
+          i += 1
+        }
+      }
+      // key -1: [count, sum…]; key b: outer rows [b·rpb, (b+1)·rpb)
+      val header = (-1, count.toDouble +: sum)
+      val blocks = Iterator.range(0, nBlocks).map { b =>
+        val lo = b * rowsPerBlock * dim
+        val hi = math.min((b + 1) * rowsPerBlock, dim) * dim
+        (b, java.util.Arrays.copyOfRange(outer, lo, hi))
+      }
+      Iterator.single(header) ++ blocks
+    }
+    val merged = slices
+      .reduceByKey({ (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }, nBlocks + 1)
+      .collect()
+      .toMap
+    val header = merged(-1)
+    val outer = new Array[Double](dim * dim)
+    for (b <- 0 until nBlocks) {
+      val lo = b * rowsPerBlock * dim
+      System.arraycopy(merged(b), 0, outer, lo, merged(b).length)
+    }
+    fromMoments(dim, pcaDims, header(0).toLong,
+      java.util.Arrays.copyOfRange(header, 1, dim + 1), outer, renorm)
+  }
+
+  /** Shared tail of both training paths: covariance estimator from the raw
+    * moments, `eigSym`, top-`dims` eigenvectors, eigenvalue-balanced
+    * permutation across the two coarse halves (ref `model.py:271-287`). */
+  private def fromMoments(dim: Int, pcaDims: Int, count: Long,
+      sum: Array[Double], outer: Array[Double], renorm: Boolean): LopqPca = {
+    import breeze.linalg.{eigSym, DenseMatrix => BDM}
+    val dims = math.min(pcaDims, dim)
+    require(dims % 2 == 0, s"pcaDims $dims must be even (split into 2 halves)")
+    val n = count.toDouble
     val mu = sum.map(_ / n)
     val a = BDM.tabulate(dim, dim) { (i, j) =>
       outer(i * dim + j) / (n - 1.0) - mu(i) * mu(j)

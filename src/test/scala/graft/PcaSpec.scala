@@ -27,6 +27,28 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("trainWide (block-distributed moment merge) matches train (udaf moments)") {
+    // deterministic data with SEPARATED per-component variances, so the
+    // eigenvectors are numerically stable and the two accumulation paths
+    // (whose float merge order differs) must agree up to sign
+    import spark.implicits._
+    val dim = 16
+    val df = spark.range(0, 4000, 1, 8).map { id =>
+      val rn = new java.util.Random(555L + id)
+      (id, Seq.tabulate(dim)(i => (rn.nextGaussian() * (i + 1) + i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val a = LopqPca.train(df, "embedding", 8)
+    val b = LopqPca.trainWide(df, "embedding", 8)
+    for (i <- 0 until dim)
+      assert(math.abs(a.mu(i) - b.mu(i)) < 1e-9, s"mu($i): ${a.mu(i)} vs ${b.mu(i)}")
+    for (j <- 0 until a.pcaDims) {
+      var dot = 0.0
+      for (k <- 0 until dim) dot += a.p(j)(k) * b.p(j)(k)
+      assert(math.abs(math.abs(dot) - 1.0) < 1e-6,
+        s"column $j diverged: |cos| = ${math.abs(dot)}")
+    }
+  }
+
   test("projection captures the majority of variance") {
     val rows = e.select("embedding").collect().map(_.getSeq[Float](0).toArray)
     def totalVar(vs: Array[Array[Double]]): Double = {

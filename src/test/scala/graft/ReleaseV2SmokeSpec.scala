@@ -7,12 +7,13 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape, ReleaseShapeDef
 
 /** Release-MAGNITUDE smoke against the PERSISTED big indexes that
   * `Bench`/`BuildRelease` create once per workspace: v2 (V=1024/split →
-  * 1,048,576 cells, 268 MB tensor) and v3 (THE release model constants,
-  * V=4096/split → 16,777,216 cells, 536 MB tensor). Everything
-  * ReleaseShapeSpec pins at twin scale is re-pinned here at the real
-  * shapes: slim serve quality, pruned codes read, and per-query model
-  * transfer ≪ the tensor. Each test assume-skips when its index is not
-  * built in this workspace. */
+  * 1,048,576 cells, 268 MB tensor), v3 (THE release model constants,
+  * V=4096/split → 16,777,216 cells, 536 MB tensor) and v4 (v3's model over
+  * the release DEPLOYMENT corpus — 2M × raw 4096-d, rerank against the
+  * ~32 GB lookup-layout feature table). Everything ReleaseShapeSpec pins
+  * at twin scale is re-pinned here at the real shapes: slim serve quality,
+  * pruned codes read, and per-query model transfer ≪ the tensor. Each test
+  * assume-skips when its index is not built in this workspace. */
 class ReleaseV2SmokeSpec extends SparkSpec {
 
   private def indexPresent(s: ReleaseShapeDef): Boolean =
@@ -24,7 +25,13 @@ class ReleaseV2SmokeSpec extends SparkSpec {
     LopqIndexStore.loadSlim(spark, s.dir).get
   }
 
-  for (s <- Seq(ReleaseShape.V2, ReleaseShape.V3)) {
+  for (s <- Seq(ReleaseShape.V2, ReleaseShape.V3, ReleaseShape.V4)) {
+    // the Scan rerank shape streams the whole vectors table — a fine
+    // end-to-end probe at v2/v3's ~1.2 GB, not a test-sized plan at v4's
+    // ~32 GB (where ONLY the lookup shape is viable, which is the point)
+    val scanShapeTestSized = s.n * s.rawDim * 4L < (4L << 30)
+    // lookup rerank against 32 GB adds real per-query cost at local[4]
+    val warmBudgetSec = if (scanShapeTestSized) 2.0 else 3.0
 
     test(s"${s.name}: slim search retrieves the query itself at ~zero distance") {
       assume(indexPresent(s), s"${s.name} not built in this workspace")
@@ -57,18 +64,32 @@ class ReleaseV2SmokeSpec extends SparkSpec {
       info(f"visited cells=${cells.size}, clusters=${keys.size}, " +
         f"slice rows=${fetched.length} of $totalRotRows (${ratio * 100}%.2f%%)")
       assert(ratio <= 0.2, s"per-query slice read fetched $ratio of the tensor")
-      // and the executed codes read prunes at the bucket/file level (Scan
-      // rerank shape: in the benched Lookup shape the approx stage executes
-      // eagerly inside searchSlim, so its scan isn't in the returned plan)
-      val approx = LopqSearcher.searchSlim(idx,
-        ReleaseShape.vectors(spark, s.dir), "vec_id", "embedding",
-        ReleaseShape.rowVecFor(s, 997L), ReleaseShape.Quota, 10, 10,
-        rerankShape = graft.engine.RerankShape.Scan)
-      approx.collect()
-      val scans = fileScans(approx.queryExecution.executedPlan)
-      assert(scans.nonEmpty)
-      val codesScan = scans.filter(_.output.exists(_.name == "fine"))
-      assert(codesScan.nonEmpty, scans.map(_.toString.take(100)).mkString("\n"))
+      // and the executed codes read prunes at the bucket/file level
+      val codesScan =
+        if (scanShapeTestSized) {
+          // Scan rerank shape: in the benched Lookup shape the approx stage
+          // executes eagerly inside searchSlim, so its scan isn't in the
+          // returned plan — the Scan shape exposes it end-to-end
+          val approx = LopqSearcher.searchSlim(idx,
+            ReleaseShape.vectors(spark, s.dir), "vec_id", "embedding",
+            ReleaseShape.rowVecFor(s, 997L), ReleaseShape.Quota, 10, 10,
+            rerankShape = graft.engine.RerankShape.Scan)
+          approx.collect()
+          val scans = fileScans(approx.queryExecution.executedPlan)
+          assert(scans.nonEmpty)
+          val cs = scans.filter(_.output.exists(_.name == "fine"))
+          assert(cs.nonEmpty, scans.map(_.toString.take(100)).mkString("\n"))
+          cs
+        } else {
+          // v4: pin the same WHERE the search pushes, on the codes directly
+          LopqSearcher.ensureInPushdown(spark, cells.size)
+          val pruned = idx.codes.where(
+            LopqIndexStore.cellFilter(cells, idx.cellBuckets))
+          pruned.collect()
+          val cs = fileScans(pruned.queryExecution.executedPlan)
+          assert(cs.nonEmpty)
+          cs
+        }
       val filesRead = codesScan.map(_.metrics("numFiles").value).sum
       info(s"codes files read: $filesRead")
       assert(filesRead > 0 && filesRead <= s.cellBuckets / 2,
@@ -114,7 +135,8 @@ class ReleaseV2SmokeSpec extends SparkSpec {
       }
       val med = times.sorted.apply(2)
       info(f"warm per-query (local[4]): median $med%.2f s (passes ${times.map(t => f"$t%.2f").mkString(", ")})")
-      assert(med <= 2.0, f"warm median $med%.2f s/query at local[4] — plan regression, not noise")
+      assert(med <= warmBudgetSec,
+        f"warm median $med%.2f s/query at local[4] — plan regression, not noise")
     }
 
     /** At this corpus geometry each synthetic center has ~586 members whose
