@@ -139,6 +139,37 @@ object Bench {
         val idx = ReleaseShape.ensureSlim(spark, ReleaseShape.V2)
         qid => ReleaseShape.searchSlim(spark, ReleaseShape.V2, idx, qid)
       })) ++ {
+      // the set-oriented ANN join at release shape (VERDICT r7 next-round
+      // #4): 1000 probe vectors answered through ONE plan against the v2
+      // index — the row value is the WHOLE batch, so ms/query is value/1000.
+      // Each pass runs the full batch path (per-query cell walk, cell-union
+      // agg, slice fetch, one codes join, windows); the index handle — and
+      // the model/histogram broadcasts hoisted onto it — is shared across
+      // passes like a resident bulk service would hold it.
+      val AnnJoinQueries = 1000
+      Seq(try {
+        graft.functions.GraftFunctions.register(spark)
+        val idx = ReleaseShape.ensureSlim(spark, ReleaseShape.V2)
+        timeRow("annjoin_release_v2") { () =>
+          try {
+            // unpersist only the batch cache THIS pass created
+            val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+            ReleaseShape.annJoinFor(spark, ReleaseShape.V2, idx, AnnJoinQueries)
+              .write.format("noop").mode("overwrite").save()
+            spark.sparkContext.getPersistentRDDs
+              .filterNot { case (id, _) => cachedBefore(id) }
+              .values.foreach(_.unpersist(blocking = false))
+            Right(())
+          } catch { case e: Throwable =>
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        }
+      } catch {
+        case e: Throwable =>
+          errors("annjoin_release_v2") =
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          "annjoin_release_v2" -> -1.0
+      })
+    } ++ {
       // v3 = THE release model constants (V=4096/split → 16.7M cells,
       // 536 MB tensor). Its offline build needs a >8g driver
       // (`runMain graft.BuildRelease v3`, once per workspace), so the row
@@ -171,8 +202,21 @@ object Bench {
       // the regime where a per-query streaming scan is impossible. Staged
       // once via `runMain graft.BuildRelease wide`; row appears when present.
       if (ReleaseShape.wideStaged(spark))
-        Seq(releaseRow("release_rerank_wide", () =>
-          qid => ReleaseShape.rerankWide(spark, qid)))
+        Seq(releaseRow("release_rerank_wide", () => {
+          graft.functions.GraftFunctions.register(spark)
+          qid => ReleaseShape.rerankWide(spark, qid)
+        }))
+      else Seq.empty
+    } ++ {
+      // rerank-only at the TRUE release width (VERDICT r7 next-round #6):
+      // 4096-d against v4's ~32 GB lookup-layout table — the pure rerank
+      // budget inside release_ann_v4's mixed approx+rerank row.
+      val v4 = ReleaseShape.V4
+      if (new java.io.File(s"${v4.dir}/vectors/_SUCCESS").isFile)
+        Seq(releaseRow("release_rerank_v4", () => {
+          graft.functions.GraftFunctions.register(spark)
+          qid => ReleaseShape.rerankV4(spark, qid)
+        }))
       else Seq.empty
     }
     val results = catalogResults ++ releaseResults

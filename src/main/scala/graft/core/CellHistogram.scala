@@ -75,7 +75,14 @@ final class CellHistogram private (
   private def runSelection(cap: Int, v: Int, d0: Array[Double],
       d1: Array[Double]): CellSelection = {
     val n = cellIds.length
-    if (n < CellHistogram.ParallelThreshold) {
+    // Executor-side calls (the batch ANN join runs this walk inside a UDF,
+    // one per query row) stay single-threaded: every task fanning its scan
+    // onto the shared commonPool would oversubscribe executor CPU for zero
+    // wall-clock win — the tasks themselves are already the parallelism
+    // (ADVICE r7). Identical results either way (the parallel merge is
+    // order-independent by construction, spec-pinned).
+    val onExecutor = org.apache.spark.TaskContext.get() != null
+    if (onExecutor || n < CellHistogram.ParallelThreshold) {
       val s = new CellSelection(cap)
       scanRange(s, v, d0, d1, 0, n)
       s

@@ -148,7 +148,15 @@ object LopqSearcher {
     * 16 GB release-width table decoded 98 % of its rows). Every point-
     * lookup shape in the engine raises the threshold to cover its actual
     * list size; monotone — never lowered — so concurrent queries only gain
-    * pruning. */
+    * pruning.
+    *
+    * SESSION-WIDE side effect, deliberately: the raised threshold outlives
+    * the query and changes IN-pushdown for every other plan on the session
+    * (always toward more pushdown — an unrelated small IN that previously
+    * became a row-group range filter now pushes as literals, never less
+    * pruning). The check-then-set is racy under concurrent queries but
+    * benign for the same reason: both interleavings leave the conf at one
+    * of the requested values, and both are ≥ the old one (ADVICE r7). */
   private[graft] def ensureInPushdown(spark: org.apache.spark.sql.SparkSession,
       needed: Int): Unit = {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
@@ -222,6 +230,18 @@ object LopqSearcher {
   val AnnJoinMaxPushedCellsConf = "spark.graft.annjoin.maxPushedCells"
   val DefaultAnnJoinMaxPushedCells = 65536
 
+  /** Conf: estimated bytes of materialized per-(query, visited cell) ADC
+    * tables above which [[annJoin]] ships the cell-local query PROJECTION
+    * (D floats per pair) through the join instead of the tables (M·S
+    * doubles per pair) — VERDICT r7 "What's wrong #3": at a million-probe
+    * batch the table payload is hundreds of GB of shuffle while the
+    * projections are O(batch pairs · D). Under the threshold the tables
+    * ride a broadcast and the per-row distance is the codegen'd O(M)
+    * lookup-sum; over it, rows pay an O(D) direct sum instead — the right
+    * trade exactly when the pair count is large. */
+  val AnnJoinShipTablesMaxBytesConf = "spark.graft.annjoin.shipTablesMaxBytes"
+  val DefaultAnnJoinShipTablesMaxBytes: Long = 64L << 20
+
   /** SET-ORIENTED ANN similarity join — every query row of `queries` gets
     * its top-`k` neighbours from the index in ONE shuffle-joined plan, no
     * per-query driver loop (SURVEY §7.1 north-star `similarity_join`; the
@@ -240,11 +260,15 @@ object LopqSearcher {
     *      (O(batch-touched clusters · (D/2)²) transfer — a batch visiting
     *      every cluster degrades to streaming the tensor once, exactly like
     *      the slim-encode backfill);
-    *   3. one distributed pass building the per-(q_id, visited cell) ADC
-    *      tables from the broadcast slices;
+    *   3. one distributed pass building the per-(q_id, visited cell) query
+    *      payload from the broadcast slices — materialized ADC tables
+    *      (M·S doubles/pair, O(M) codegen lookup-sum per row) while the
+    *      estimated payload fits [[AnnJoinShipTablesMaxBytesConf]], the
+    *      cell-local query PROJECTION (D floats/pair, O(D) direct sum per
+    *      row) past it, so the shuffle stays O(pairs·D) at any batch size;
     *   4. ONE equi-join of the (bucket/partition-pruned, IN-pushed) codes
-    *      scan against the tables on `cell_id` (Catalyst broadcasts the
-    *      query side while it is small), ADC lookup-sum, per-query
+    *      scan against that payload on `cell_id` (Catalyst broadcasts the
+    *      query side while it is small), per-row ADC distance, per-query
     *      top-`rerankK` window;
     *   5. exact rerank: equi-join candidates back to `vectors` by id and to
     *      the raw queries by q_id, per-query top-`k` window.
@@ -261,9 +285,11 @@ object LopqSearcher {
       quota: Int, k: Int, rerankK: Int): DataFrame = {
     val spark = index.codes.sparkSession
     import spark.implicits._
-    val slimB = spark.sparkContext.broadcast(index.slim)
-    val histB = spark.sparkContext.broadcast(index.cellCounts)
-    val pcaB = spark.sparkContext.broadcast(index.pca)
+    // model/histogram/PCA broadcasts live on the HANDLE — repeated annJoin
+    // calls against one index reuse them (VERDICT r7 next-round #4)
+    val slimB = index.slimBroadcast
+    val histB = index.histBroadcast
+    val pcaB = index.pcaBroadcast
     val vCoarse = index.slim.v
 
     val walkU = udf { (vec: Seq[Float]) =>
@@ -278,26 +304,19 @@ object LopqSearcher {
       .select(col("q_id"), col("q_vec"), col("w._1").as("aq"), col("w._2").as("cells"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // the batch's visited-cell union: driver-bounded by the POPULATED cell
-    // count, not by the query count
-    val unionCells = qcells.select(explode(col("cells")).as("cell_id"))
-      .distinct().as[Int].collect().sorted
+    // the batch's visited-cell union (driver-bounded by the POPULATED cell
+    // count, not by the query count) + the (query, cell) pair count that
+    // decides the ship mode — one aggregation for both
+    val cellRows = qcells.select(explode(col("cells")).as("cell_id"))
+      .groupBy("cell_id").count().as[(Int, Long)].collect()
+    val unionCells = cellRows.map(_._1).sorted
+    val nPairs = cellRows.map(_._2).sum
     val clusterKeys = unionCells.flatMap { c =>
       val (c0, c1) = CellMath.unpackCell(c, vCoarse)
       Seq((0, c0), (1, c1))
     }.distinct.toSeq
     val rotB = spark.sparkContext.broadcast(
       LopqIndexStore.rotationSlices(spark, index.dir, clusterKeys))
-
-    val tablesU = udf { (aq: Seq[Float], cell: Int) =>
-      val cc = CellMath.unpackCell(cell, vCoarse)
-      slimB.value.adcTables(aq.toArray, cc, (s, c) => rotB.value((s, c)))
-        .map(_.toSeq).toSeq
-    }
-    val qadc = qcells
-      .select(col("q_id"), col("aq"), explode(col("cells")).as("cell_id"))
-      .withColumn("adc_tables", tablesU(col("aq"), col("cell_id")))
-      .select("q_id", "cell_id", "adc_tables")
 
     val maxPushed = spark.conf
       .get(AnnJoinMaxPushedCellsConf, DefaultAnnJoinMaxPushedCells.toString).toInt
@@ -309,11 +328,46 @@ object LopqSearcher {
           index.cellBuckets))
       else index.codes
 
+    // Ship mode (VERDICT r7 "What's wrong #3"): materialized ADC tables are
+    // M·S doubles per (query, cell) pair — broadcast-friendly for a small
+    // batch, hundreds of GB of shuffle at a million-probe one. Past the
+    // threshold ship the cell-local query projection instead (D floats per
+    // pair) and pay an O(D) per-row direct sum — bit-identical results
+    // (spec-pinned; see [[SlimLopqModel.adcDistanceFromProjection]]).
+    val sClusters = index.slim.subquantizers(0)(0).length
+    val tableBytesEst = nPairs * index.slim.m.toLong * sClusters * 8L
+    val shipTables = tableBytesEst <= spark.conf
+      .get(AnnJoinShipTablesMaxBytesConf, DefaultAnnJoinShipTablesMaxBytes.toString).toLong
+    val qpairs = qcells
+      .select(col("q_id"), col("aq"), explode(col("cells")).as("cell_id"))
+    val (qside, adcCol) =
+      if (shipTables) {
+        val tablesU = udf { (aq: Seq[Float], cell: Int) =>
+          val cc = CellMath.unpackCell(cell, vCoarse)
+          slimB.value.adcTables(aq.toArray, cc, (s, c) => rotB.value((s, c)))
+            .map(_.toSeq).toSeq
+        }
+        (qpairs.withColumn("adc_tables", tablesU(col("aq"), col("cell_id")))
+           .select("q_id", "cell_id", "adc_tables"),
+         VectorFunctions.adcDistance(col("fine"), col("adc_tables")))
+      } else {
+        val projU = udf { (aq: Seq[Float], cell: Int) =>
+          val cc = CellMath.unpackCell(cell, vCoarse)
+          slimB.value.projectWith(aq.toArray, cc, (s, c) => rotB.value((s, c))).toSeq
+        }
+        val adcU = udf { (fine: Seq[Short], px: Seq[Float]) =>
+          slimB.value.adcDistanceFromProjection(px.toArray, fine.toArray)
+        }
+        (qpairs.withColumn("px", projU(col("aq"), col("cell_id")))
+           .select("q_id", "cell_id", "px"),
+         adcU(col("fine"), col("px")))
+      }
+
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adc_dist"), col("id"))
     val cand = pruned
-      .join(qadc, "cell_id")
-      .withColumn("adc_dist", VectorFunctions.adcDistance(col("fine"), col("adc_tables")))
+      .join(qside, "cell_id")
+      .withColumn("adc_dist", adcCol)
       .withColumn("arnk", row_number().over(wApprox))
       .where(col("arnk") <= rerankK)
       .select("q_id", "id", "adc_dist")
