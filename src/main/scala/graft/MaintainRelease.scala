@@ -31,6 +31,10 @@ object MaintainRelease {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // recentProgress retains only this many entries (default ~100); at
+      // hundreds of batches the first-half/second-half flatness comparison
+      // would silently cover just the tail (ADVICE r7)
+      .config("spark.sql.streaming.numRecentProgressUpdates", (nBatches + 16).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

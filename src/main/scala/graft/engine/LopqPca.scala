@@ -91,15 +91,20 @@ object LopqPca {
     val nBlocks = (dim + rowsPerBlock - 1) / rowsPerBlock
     val parts = math.min(df.rdd.getNumPartitions,
       df.sparkSession.sparkContext.defaultParallelism)
-    val slices = df.select(col(vecCol)).coalesce(parts).rdd.mapPartitions { it =>
+    // cast like [[train]] does, so the twin accepts array<float> AND
+    // array<double> with identical math (ADVICE r7: the raw getSeq[Float]
+    // read threw ClassCastException on a double column; float→double cast
+    // is exact, so float-column results are unchanged)
+    val slices = df.select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .coalesce(parts).rdd.mapPartitions { it =>
       var count = 0L
       val sum = new Array[Double](dim)
       val outer = new Array[Double](dim * dim)
       val x = new Array[Double](dim)
       it.foreach { row =>
-        val v = row.getSeq[Float](0)
+        val v = row.getSeq[Double](0)
         var i = 0
-        while (i < dim) { x(i) = v(i).toDouble; i += 1 }
+        while (i < dim) { x(i) = v(i); i += 1 }
         count += 1L
         i = 0
         while (i < dim) {
