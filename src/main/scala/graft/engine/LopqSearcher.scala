@@ -242,6 +242,19 @@ object LopqSearcher {
   val AnnJoinShipTablesMaxBytesConf = "spark.graft.annjoin.shipTablesMaxBytes"
   val DefaultAnnJoinShipTablesMaxBytes: Long = 64L << 20
 
+  /** Conf: candidate-id cap under which [[annJoin]]'s exact rerank reads a
+    * lookup-threshold vector table through a PUSHED id IN-list (the
+    * per-query path's [[RerankShape.Lookup]] shape) instead of joining the
+    * full table. Without it a plain `cand ⋈ vectors` has no usable size
+    * estimate on the candidate side, so Catalyst sort-merges — i.e.
+    * SHUFFLES the entire table (32 GB at the release deployment shape) to
+    * rerank a few hundred bounded candidates. Past the cap (a million-probe
+    * batch holds ~batch·rerankK candidate ids — no IN-list can carry that)
+    * the shuffle join IS the right distributed plan and remains the
+    * fallback. */
+  val AnnJoinMaxLookupIdsConf = "spark.graft.annjoin.maxLookupIds"
+  val DefaultAnnJoinMaxLookupIds = 65536
+
   /** SET-ORIENTED ANN similarity join — every query row of `queries` gets
     * its top-`k` neighbours from the index in ONE shuffle-joined plan, no
     * per-query driver loop (SURVEY §7.1 north-star `similarity_join`; the
@@ -270,7 +283,12 @@ object LopqSearcher {
     *      scan against that payload on `cell_id` (Catalyst broadcasts the
     *      query side while it is small), per-row ADC distance, per-query
     *      top-`rerankK` window;
-    *   5. exact rerank: equi-join candidates back to `vectors` by id and to
+    *   5. exact rerank: candidates back to `vectors` by id — through the
+    *      per-query path's pushed-IN-list lookup when the table is
+    *      lookup-sized and the batch's candidate-id set fits
+    *      [[AnnJoinMaxLookupIdsConf]] (point lookups, not a 32 GB table
+    *      shuffle), a plain equi-join otherwise (the only plan that works
+    *      when the batch itself holds millions of candidate ids) — then to
     *      the raw queries by q_id, per-query top-`k` window.
     *
     * Result: `(q_id, rank, id, adc_dist, exact_dist)` — per query
@@ -374,8 +392,32 @@ object LopqSearcher {
 
     val wExact = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("exact_dist"), col("id"))
-    cand
-      .join(vectors.select(col(idCol).as("id"), col(vecCol).as("n_vec")), "id")
+    // Rerank read shape, adaptive like the per-query path (RerankShape.Auto):
+    // against a lookup-threshold table, a bounded batch's candidate ids
+    // (≤ queries·rerankK) are collected once from the persisted candidate
+    // set and PUSHED into the vector scan as an IN-list — only matching row
+    // groups decode, instead of Catalyst sort-merge-shuffling the whole
+    // table against a candidate side it cannot size. A batch too large for
+    // an IN-list falls back to the equi-join, the correct plan at that
+    // scale.
+    val vecSide = vectors.select(col(idCol).as("id"), col(vecCol).as("n_vec"))
+    val maxLookupIds = spark.conf
+      .get(AnnJoinMaxLookupIdsConf, DefaultAnnJoinMaxLookupIds.toString).toLong
+    // the count-job (cheap — qcells is cached) is only paid when the table
+    // is lookup-threshold; scan-mode plans keep their fixed job count
+    val rerankJoined =
+      if (RerankShape.useLookup(vectors, RerankShape.Auto) &&
+          qcells.count() * rerankK <= maxLookupIds) {
+        val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ids = candP.select("id").distinct().collect().map(_.get(0))
+        ensureInPushdown(spark, ids.length)
+        val pruned =
+          if (ids.isEmpty) vecSide.where(lit(false))
+          else vecSide.where(col("id").isin(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(ids): _*))
+        pruned.join(broadcast(candP), "id")
+      } else cand.join(vecSide, "id")
+    rerankJoined
       .join(qcells.select(col("q_id"), col("q_vec")), "q_id")
       .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(col("q_vec"), col("n_vec"))))
       .withColumn("rank", row_number().over(wExact).cast("long"))

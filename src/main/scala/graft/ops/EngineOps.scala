@@ -258,6 +258,9 @@ object EngineOps {
       // the slim serve path answers the SAME queries — one oracle, two
       // physical paths (full-model broadcast vs per-query rotation slices)
       oracleStash("q69_lopq_ann_slim") = oracleStash("q34_lopq_ann")
+      // ...and the STREAMED batch answers the q70 queries through the same
+      // join semantics, one micro-batch at a time — same oracle again
+      oracleStash("q71_stream_ann") = oracleStash("q70_ann_join")
 
       oracleStash("q35_lopq_recall") =
         s"""$annCtes,
@@ -410,6 +413,57 @@ object EngineOps {
       },
       stashed("q70_ann_join"),
       bench = true,
+      dependsOnIndex = true),
+
+    // STREAMING ANN serve: the same 100-query batch arrives as a STREAM of
+    // probe vectors (4 staged files → 4 micro-batches) and each micro-batch
+    // is answered by one set-oriented annJoin against the resident index —
+    // the Structured-Streaming form of the reference's query service loop
+    // (api/api.py answers probes one at a time per HTTP request; here the
+    // stream IS the request queue and each trigger is a bulk answer).
+    // Per-query results are bit-identical regardless of batch composition
+    // (AnnJoinSpec pins annJoin == per-query slim search), so the drained
+    // union is hash-gated against the SAME generated oracle as q70.
+    QueryDef(
+      "q71_stream_ann",
+      (s, d) => {
+        ensureOracle(s, d)
+        index(s, d) // build/persist before loading slim
+        val slim = LopqIndexStore.loadSlim(s, indexDir(d)).get
+        val e = t(s, d, "embeddings")
+        val staged = indexDir(d) + "_annstream_src"
+        val outDir = indexDir(d) + "_annstream_out"
+        deleteDir(s, staged); deleteDir(s, outDir)
+        val q = e.where(col("vec_id") < NumJoinQueries)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        // four staged files + maxFilesPerTrigger=1 → four real micro-batches
+        (0 until 4).foreach { i =>
+          q.where(col("q_id") % 4 === i).repartition(1)
+            .write.mode(SaveMode.Append).parquet(staged)
+        }
+        val src = s.readStream.schema(q.schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        src.writeStream
+          .option("checkpointLocation", outDir + "/_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val cachedBefore = s.sparkContext.getPersistentRDDs.keySet
+            LopqSearcher.annJoin(slim, batch, "q_id", "embedding",
+              e, "vec_id", "embedding", Quota, TopK, RerankK)
+              .write.mode(SaveMode.Append).parquet(outDir + "/results")
+            // drop only the per-batch qcells cache annJoin created
+            s.sparkContext.getPersistentRDDs
+              .filterNot { case (id, _) => cachedBefore(id) }
+              .values.foreach(_.unpersist(blocking = false))
+          }
+          .start().awaitTermination()
+        s.read.parquet(outDir + "/results")
+          .select(col("q_id"), col("rank"), col("id").as("n_id"),
+            round(col("adc_dist"), 6).as("adc_dist"),
+            round(col("exact_dist"), 6).as("exact_dist"))
+          .orderBy("q_id", "rank")
+      },
+      stashed("q71_stream_ann"),
       dependsOnIndex = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.engine.{LopqIndexStore, LopqParams, LopqSearcher, LopqTrainer}
+import graft.engine.{LopqIndexStore, LopqParams, LopqSearcher, LopqTrainer, RerankShape}
 import graft.ops.Tables
 
 /** The set-oriented ANN similarity join must be (a) per-query BIT-IDENTICAL
@@ -180,6 +180,46 @@ class AnnJoinSpec extends SparkSpec {
     // to ~0 because the warm path would pay them too
     assert(cold - warm >= 2 && cold - warm <= 4,
       s"fresh-handle overhead should be ~the 3 hoisted broadcasts: warm=$warm cold=$cold")
+  }
+
+  /** VERDICT r8 (found by the release-shape parity run): a lookup-threshold
+    * vector table must be reranked through the pushed id IN-list — the plain
+    * `cand ⋈ vectors` gives Catalyst no size estimate on the candidate side,
+    * so it sort-merge-SHUFFLES the whole table (32 GB at release deployment
+    * shape — ran the test machine out of disk) to rerank a few hundred
+    * bounded candidates. Results must be bit-identical in all three shapes:
+    * scan join, pushed-IN lookup, and the huge-batch fallback join. */
+  test("lookup-threshold vectors rerank via a pushed id IN-list, fallback join past the id cap") {
+    val base = joinResults(7)
+    val e = Tables(spark, sf, "embeddings")
+    val queries = e.where(col("vec_id") < 7)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def run(): (Seq[(Long, Long, Long, Double, Double)], String) = {
+      val df = LopqSearcher.annJoin(built, queries, "q_id", "embedding",
+        e, "vec_id", "embedding", Quota, TopK, RerankK)
+      val rows = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      (rows, df.queryExecution.executedPlan.toString)
+    }
+    spark.conf.set(RerankShape.ThresholdConf, "0") // everything is lookup-sized
+    try {
+      val (lookupRows, lookupPlan) = run()
+      assert(lookupRows === base)
+      assert(lookupPlan.contains("PushedFilters: [In(vec_id"),
+        "lookup rerank did not push the candidate id IN-list into the vector scan:\n" +
+          lookupPlan.take(3000))
+      // past the id cap no IN-list can carry the batch — the equi-join is
+      // the correct distributed plan and must kick back in
+      spark.conf.set(LopqSearcher.AnnJoinMaxLookupIdsConf, "0")
+      val (fallbackRows, fallbackPlan) = run()
+      assert(fallbackRows === base)
+      assert(!fallbackPlan.contains("PushedFilters: [In(vec_id"),
+        "fallback join unexpectedly pushed an id IN-list")
+    } finally {
+      spark.conf.unset(RerankShape.ThresholdConf)
+      spark.conf.unset(LopqSearcher.AnnJoinMaxLookupIdsConf)
+    }
   }
 
   test("a query with no reachable cells simply yields no rows") {

@@ -143,6 +143,35 @@ class ReleaseV2SmokeSpec extends SparkSpec {
         f"warm median $med%.2f s/query at local[4] — plan regression, not noise")
     }
 
+    /** The set-oriented batch path at THIS shape: annJoin answers a probe
+      * batch through one plan, per query bit-identical to the serial slim
+      * search — AnnJoinSpec pins this at twin scale; re-pinned here against
+      * the release index (both ship modes, so the projection path that a
+      * million-probe batch would take is equality-gated at release shape
+      * too). */
+    test(s"${s.name}: batched annJoin ≡ per-query slim search, both ship modes") {
+      assume(indexPresent(s), s"${s.name} not built in this workspace")
+      val idx = slimOf(s)
+      val n = 4
+      def joined(): Seq[(Long, Long, Long, Double, Double)] =
+        ReleaseShape.annJoinFor(spark, s, idx, n).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val batched = joined()
+      val perQuery = (0L until n.toLong).flatMap { qid =>
+        ReleaseShape.searchSlim(spark, s, idx, qid).collect().zipWithIndex
+          .map { case (r, i) =>
+            (qid, (i + 1).toLong, r.getLong(0), r.getDouble(1), r.getDouble(2))
+          }
+      }.sortBy(t => (t._1, t._2))
+      assert(batched === perQuery)
+      // force PROJECTION ship mode (the million-probe path) — bit-identical
+      spark.conf.set(LopqSearcher.AnnJoinShipTablesMaxBytesConf, "0")
+      try assert(joined() === batched)
+      finally spark.conf.unset(LopqSearcher.AnnJoinShipTablesMaxBytesConf)
+    }
+
     /** At this corpus geometry each synthetic center has ~586 members whose
       * pairwise distances differ only by noise — ordering WITHIN a center is
       * unrankable by construction (for any ANN reranking 100 of quota 10000,
