@@ -9,6 +9,13 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   * slice fetch, ADC-table build, approx scan, rerank) — where does a
   * release-shape query's latency actually go?
   * Usage: runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
+  *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
+  *
+  * `annjoin` mode times the SET-ORIENTED batch path at each given batch
+  * size (default 250 1000 2000) against the chosen release index — the
+  * amortized ms/query across sizes is the flat-scaling evidence for the
+  * bulk-probe regime (`annjoin_release_v2` records the 1000-probe point;
+  * this probe shows the trend around it).
   *
   * `histogram` mode instead times [[graft.core.CellHistogram.selectCells]]
   * on a synthetic FULLY-SATURATED release grid (V=4096/split → 16.7M
@@ -37,8 +44,50 @@ object ProbeRelease {
     }
   }
 
+  /** Batch-path flat-scaling probe: one annJoin per batch size, amortized
+    * ms/query printed per pass (handle — and its hoisted broadcasts —
+    * shared across passes like a resident bulk service). */
+  private def probeAnnJoin(shapeArg: Option[String], sizes: Seq[Int]): Unit = {
+    val s = shapeArg match {
+      case Some("v3") => ReleaseShape.V3
+      case _ => ReleaseShape.V2
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val idx = LopqIndexStore.loadSlim(spark, s.dir).get
+    sizes.foreach { n =>
+      (1 to 3).foreach { pass =>
+        val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+        val t0 = System.nanoTime()
+        ReleaseShape.annJoinFor(spark, s, idx, n)
+          .write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => cachedBefore(id) }
+          .values.foreach(_.unpersist(blocking = false))
+        println(f"[probe-release] annjoin ${s.name} n=$n%-6d pass $pass " +
+          f"${sec}%7.2f s total  ${sec * 1000 / n}%7.2f ms/query")
+      }
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
+    if (args.headOption.contains("annjoin")) {
+      val rest = args.drop(1)
+      val (shapeArg, sizeArgs) = rest.partition(a => a == "v2" || a == "v3")
+      val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq.map(_.toInt)
+                  else Seq(250, 1000, 2000)
+      probeAnnJoin(shapeArg.headOption, sizes)
+      return
+    }
     val s = args.headOption.getOrElse("v3") match {
       case "v2" => ReleaseShape.V2
       case _ => ReleaseShape.V3

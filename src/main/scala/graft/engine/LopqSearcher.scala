@@ -157,11 +157,25 @@ object LopqSearcher {
     * pruning). The check-then-set is racy under concurrent queries but
     * benign for the same reason: both interleavings leave the conf at one
     * of the requested values, and both are ≥ the old one (ADVICE r7). */
+  /** Parquet evaluates a pushed IN as a left-nested OR chain in its filter
+    * predicate, recursing once per literal — past a few thousand values the
+    * evaluation overflows a default 1 MB executor thread stack (observed
+    * INTERMITTENTLY at ~20k literals: the same plan ran clean in one bench
+    * pass and killed every task of the stage in the next, r8). The ratchet
+    * therefore never raises the threshold past this bound; a larger IN-list
+    * simply stays Spark-side (hash-set `In`/`InSet`, stack-safe, codegen'd)
+    * and disk pruning falls back to the partition/bucket level, which is
+    * evaluated by Catalyst — not parquet — and is unaffected. Small lists
+    * (every per-query path: visited cells, rerank prefixes) keep full
+    * row-group pruning. */
+  val MaxStackSafeInPushdown = 2048
+
   private[graft] def ensureInPushdown(spark: org.apache.spark.sql.SparkSession,
       needed: Int): Unit = {
     val key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val target = math.min(needed, MaxStackSafeInPushdown)
     val cur = spark.conf.get(key, "10").toInt
-    if (cur < needed) spark.conf.set(key, needed.toString)
+    if (cur < target) spark.conf.set(key, target.toString)
   }
 
   /** The cluster side of the approximate stage, shared by the full-model
@@ -253,7 +267,16 @@ object LopqSearcher {
     * the shuffle join IS the right distributed plan and remains the
     * fallback. */
   val AnnJoinMaxLookupIdsConf = "spark.graft.annjoin.maxLookupIds"
-  val DefaultAnnJoinMaxLookupIds = 65536
+  val DefaultAnnJoinMaxLookupIds: Int = MaxStackSafeInPushdown
+
+  /** Conf: candidate-row cap for the middle rerank regime — too many ids
+    * for a pushed IN-list, small enough to broadcast. The candidate side
+    * rides a broadcast and the vector table STREAMS through the join (one
+    * scan, zero shuffle of the table); only past this does the rerank pay
+    * the full shuffle join, which at that candidate count is the correct
+    * distributed plan. */
+  val AnnJoinBroadcastCandMaxRowsConf = "spark.graft.annjoin.broadcastCandMaxRows"
+  val DefaultAnnJoinBroadcastCandMaxRows: Long = 4L << 20
 
   /** SET-ORIENTED ANN similarity join — every query row of `queries` gets
     * its top-`k` neighbours from the index in ONE shuffle-joined plan, no
@@ -403,11 +426,15 @@ object LopqSearcher {
     val vecSide = vectors.select(col(idCol).as("id"), col(vecCol).as("n_vec"))
     val maxLookupIds = spark.conf
       .get(AnnJoinMaxLookupIdsConf, DefaultAnnJoinMaxLookupIds.toString).toLong
+    val maxBcastCand = spark.conf
+      .get(AnnJoinBroadcastCandMaxRowsConf, DefaultAnnJoinBroadcastCandMaxRows.toString).toLong
     // the count-job (cheap — qcells is cached) is only paid when the table
     // is lookup-threshold; scan-mode plans keep their fixed job count
+    lazy val candBound = qcells.count() * rerankK
     val rerankJoined =
-      if (RerankShape.useLookup(vectors, RerankShape.Auto) &&
-          qcells.count() * rerankK <= maxLookupIds) {
+      if (!RerankShape.useLookup(vectors, RerankShape.Auto))
+        cand.join(vecSide, "id") // table streams comfortably — Catalyst picks
+      else if (candBound <= maxLookupIds) {
         val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ids = candP.select("id").distinct().collect().map(_.get(0))
         ensureInPushdown(spark, ids.length)
@@ -416,7 +443,11 @@ object LopqSearcher {
           else vecSide.where(col("id").isin(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(ids): _*))
         pruned.join(broadcast(candP), "id")
-      } else cand.join(vecSide, "id")
+      } else if (candBound <= maxBcastCand)
+        // middle regime: candidates broadcast, the big table STREAMS through
+        // the join — one scan, no shuffle of the table
+        vecSide.join(broadcast(cand), "id")
+      else cand.join(vecSide, "id") // genuinely huge batch: shuffle join
     rerankJoined
       .join(qcells.select(col("q_id"), col("q_vec")), "q_id")
       .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(col("q_vec"), col("n_vec"))))

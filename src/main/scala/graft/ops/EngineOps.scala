@@ -113,6 +113,15 @@ object EngineOps {
     * through ONE set-oriented plan instead of a driver loop. */
   private val NumJoinQueries = 100
 
+  /** q73 dedup-pass constants: quota covers the whole grid (recall-1.0
+    * regime — the gate is exactness vs the all-pairs oracle), k/rerankK
+    * sized so every cosine-near-dup partner of a probe sits inside its
+    * exact-L2 top-k (empirically ~10 partners max on the test corpus;
+    * headroom is cheap because candidates are per-probe bounded). */
+  private val DedupQuota = 1000000
+  private val DedupK = 64
+  private val DedupRerankK = 128
+
   private def joinQueryVectors(s: SparkSession, d: String): Array[(Long, Array[Float])] =
     t(s, d, "embeddings").where(col("vec_id") < NumJoinQueries)
       .select("vec_id", "embedding").collect()
@@ -464,6 +473,47 @@ object EngineOps {
           .orderBy("q_id", "rank")
       },
       stashed("q71_stream_ann"),
+      dependsOnIndex = true),
+
+    // NEAR-DUP DEDUP PASS through the ANN join — the production-scale twin
+    // of q32's guarded all-pairs baseline and q33's LSH variant (one truth,
+    // three physical paths): every corpus vector probes the persisted LOPQ
+    // index through ONE annJoin plan; each probe's exact-reranked top-k are
+    // its candidate near-dups, verified with the same cosine threshold and
+    // deduped to (id_a < id_b) pairs. This is the reference's extraction
+    // dedup pass (`updater/extraction_checker.py:225-258`) at vector
+    // granularity, run set-oriented. Hash-gated against q32's EXACT
+    // all-pairs oracle — the gate asserts candidate-generation recall 1.0
+    // at this corpus/model scale (quota covers the full grid here; a
+    // production run trades quota for recall like any IVF index, and the
+    // LSH twin q33 carries the banded alternative).
+    QueryDef(
+      "q73_anndedup_pairs",
+      (s, d) => {
+        ensureOracle(s, d)
+        index(s, d) // build/persist before loading slim
+        val slim = LopqIndexStore.loadSlim(s, indexDir(d)).get
+        val e = t(s, d, "embeddings")
+        val queries = e.select(col("vec_id").as("q_id"), col("embedding"))
+        val cand = LopqSearcher.annJoin(slim, queries, "q_id", "embedding",
+            e, "vec_id", "embedding", DedupQuota, DedupK, DedupRerankK)
+          .where(col("id") =!= col("q_id"))
+          .select(least(col("q_id"), col("id")).as("id_a"),
+            greatest(col("q_id"), col("id")).as("id_b"))
+          .distinct()
+        val en = e.select(col("vec_id"), col("embedding"),
+          l2Norm(col("embedding")).as("nrm"))
+        val a = en.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+          col("nrm").as("na"))
+        val b = en.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+          col("nrm").as("nb"))
+        val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
+        cand.join(a, "id_a").join(b, "id_b")
+          .where(sim >= VectorQueries.NearDupSimThreshold)
+          .select(col("id_a"), col("id_b"), round(sim, 6).as("cos_sim"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(VectorQueries.nearDupPairsOracleSql),
       dependsOnIndex = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle

@@ -129,6 +129,48 @@ object TextOps {
       .select(col("id_a"), col("id_b"), j.as("jaccard"))
   }
 
+  /** Connected components over an undirected pair graph by min-label
+    * propagation to a fixpoint (shared by q63 and q72): each iteration is
+    * one join + grouped min, lineage truncated per step; iteration count is
+    * the component diameter (tiny for near-dup clusters), and at 100 TB
+    * this is the standard large/small-star CC schedule on a pair graph
+    * orders of magnitude smaller than the corpus. Returns `(id, comp)` with
+    * `comp` = the component's minimum member id. */
+  private def minLabelComponents(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val und = edges.unionAll(
+      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = und.select(col("id_a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var prevSum = -1L
+    var iter = 0
+    val MaxIters = 32
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("comp"))
+      .head().getLong(0)
+    while (sum != prevSum && iter < MaxIters) {
+      val nbrMin = und.join(labels, und("id_b") === labels("id"))
+        .groupBy(und("id_a")).agg(min("comp").as("nbr_comp"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("id_a"), "left")
+        .select(labels("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      prevSum = sum
+      labels = next
+      sum = labels.agg(org.apache.spark.sql.functions.sum("comp"))
+        .head().getLong(0)
+      iter += 1
+    }
+    // the cap is a runaway guard, not an expected exit: iteration count
+    // equals component diameter (single digits for near-dup clusters) —
+    // a silent truncation here would emit WRONG components (VERDICT r4
+    // hygiene), so converge-or-fail, never converge-or-guess
+    if (sum != prevSum)
+      sys.error(s"label propagation did not converge within $MaxIters " +
+        "iterations — component diameter exceeds the guard, raise MaxIters")
+    labels
+  }
+
   /** DuckDB twin of [[lshPairs]]: CTE chain ending in
     * `pairs(id_a, id_b, jaccard)`. */
   private def lshCtePrefix: String = {
@@ -463,38 +505,9 @@ object TextOps {
       "q63_dedup_components",
       (s, d) => {
         val edges = lshPairs(s, d).select("id_a", "id_b").localCheckpoint()
-        val und = edges.unionAll(
-          edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-          .localCheckpoint()
-        var labels = und.select(col("id_a").as("id")).distinct()
-          .select(col("id"), col("id").as("comp")).localCheckpoint()
-        var prevSum = -1L
-        var iter = 0
-        val MaxIters = 32
-        var sum = labels.agg(org.apache.spark.sql.functions.sum("comp"))
-          .head().getLong(0)
-        while (sum != prevSum && iter < MaxIters) {
-          val nbrMin = und.join(labels, und("id_b") === labels("id"))
-            .groupBy(und("id_a")).agg(min("comp").as("nbr_comp"))
-          val next = labels.join(nbrMin, labels("id") === nbrMin("id_a"), "left")
-            .select(labels("id"),
-              least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-            .localCheckpoint()
-          prevSum = sum
-          labels = next
-          sum = labels.agg(org.apache.spark.sql.functions.sum("comp"))
-            .head().getLong(0)
-          iter += 1
-        }
-        // the cap is a runaway guard, not an expected exit: iteration count
-        // equals component diameter (single digits for near-dup clusters) —
-        // a silent truncation here would emit WRONG components (VERDICT r4
-        // hygiene), so converge-or-fail, never converge-or-guess
-        if (sum != prevSum)
-          sys.error(s"q63 label propagation did not converge within $MaxIters " +
-            "iterations — component diameter exceeds the guard, raise MaxIters")
-        labels.select(col("id").as("doc_id"), col("comp").as("component"),
-          (col("id") === col("comp")).as("is_canonical"))
+        minLabelComponents(edges)
+          .select(col("id").as("doc_id"), col("comp").as("component"),
+            (col("id") === col("comp")).as("is_canonical"))
           .orderBy("doc_id")
       },
       Some(s"""WITH RECURSIVE $lshCtePrefix,
@@ -506,6 +519,40 @@ object TextOps {
               |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id)
               |SELECT id AS doc_id, min(r)::BIGINT AS component,
               |       (id = min(r)) AS is_canonical
-              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin))
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // Corpus dedup MATERIALIZATION — the operation a training-data pipeline
+    // actually runs downstream of pair generation + clustering: keep every
+    // document that is either untouched by the near-dup graph or the
+    // canonical (minimum-id) member of its component, and emit the cleaned
+    // corpus. Composition of the pieces above (lshPairs → minLabelComponents
+    // → left_anti), one extra anti-join over q63 — at 100 TB the loser set
+    // is orders of magnitude smaller than the corpus, so the anti-join
+    // broadcasts. Content is gated by sha256 so the oracle checks the
+    // surviving TEXT, not just ids.
+    QueryDef(
+      "q72_dedup_corpus",
+      (s, d) => {
+        val edges = lshPairs(s, d).select("id_a", "id_b").localCheckpoint()
+        val losers = minLabelComponents(edges)
+          .where(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+        docs(s, d).join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"),
+            sha2(col("text"), 256).as("text_sha"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $lshCtePrefix,
+              |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+              |        UNION ALL SELECT id_b, id_a FROM pairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT a, a FROM und
+              |  UNION
+              |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id),
+              |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+              |SELECT d.doc_id, d.n_chars, sha256(d.text) AS text_sha
+              |FROM documents d
+              |WHERE d.doc_id NOT IN (SELECT id FROM losers)
+              |ORDER BY d.doc_id""".stripMargin))
   )
 }

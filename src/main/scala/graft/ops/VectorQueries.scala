@@ -24,6 +24,19 @@ object VectorQueries {
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   private val NearDupSim = 0.4
+
+  /** The exact all-pairs near-dup oracle (q32's), shared with the ANN-join
+    * dedup pass q73 in [[EngineOps]]: one truth, three physical paths
+    * (guarded all-pairs, LSH-bucketed, ANN-join candidate generation). */
+  private[ops] def nearDupPairsOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, $dv AS v FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.v", "b.v")} >= $NearDupSim
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private[ops] val NearDupSimThreshold: Double = NearDupSim
   private val NumTables = 4  // LSH: L hash tables ...
   private val BitsPerTable = 4 // ... of k sign bits each
 
@@ -130,12 +143,7 @@ object VectorQueries {
           .select(col("id_a"), col("id_b"), round(sim, 6).as("cos_sim"))
           .orderBy("id_a", "id_b")
       },
-      Some(s"""WITH e AS (SELECT vec_id, $dv AS v FROM embeddings)
-              |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |       round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
-              |FROM e a JOIN e b ON a.vec_id < b.vec_id
-              |WHERE ${cosSql("a.v", "b.v")} >= $NearDupSim
-              |ORDER BY id_a, id_b""".stripMargin),
+      Some(nearDupPairsOracleSql),
       bench = true),
 
     // LSH-bucketed near-dup candidates: L=4 sign-hash tables of k=4 bits;
