@@ -26,10 +26,35 @@ case class QueryDef(
     dependsOnIndex: Boolean = false)
 
 object Tables {
-  /** Session config required to read the test tables: `events.ts` is
-    * TIMESTAMP(NANOS) parquet, which Spark 4 only reads as a long. */
+  /** Session config required to read the test tables: `events.ts` has been
+    * generated both as TIMESTAMP(NANOS) parquet (older drops, which Spark 4
+    * only reads as a long) and as plain TIMESTAMP_NTZ(MICROS) (current
+    * drops). The conf keeps the legacy layout readable; [[normalizeTs]]
+    * adapts to whichever shape is on disk. */
   val requiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
+
+  /** Normalize an events-shaped frame so `ts` is always a session-zoned
+    * TIMESTAMP (µs instants, UTC session): the three on-disk shapes are
+    *   - LONG ns-since-epoch (TIMESTAMP(NANOS) under nanosAsLong),
+    *   - TIMESTAMP_NTZ µs (the current generator; DuckDB reads the same
+    *     file as a naive TIMESTAMP, so a UTC-session cast keeps both
+    *     engines on identical wall-clock AND epoch values),
+    *   - TIMESTAMP, already normalized.
+    * Works on batch and streaming frames alike. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      // ns-since-epoch long → µs timestamp; integer `div` keeps full
+      // precision (a double division would lose it at ~1.7e18)
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -37,11 +62,6 @@ object Tables {
     // the driver hands us (not just ones built with GraftExtensions).
     graft.functions.GraftFunctions.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      // ns-since-epoch long → µs timestamp; integer `div` keeps full
-      // precision (a double division would lose it at ~1.7e18)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 }

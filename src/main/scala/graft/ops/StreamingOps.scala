@@ -49,8 +49,7 @@ object StreamingOps {
     QueryDef(
       "q41_stream_tumbling",
       (s, d) => {
-        val ev = eventsSource(s, d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = Tables.normalizeTs(eventsSource(s, d))
         val agg = ev
           .withWatermark("ts", "1 hour")
           .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -81,8 +80,7 @@ object StreamingOps {
         val processed = t(s, d, "customer")
           .where(col("c_acctbal") > 5000)
           .select(col("c_custkey").as("user_id"))
-        val claimed = eventsSource(s, d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val claimed = Tables.normalizeTs(eventsSource(s, d))
           .select(col("user_id"), col("ts"))
           .withWatermark("ts", "40 days")
           .dropDuplicatesWithinWatermark("user_id")
@@ -196,8 +194,7 @@ object StreamingOps {
     QueryDef(
       "q60_stream_session",
       (s, d) => {
-        val ev = eventsSource(s, d)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val ev = Tables.normalizeTs(eventsSource(s, d))
         // complete mode: a finite drain must emit EVERY session, including
         // those still open at end-of-data — append mode only releases a
         // session once the watermark passes its close, so the corpus's last
