@@ -36,4 +36,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // codegen per query); the JDK default 240m code cache can fill and turn
   // the JIT off, silently dropping hot interpreted paths to bytecode speed
   "-XX:ReservedCodeCacheSize=512m",
+  // parquet evaluates pushed IN-lists as a per-literal recursion; a default
+  // 1 MB task-thread stack left a few-hundred-literal pushdown one GC away
+  // from StackOverflowError under the deepest codegen stages (r9; the
+  // library also caps pushed lists at LopqSearcher.MaxStackSafeInPushdown)
+  "-Xss8m",
 )

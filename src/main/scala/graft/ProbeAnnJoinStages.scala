@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core.CellMath
+import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
+
+/** Dev tool: per-stage wall-clock of ONE batch ANN-join call at a release
+  * shape — where does the bulk-probe path's latency actually go?
+  * Usage: runMain graft.ProbeAnnJoinStages [v2|v3] [nQueries] [passes]
+  *
+  * Mirrors [[LopqSearcher.annJoin]] stage by stage (same internals, same
+  * order) with a timer around each; intermediate materializations make the
+  * stage costs visible at the price of some re-computation, so the printed
+  * total exceeds the fused path's — use [[ProbeRelease]] `annjoin` mode for
+  * the end-to-end number. */
+object ProbeAnnJoinStages {
+  def main(args: Array[String]): Unit = {
+    val s = args.headOption match {
+      case Some("v3") => ReleaseShape.V3
+      case _ => ReleaseShape.V2
+    }
+    val n = args.drop(1).headOption.map(_.toInt).getOrElse(1000)
+    val passes = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+
+    def t[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[probe-annjoin] $label%-28s ${(System.nanoTime() - t0) / 1e6}%9.1f ms")
+      r
+    }
+
+    val idx = t("loadSlim")(LopqIndexStore.loadSlim(spark, s.dir).get)
+    val vectors = ReleaseShape.vectors(spark, idx.dir)
+    (1 to passes).foreach { pass =>
+      println(s"--- pass $pass (n=$n) ---")
+      val slimB = idx.slimBroadcast
+      val histB = idx.histBroadcast
+      val pcaB = idx.pcaBroadcast
+      val vCoarse = idx.slim.v
+      val quota = ReleaseShape.Quota
+
+      val walkU = udf { (vec: Seq[Float]) =>
+        val raw = vec.toArray
+        val aq = pcaB.value.map(_.apply(raw)).getOrElse(raw)
+        val (d0, d1) = slimB.value.coarseDistances(aq)
+        (aq.toSeq, histB.value.selectCells(slimB.value.v, d0, d1, quota))
+      }
+      val queries = spark.range(0, n.toLong, 1, 32)
+        .map(id => (id, ReleaseShape.rowVecFor(s, id).toSeq))
+        .toDF("q_id", "q_vec")
+      val qcells = queries
+        .withColumn("w", walkU(col("q_vec")))
+        .select(col("q_id"), col("q_vec"), col("w._1").as("aq"), col("w._2").as("cells"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("walk+persist")(qcells.count())
+
+      val cellRows = t("cell-union agg")(
+        qcells.select(explode(col("cells")).as("cell_id"))
+          .groupBy("cell_id").count().as[(Int, Long)].collect())
+      val unionCells = cellRows.map(_._1).sorted
+      val nPairs = cellRows.map(_._2).sum
+      println(s"[probe-annjoin]   unionCells=${unionCells.length} nPairs=$nPairs")
+
+      val clusterKeys = unionCells.flatMap { c =>
+        val (c0, c1) = CellMath.unpackCell(c, vCoarse)
+        Seq((0, c0), (1, c1))
+      }.distinct.toSeq
+      val rotB = t(s"slices+bcast(${clusterKeys.size})")(
+        idx.sliceBroadcastFor(clusterKeys))
+
+      val qpairs = qcells
+        .select(col("q_id"), col("aq"), explode(col("cells")).as("cell_id"))
+      val projU = udf { (aq: Seq[Float], cell: Int) =>
+        val cc = CellMath.unpackCell(cell, vCoarse)
+        slimB.value.projectWith(aq.toArray, cc, (sp, cl) => rotB.value((sp, cl))).toSeq
+      }
+      val qside = qpairs.withColumn("px", projU(col("aq"), col("cell_id")))
+        .select("q_id", "cell_id", "px")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("qside projections")(qside.count())
+
+      val pruned = index_pruned(spark, idx, unionCells)
+      val slim = idx.slim
+      val adcCol = graft.functions.VectorFunctions.adcProjectionDistance(
+        col("px"), col("fine"), slim.flatSubquantizers, slim.m,
+        slim.halfDim / slim.numFineSplits)
+      val wApprox = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("adc_dist"), col("id"))
+      val cand = pruned
+        .join(qside, "cell_id")
+        .withColumn("adc_dist", adcCol)
+        .withColumn("arnk", row_number().over(wApprox))
+        .where(col("arnk") <= ReleaseShape.RerankK)
+        .select("q_id", "id", "adc_dist")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t("codes join + window")(cand.count())
+
+      val vecSide = vectors.select(col("vec_id").as("id"), col("embedding").as("n_vec"))
+      val wExact = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("exact_dist"), col("id"))
+      val joined = vecSide.join(broadcast(cand), "id")
+        .join(qcells.select(col("q_id"), col("q_vec")), "q_id")
+        .withColumn("exact_dist",
+          sqrt(graft.functions.VectorFunctions.l2DistanceSq(col("q_vec"), col("n_vec"))))
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .where(col("rank") <= ReleaseShape.TopK)
+      t("rerank (bcast cand)")(
+        joined.write.format("noop").mode("overwrite").save())
+
+      qcells.unpersist(blocking = false)
+      qside.unpersist(blocking = false)
+      cand.unpersist(blocking = false)
+    }
+    spark.stop()
+  }
+
+  private def index_pruned(spark: SparkSession,
+      idx: graft.engine.LopqSlimIndex, unionCells: Array[Int]) = {
+    val maxPushed = spark.conf
+      .get(LopqSearcher.AnnJoinMaxPushedCellsConf,
+        LopqSearcher.DefaultAnnJoinMaxPushedCells.toString).toInt
+    if (unionCells.length <= maxPushed)
+      idx.codes.where(LopqIndexStore.cellFilter(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(unionCells),
+        idx.cellBuckets))
+    else idx.codes
+  }
+}

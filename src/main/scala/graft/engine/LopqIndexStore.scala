@@ -58,6 +58,39 @@ final case class LopqSlimIndex(
     codes.sparkSession.sparkContext.broadcast(cellCounts)
   @transient lazy val pcaBroadcast: org.apache.spark.broadcast.Broadcast[Option[LopqPca]] =
     codes.sparkSession.sparkContext.broadcast(pca)
+
+  /** Memoized broadcast of the last batch's rotation slices, keyed by its
+    * cluster-key set (r9, after the r8 bench: a repeated 1000-probe
+    * [[LopqSearcher.annJoin]] at the V2 shape re-FETCHED ~124 MB of slices
+    * per call — the batch working set cycles the 64 MB per-query LRU — and
+    * re-broadcast them per call on top). A batch whose keys are a subset of
+    * the memo reuses it outright; a new key set fetches only the MISSING
+    * slices and re-broadcasts the union, unpersisting the old broadcast.
+    * Driver memory is O(batch-touched tensor) — inherent to the batch op,
+    * which broadcasts exactly this map anyway; the memo just stops paying
+    * it repeatedly. */
+  @transient private var sliceMemo
+      : (Set[(Int, Int)], org.apache.spark.broadcast.Broadcast[Map[(Int, Int), Array[Array[Float]]]]) = null
+
+  def sliceBroadcastFor(keys: Seq[(Int, Int)])
+      : org.apache.spark.broadcast.Broadcast[Map[(Int, Int), Array[Array[Float]]]] =
+    this.synchronized {
+      val keySet = keys.toSet
+      val spark = codes.sparkSession
+      if (sliceMemo != null && keySet.subsetOf(sliceMemo._1)) sliceMemo._2
+      else {
+        val have: Map[(Int, Int), Array[Array[Float]]] =
+          if (sliceMemo == null) Map.empty else sliceMemo._2.value
+        val missing = keys.filterNot(have.contains)
+        val merged =
+          if (missing.isEmpty) have
+          else have ++ LopqIndexStore.rotationSlices(spark, dir, missing)
+        val b = spark.sparkContext.broadcast(merged)
+        if (sliceMemo != null) sliceMemo._2.unpersist(blocking = false)
+        sliceMemo = (merged.keySet, b)
+        b
+      }
+    }
 }
 
 /** Durable storage of the LOPQ index — the Spark-native replacement for the

@@ -167,8 +167,17 @@ object LopqSearcher {
     * and disk pruning falls back to the partition/bucket level, which is
     * evaluated by Catalyst — not parquet — and is unaffected. Small lists
     * (every per-query path: visited cells, rerank prefixes) keep full
-    * row-group pruning. */
-  val MaxStackSafeInPushdown = 2048
+    * row-group pruning.
+    *
+    * r8 set this to 2048; r9 observed the SAME overflow from a PUSHED
+    * 1477-literal list (the 1000-probe batch join's visited-cell union)
+    * killing every task of its stage under a 1 MB stack — ~2 recursion
+    * frames per literal leaves no margin below the deepest codegen stages.
+    * 512 gives ~4× headroom while keeping every per-query list (visited
+    * cells ≤ ~350 at the release shapes, rerank prefixes = 100) fully
+    * pushed. Forked dev JVMs also run `-Xss8m` (build.sbt) so even a
+    * misjudged margin cannot kill a bench/test stage on this rig. */
+  val MaxStackSafeInPushdown = 512
 
   private[graft] def ensureInPushdown(spark: org.apache.spark.sql.SparkSession,
       needed: Int): Unit = {
@@ -326,6 +335,7 @@ object LopqSearcher {
       quota: Int, k: Int, rerankK: Int): DataFrame = {
     val spark = index.codes.sparkSession
     import spark.implicits._
+    graft.functions.GraftFunctions.register(spark) // graft_adc_proj; idempotent
     // model/histogram/PCA broadcasts live on the HANDLE — repeated annJoin
     // calls against one index reuse them (VERDICT r7 next-round #4)
     val slimB = index.slimBroadcast
@@ -356,8 +366,10 @@ object LopqSearcher {
       val (c0, c1) = CellMath.unpackCell(c, vCoarse)
       Seq((0, c0), (1, c1))
     }.distinct.toSeq
-    val rotB = spark.sparkContext.broadcast(
-      LopqIndexStore.rotationSlices(spark, index.dir, clusterKeys))
+    // memoized on the handle: repeat batches against one index reuse the
+    // broadcast instead of re-fetching ~O(touched tensor) slices per call
+    // (the batch working set does not fit the per-query 64 MB slice LRU)
+    val rotB = index.sliceBroadcastFor(clusterKeys)
 
     val maxPushed = spark.conf
       .get(AnnJoinMaxPushedCellsConf, DefaultAnnJoinMaxPushedCells.toString).toInt
@@ -396,12 +408,15 @@ object LopqSearcher {
           val cc = CellMath.unpackCell(cell, vCoarse)
           slimB.value.projectWith(aq.toArray, cc, (s, c) => rotB.value((s, c))).toSeq
         }
-        val adcU = udf { (fine: Seq[Short], px: Seq[Float]) =>
-          slimB.value.adcDistanceFromProjection(px.toArray, fine.toArray)
-        }
+        // per-candidate distance is the CODEGEN'D projection fold — the r8
+        // Scala-UDF form re-boxed both arrays per row and was the dominant
+        // cost of the whole batch join (measured 7-14 s of a ~14 s pass at
+        // the 1000-probe V2 shape)
+        val slim = index.slim
         (qpairs.withColumn("px", projU(col("aq"), col("cell_id")))
            .select("q_id", "cell_id", "px"),
-         adcU(col("fine"), col("px")))
+         VectorFunctions.adcProjectionDistance(col("px"), col("fine"),
+           slim.flatSubquantizers, slim.m, slim.halfDim / slim.numFineSplits))
       }
 
     val wApprox = org.apache.spark.sql.expressions.Window

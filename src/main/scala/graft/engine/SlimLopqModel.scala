@@ -120,6 +120,28 @@ final case class SlimLopqModel(
     acc
   }
 
+  /** Subquantizer codebooks flattened in `mi`-major order —
+    * `flat[((mi·S)+code)·subDim + i] = subquantizers(mi/F)(mi%F)(code)(i)`
+    * — the constant the codegen'd projection-mode ADC distance
+    * ([[graft.functions.AdcProjectionExpr]]) indexes per row. O(M·S·D/M)
+    * floats (~128 KB at the release constants). */
+  @transient lazy val flatSubquantizers: Array[Float] = {
+    val sClusters = subquantizers(0)(0).length
+    val subDim = halfDim / numFineSplits
+    val out = new Array[Float](m * sClusters * subDim)
+    var mi = 0
+    while (mi < m) {
+      val cb = subquantizers(mi / numFineSplits)(mi % numFineSplits)
+      var c = 0
+      while (c < sClusters) {
+        System.arraycopy(cb(c), 0, out, ((mi * sClusters) + c) * subDim, subDim)
+        c += 1
+      }
+      mi += 1
+    }
+    out
+  }
+
   /** ADC distance tables for ONE visited cell, given just that cell's two
     * rotation slices (`rot(split, cluster)`) — bit-identical to
     * [[LopqModel.subquantizerDistances]]. */

@@ -318,6 +318,99 @@ case class MinhashExpr(child: Expression, numHashes: Int) extends UnaryExpressio
     copy(child = c)
 }
 
+/** ADC distance of one code row from the cell-local query PROJECTION —
+  * `Σ_m ‖px[m·subDim,(m+1)·subDim) − cb(m, fine(m))‖²` with the flattened
+  * subquantizer codebook `cb` held as a reference object (M·S·subDim floats,
+  * ~128 KB at the release constants — shared across all rows of the stage,
+  * NOT shipped per row).
+  *
+  * This is the batch ANN join's projection-mode inner loop
+  * ([[graft.engine.SlimLopqModel.adcDistanceFromProjection]]): the r8 Scala
+  * UDF form re-boxed both arrays (`Seq[Short]`/`Seq[Float]`) on every
+  * candidate row — at a 1000-probe release-shape batch that is ~10M rows ×
+  * ~270 boxed element reads, measured as the dominant cost of the whole
+  * join (7–14 s of a ~14 s pass). This codegen form reads the `ArrayData`
+  * primitives in place.
+  *
+  * Numeric contract (bit-parity, spec-pinned): per sub-vector `m`, a
+  * sequential double-precision fold `t = (double)px[i] − (double)cb[i];
+  * d += t·t` accumulated into the total in `m` order — EXACTLY
+  * `adcDistanceFromProjection`, which is itself pinned bit-identical to
+  * summing the materialized ADC table entries in `m` order. */
+case class AdcProjectionExpr(left: Expression, right: Expression,
+    codebook: Array[Float], m: Int, subDim: Int) extends BinaryExpression {
+  // left = px ARRAY<FLOAT> (cell-local projection), right = fine ARRAY<SHORT>
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_adc_proj"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ShortType, _))
+        if m >= 1 && subDim >= 1 && codebook.length % (m * subDim) == 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT>, ARRAY<SMALLINT>) and a codebook of " +
+        s"m·s·subDim floats, got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val px = a.asInstanceOf[ArrayData]
+    val fine = b.asInstanceOf[ArrayData]
+    if (px.numElements() != m * subDim || fine.numElements() != m) return null
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val base = ((mi * (codebook.length / (m * subDim))) + fine.getShort(mi).toInt) * subDim
+      val pbase = mi * subDim
+      var d = 0.0
+      var i = 0
+      while (i < subDim) {
+        val t = px.getFloat(pbase + i).toDouble - codebook(base + i).toDouble
+        d += t * t
+        i += 1
+      }
+      acc += d
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("adcProjCb", codebook, "float[]")
+    val sClusters = codebook.length / (m * subDim)
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mi = ctx.freshName("mi")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val pbase = ctx.freshName("pbase")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != ${m * subDim} || $b.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    final int $base = (($mi * $sClusters) + (int) $b.getShort($mi)) * $subDim;
+         |    final int $pbase = $mi * $subDim;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      final double $t = (double) $a.getFloat($pbase + $i) - (double) $cbRef[$base + $i];
+         |      $d += $t * $t;
+         |    }
+         |    $acc += $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Registration of the graft expressions, two ways:
   *   - [[GraftFunctions.register]]: imperative, idempotent, works on any
   *     existing session (every catalog query calls it via `Tables.apply`);
@@ -338,6 +431,14 @@ object GraftFunctions {
     "graft_minhash" -> ((c: Seq[Expression]) => {
       require(c.size == 2 && c(1).foldable, "graft_minhash(hashes, numHashes-literal)")
       MinhashExpr(c(0), c(1).eval().asInstanceOf[Number].intValue())
+    }),
+    "graft_adc_proj" -> ((c: Seq[Expression]) => {
+      require(c.size == 5 && c(2).foldable && c(3).foldable && c(4).foldable,
+        "graft_adc_proj(px, fine, codebook-literal, m-literal, subDim-literal)")
+      AdcProjectionExpr(c(0), c(1),
+        c(2).eval().asInstanceOf[ArrayData].toFloatArray(),
+        c(3).eval().asInstanceOf[Number].intValue(),
+        c(4).eval().asInstanceOf[Number].intValue())
     }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (n, b) =>

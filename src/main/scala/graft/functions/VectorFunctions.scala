@@ -74,4 +74,14 @@ object VectorFunctions {
   /** Literal ARRAY<ARRAY<DOUBLE>> column from driver-side tables. */
   def tablesLit(tables: Array[Array[Double]]): Column =
     array(tables.map(t => array(t.map(lit): _*)): _*)
+
+  /** Projection-mode ADC distance (codegen'd): `px` is the cell-local query
+    * projection (ARRAY<FLOAT>, D floats), `fine` the per-row code array
+    * (ARRAY<SMALLINT>), `codebook` the flat subquantizer constant
+    * ([[graft.engine.SlimLopqModel.flatSubquantizers]]) carried once as a
+    * reference object. Bit-identical to the table lookup-sum
+    * ([[adcDistance]]) — see [[graft.functions.AdcProjectionExpr]]. */
+  def adcProjectionDistance(px: Column, fine: Column, codebook: Array[Float],
+      m: Int, subDim: Int): Column =
+    call_function("graft_adc_proj", px, fine, typedLit(codebook), lit(m), lit(subDim))
 }
