@@ -222,6 +222,43 @@ class AnnJoinSpec extends SparkSpec {
     }
   }
 
+  /** r9: a repeated batch against one handle must not re-fetch rotation
+    * slices from the store — the r8 shape re-fetched the batch's whole
+    * working set per call (~124 MB at the V2 release shape: the batch key
+    * set cycles the 64 MB per-query LRU) and re-broadcast it on top. */
+  test("repeated batches reuse the handle's slice broadcast, zero re-fetch") {
+    built
+    joinResults(5) // seeds the handle's slice memo with this batch's keys
+    val fetched0 = LopqIndexStore.sliceRowsFetched.get()
+    joinResults(5)
+    assert(LopqIndexStore.sliceRowsFetched.get() === fetched0,
+      "a repeated identical batch re-fetched rotation slices from the store")
+  }
+
+  /** The interpreted (non-codegen) path of `graft_adc_proj` must compute
+    * exactly the slim model's projection-fold — stages that fall out of
+    * whole-stage codegen still have to be bit-identical. */
+  test("graft_adc_proj interpreted eval matches the slim model math") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, ShortType}
+    val slim = built.slim
+    val subDim = slim.halfDim / slim.numFineSplits
+    val rnd = new scala.util.Random(99L)
+    val px = Array.fill(slim.m * subDim)(rnd.nextGaussian().toFloat)
+    val fine = Array.tabulate(slim.m)(i => (i % slim.subquantizers(0)(0).length).toShort)
+    val expr = graft.functions.AdcProjectionExpr(
+      Literal.create(px, ArrayType(FloatType)),
+      Literal.create(fine, ArrayType(ShortType)),
+      slim.flatSubquantizers, slim.m, subDim)
+    assert(expr.eval(null) === slim.adcDistanceFromProjection(px, fine))
+    // shape mismatches are null, not garbage
+    val bad = graft.functions.AdcProjectionExpr(
+      Literal.create(px.take(3), ArrayType(FloatType)),
+      Literal.create(fine, ArrayType(ShortType)),
+      slim.flatSubquantizers, slim.m, subDim)
+    assert(bad.eval(null) === null)
+  }
+
   test("a query with no reachable cells simply yields no rows") {
     val slim = built
     val e = Tables(spark, sf, "embeddings")
