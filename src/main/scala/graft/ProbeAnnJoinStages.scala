@@ -17,6 +17,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   * the end-to-end number. */
 object ProbeAnnJoinStages {
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("fused")) { fusedMain(args.drop(1)); return }
     val s = args.headOption match {
       case Some("v3") => ReleaseShape.V3
       case _ => ReleaseShape.V2
@@ -122,6 +123,63 @@ object ProbeAnnJoinStages {
       qside.unpersist(blocking = false)
       cand.unpersist(blocking = false)
     }
+    spark.stop()
+  }
+
+  /** Fused-path job census: run the REAL [[LopqSearcher.annJoin]] and print
+    * every Spark job's wall-clock — where does the end-to-end pass go?
+    * Usage: runMain graft.ProbeAnnJoinStages fused [v2|v3] [n] [passes] */
+  private def fusedMain(args: Array[String]): Unit = {
+    val s = args.headOption match {
+      case Some("v3") => ReleaseShape.V3
+      case _ => ReleaseShape.V2
+    }
+    val n = args.drop(1).headOption.map(_.toInt).getOrElse(1000)
+    val passes = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.put(e.jobId,
+          (System.nanoTime(), Option(e.properties.getProperty("spark.job.description"))
+            .orElse(Option(e.properties.getProperty("callSite.short"))).getOrElse("?").take(90)))
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = jobStarts.remove(e.jobId)
+        if (st != null)
+          println(f"[probe-fused]   job ${e.jobId}%3d ${(System.nanoTime() - st._1) / 1e6}%9.1f ms  ${st._2}")
+      }
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = e.stageInfo
+        val wall = (for (a <- si.completionTime; b <- si.submissionTime) yield a - b).getOrElse(-1L)
+        val tm = si.taskMetrics
+        if (wall > 100)
+          println(f"[probe-fused]     stage ${si.stageId}%3d ${wall}%7d ms  tasks=${si.numTasks}%3d" +
+            f"  cpu=${tm.executorCpuTime / 1000000}%6d ms run=${tm.executorRunTime}%6d ms" +
+            f"  in=${tm.inputMetrics.recordsRead}%9d sw=${tm.shuffleWriteMetrics.recordsWritten}%8d" +
+            f" sr=${tm.shuffleReadMetrics.recordsRead}%8d  ${si.name.take(60)}")
+      }
+    })
+    val idx = graft.engine.LopqIndexStore.loadSlim(spark, s.dir).get
+    var lastDf: org.apache.spark.sql.DataFrame = null
+    (1 to passes).foreach { pass =>
+      println(s"--- fused pass $pass (n=$n) ---")
+      val t0 = System.nanoTime()
+      lastDf = ReleaseShape.annJoinFor(spark, s, idx, n)
+      lastDf.write.format("noop").mode("overwrite").save()
+      println(f"[probe-fused] TOTAL ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      if (pass < passes)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    if (sys.env.contains("PROBE_EXPLAIN"))
+      println(lastDf.queryExecution.executedPlan.toString.take(20000))
     spark.stop()
   }
 

@@ -421,7 +421,21 @@ object LopqSearcher {
 
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("adc_dist"), col("id"))
+    // Round-robin the pruned codes before the broadcast join: the join FANS
+    // OUT each code row by the queries visiting its cell, and that weight is
+    // wildly skewed — a clustered corpus concentrates both code rows AND
+    // probe visits on the same few heavy cells, which land in the same few
+    // scan tasks (measured r9 at the 1000-probe V2 shape: 23 s of stage CPU
+    // at average parallelism TWO, 12 s of a ~14 s pass). Hash-repartitioning
+    // on cell_id would keep each heavy cell in one task; round-robin splits
+    // every cell's rows uniformly, so the fan-out work is balanced at any
+    // skew. Costs one O(pruned codes) narrow-row shuffle — the fan-out side
+    // (candidate rows) never shuffles. Results are unchanged: the join is
+    // broadcast (no co-location needed) and every downstream window breaks
+    // ties on (dist, id), independent of row order (AnnJoinSpec pins
+    // bit-equality with the per-query path).
     val cand = pruned
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .join(qside, "cell_id")
       .withColumn("adc_dist", adcCol)
       .withColumn("arnk", row_number().over(wApprox))

@@ -76,7 +76,9 @@ class AnnJoinSpec extends SparkSpec {
     // (plus AQE-split result stages) — and NOTHING per query
     assert(jobsBig <= jobsSmall + 2,
       s"jobs grew with the query count: $jobsSmall → $jobsBig")
-    assert(jobsBig <= 10, s"expected a handful of jobs, got $jobsBig")
+    // 11 as of r9: the fan-out-balancing round-robin repartition of the
+    // pruned codes adds one fixed AQE stage — still O(1) in the query count
+    assert(jobsBig <= 12, s"expected a handful of jobs, got $jobsBig")
   }
 
   test("the codes scan is pruned by the batch's visited-cell union") {
