@@ -140,35 +140,47 @@ object Bench {
         qid => ReleaseShape.searchSlim(spark, ReleaseShape.V2, idx, qid)
       })) ++ {
       // the set-oriented ANN join at release shape (VERDICT r7 next-round
-      // #4): 1000 probe vectors answered through ONE plan against the v2
-      // index — the row value is the WHOLE batch, so ms/query is value/1000.
-      // Each pass runs the full batch path (per-query cell walk, cell-union
-      // agg, slice fetch, one codes join, windows); the index handle — and
-      // the model/histogram broadcasts hoisted onto it — is shared across
-      // passes like a resident bulk service would hold it.
+      // #4): 1000 probe vectors answered through ONE plan — the row value is
+      // the WHOLE batch, so ms/query is value/1000. Each pass runs the full
+      // batch path (per-query cell walk, cell-union agg, slice fetch, one
+      // codes join, windows); the index handle — and the model/histogram/
+      // slice broadcasts hoisted onto it — is shared across passes like a
+      // resident bulk service would hold it. Two shapes: v2 (built in-bench
+      // if absent) and, when its prebuilt index is present, v3 — the batch
+      // path at THE reference release model constants (16.7M cells).
       val AnnJoinQueries = 1000
-      Seq(try {
-        graft.functions.GraftFunctions.register(spark)
-        val idx = ReleaseShape.ensureSlim(spark, ReleaseShape.V2)
-        timeRow("annjoin_release_v2") { () =>
-          try {
-            // unpersist only the batch cache THIS pass created
-            val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-            ReleaseShape.annJoinFor(spark, ReleaseShape.V2, idx, AnnJoinQueries)
-              .write.format("noop").mode("overwrite").save()
-            spark.sparkContext.getPersistentRDDs
-              .filterNot { case (id, _) => cachedBefore(id) }
-              .values.foreach(_.unpersist(blocking = false))
-            Right(())
-          } catch { case e: Throwable =>
-            Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+      def annJoinRow(name: String, s: ReleaseShape.type => graft.engine.ReleaseShapeDef,
+          ensure: () => graft.engine.LopqSlimIndex): (String, Double) =
+        try {
+          graft.functions.GraftFunctions.register(spark)
+          val shape = s(ReleaseShape)
+          val idx = ensure()
+          timeRow(name) { () =>
+            try {
+              // unpersist only the batch cache THIS pass created
+              val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+              ReleaseShape.annJoinFor(spark, shape, idx, AnnJoinQueries)
+                .write.format("noop").mode("overwrite").save()
+              spark.sparkContext.getPersistentRDDs
+                .filterNot { case (id, _) => cachedBefore(id) }
+                .values.foreach(_.unpersist(blocking = false))
+              Right(())
+            } catch { case e: Throwable =>
+              Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+          }
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            name -> -1.0
         }
-      } catch {
-        case e: Throwable =>
-          errors("annjoin_release_v2") =
-            Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-          "annjoin_release_v2" -> -1.0
-      })
+      Seq(annJoinRow("annjoin_release_v2", _.V2,
+        () => ReleaseShape.ensureSlim(spark, ReleaseShape.V2))) ++ {
+        val v3 = ReleaseShape.V3
+        if (LopqIndexStore.fingerprintOk(v3.dir, v3.p, v3.n, v3.pcaDims))
+          Seq(annJoinRow("annjoin_release_v3", _.V3,
+            () => ReleaseShape.ensureSlim(spark, v3)))
+        else Seq.empty
+      }
     } ++ {
       // v3 = THE release model constants (V=4096/split → 16.7M cells,
       // 536 MB tensor). Its offline build needs a >8g driver

@@ -224,6 +224,23 @@ class AnnJoinSpec extends SparkSpec {
     }
   }
 
+  /** r9: the codes side must pass through a round-robin repartition before
+    * the fan-out join — without it, a clustered corpus concentrates the
+    * candidate expansion in the few scan tasks holding the heavy cells
+    * (measured at the 1000-probe V2 shape: 23 s of stage CPU at average
+    * parallelism TWO). The join is broadcast, so no co-location is lost. */
+  test("the fan-out join is fed by a round-robin balanced codes side") {
+    val e = Tables(spark, sf, "embeddings")
+    val queries = e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val df = LopqSearcher.annJoin(built, queries, "q_id", "embedding",
+      e, "vec_id", "embedding", Quota, TopK, RerankK)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("roundrobinpartitioning"),
+      "no round-robin exchange on the codes side:\n" + plan.take(3000))
+  }
+
   /** r9: a repeated batch against one handle must not re-fetch rotation
     * slices from the store — the r8 shape re-fetched the batch's whole
     * working set per call (~124 MB at the V2 release shape: the batch key
