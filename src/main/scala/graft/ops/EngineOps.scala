@@ -270,6 +270,21 @@ object EngineOps {
       // ...and the STREAMED batch answers the q70 queries through the same
       // join semantics, one micro-batch at a time — same oracle again
       oracleStash("q71_stream_ann") = oracleStash("q70_ann_join")
+      // ...and the BULK API response (q74): the q70 join semantics folded
+      // into one camelCase JSON document per query, exactly q47's shaping
+      // (micro-unit distances so the JSON text is engine-portable)
+      oracleStash("q74_api_bulk") =
+        s"""${annCtesFor("visited_join", "adctab_join")},
+           |topk AS (
+           |  SELECT q_id, n_id, rank,
+           |         floor(exact_dist * 1e6 + 0.5)::BIGINT AS micro
+           |  FROM ranked WHERE rank <= $TopK),
+           |agg AS (SELECT q_id, list(n_id ORDER BY rank) AS ids,
+           |               list(micro ORDER BY rank) AS micros
+           |        FROM topk GROUP BY q_id)
+           |SELECT q_id, to_json(struct_pack(queryId := q_id, similarIds := ids,
+           |                                 distancesMicro := micros))::VARCHAR AS response
+           |FROM agg ORDER BY q_id""".stripMargin
 
       oracleStash("q35_lopq_recall") =
         s"""$annCtes,
@@ -473,6 +488,27 @@ object EngineOps {
           .orderBy("q_id", "rank")
       },
       stashed("q71_stream_ann"),
+      dependsOnIndex = true),
+
+    // BULK API: the reference's search facade answers probes one HTTP
+    // request at a time and its bulk evaluator loops client-side
+    // (`lopq/lopq/eval.py:7-38`); `GraftApi.searchBulk` answers the whole
+    // probe set through ONE annJoin plan and shapes q47's camelCase JSON
+    // response per query. Oracle: the q70 join semantics + q47's JSON fold,
+    // generated over the same stashed artifact set — the API layer adds no
+    // semantics of its own and the gate proves it.
+    QueryDef(
+      "q74_api_bulk",
+      (s, d) => {
+        ensureOracle(s, d)
+        index(s, d) // build/persist before loading slim
+        val e = t(s, d, "embeddings")
+        val queries = e.where(col("vec_id") < NumJoinQueries)
+          .select(col("vec_id").as("q_id"), col("embedding"))
+        new graft.GraftApi(s, d, "lopq_slim")
+          .searchBulk(queries, "q_id", "embedding", TopK, Quota, RerankK)
+      },
+      stashed("q74_api_bulk"),
       dependsOnIndex = true),
 
     // NEAR-DUP DEDUP PASS through the ANN join — the production-scale twin
