@@ -114,13 +114,24 @@ object EngineOps {
   private val NumJoinQueries = 100
 
   /** q73 dedup-pass constants: quota covers the whole grid (recall-1.0
-    * regime — the gate is exactness vs the all-pairs oracle), k/rerankK
-    * sized so every cosine-near-dup partner of a probe sits inside its
-    * exact-L2 top-k (empirically ~10 partners max on the test corpus;
-    * headroom is cheap because candidates are per-probe bounded). */
+    * regime — the gate is exactness vs the all-pairs oracle), k sized so
+    * every cosine-near-dup partner of a probe sits inside its exact-L2
+    * top-k (measured max partners: 3 at sf0.01, 6 at sf0.1). The RERANK
+    * prefix covers the probe's WHOLE candidate pool: the prefix is cut by
+    * APPROXIMATE (ADC) distance, so any bound on it is a recall knob, not
+    * a correctness knob — r8's fixed 128 was 26 % of sf0.01's pool and
+    * happened to be exact there, but at sf0.1 (2.6 % of the pool) it left
+    * 85 of 920 true pairs behind, and even 1/8 of the pool left 39 (this
+    * tiny gate model's ADC error ranks some exact-rank-≤6 partners below
+    * that — caught by the r9 sf0.1 self-check). A production dedup keeps
+    * the rerank exact the same way and bounds the POOL instead: finer
+    * models (V≫8) and real quotas shrink candidates-per-probe, and q35
+    * measures the recall of bounded ADC prefixes where they are the
+    * right trade. */
   private val DedupQuota = 1000000
   private val DedupK = 64
-  private val DedupRerankK = 128
+  private def dedupRerankK(corpusRows: Long): Int =
+    math.max(128, corpusRows.min(Int.MaxValue).toInt)
 
   private def joinQueryVectors(s: SparkSession, d: String): Array[(Long, Array[Float])] =
     t(s, d, "embeddings").where(col("vec_id") < NumJoinQueries)
@@ -532,7 +543,8 @@ object EngineOps {
         val e = t(s, d, "embeddings")
         val queries = e.select(col("vec_id").as("q_id"), col("embedding"))
         val cand = LopqSearcher.annJoin(slim, queries, "q_id", "embedding",
-            e, "vec_id", "embedding", DedupQuota, DedupK, DedupRerankK)
+            e, "vec_id", "embedding", DedupQuota, DedupK,
+            dedupRerankK(slim.cellCounts.total))
           .where(col("id") =!= col("q_id"))
           .select(least(col("q_id"), col("id")).as("id_a"),
             greatest(col("q_id"), col("id")).as("id_b"))
