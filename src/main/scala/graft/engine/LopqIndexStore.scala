@@ -67,8 +67,13 @@ final case class LopqSlimIndex(
     * the memo reuses it outright; a new key set fetches only the MISSING
     * slices and re-broadcasts the union, unpersisting the old broadcast.
     * Driver memory is O(batch-touched tensor) — inherent to the batch op,
-    * which broadcasts exactly this map anyway; the memo just stops paying
-    * it repeatedly. */
+    * which broadcasts exactly this map anyway — and BOUNDED: if the union
+    * would exceed `spark.graft.annjoin.sliceMemoBytes` (default 1 GiB) the
+    * memo resets to just the current batch's keys, so a long-lived handle
+    * serving shifting probe distributions cannot accrete the full tensor
+    * (the no-accretion guarantee slim serve exists for; a single batch
+    * that genuinely touches every cluster still pays its own footprint,
+    * exactly like the slim-encode backfill). */
   @transient private var sliceMemo
       : (Set[(Int, Int)], org.apache.spark.broadcast.Broadcast[Map[(Int, Int), Array[Array[Float]]]]) = null
 
@@ -81,10 +86,18 @@ final case class LopqSlimIndex(
       else {
         val have: Map[(Int, Int), Array[Array[Float]]] =
           if (sliceMemo == null) Map.empty else sliceMemo._2.value
-        val missing = keys.filterNot(have.contains)
+        val sliceBytes = slim.halfDim.toLong * slim.halfDim * 4L
+        val maxBytes = spark.conf.get(LopqIndexStore.SliceMemoBytesConf,
+          LopqIndexStore.DefaultSliceMemoBytes.toString).toLong
+        val unionSize = (have.keySet ++ keySet).size.toLong
+        val base =
+          if (unionSize * sliceBytes > maxBytes)
+            have.view.filterKeys(keySet).toMap // reset to the current batch
+          else have
+        val missing = keys.filterNot(base.contains)
         val merged =
-          if (missing.isEmpty) have
-          else have ++ LopqIndexStore.rotationSlices(spark, dir, missing)
+          if (missing.isEmpty) base
+          else base ++ LopqIndexStore.rotationSlices(spark, dir, missing)
         val b = spark.sparkContext.broadcast(merged)
         if (sliceMemo != null) sliceMemo._2.unpersist(blocking = false)
         sliceMemo = (merged.keySet, b)
@@ -368,6 +381,12 @@ object LopqIndexStore {
     * (`spark.graft.slim.sliceCacheBytes`, default 64 MB) keeps the driver
     * O(1) in V — the cache can never grow back into the tensor. Evicted
     * alongside the model caches on [[evictModel]]. */
+  /** Conf: byte bound on [[LopqSlimIndex.sliceBroadcastFor]]'s cumulative
+    * slice memo — past it the memo resets to the current batch's keys
+    * instead of accreting toward the full tensor. */
+  val SliceMemoBytesConf = "spark.graft.annjoin.sliceMemoBytes"
+  val DefaultSliceMemoBytes: Long = 1L << 30
+
   val SliceCacheBytesConf = "spark.graft.slim.sliceCacheBytes"
   val DefaultSliceCacheBytes: Long = 64L << 20
 

@@ -254,6 +254,19 @@ class AnnJoinSpec extends SparkSpec {
       "a repeated identical batch re-fetched rotation slices from the store")
   }
 
+  /** r9: the slice memo is BOUNDED — past `sliceMemoBytes` it resets to the
+    * current batch's keys instead of accreting toward the full tensor. At a
+    * zero cap every call resets; results must be unchanged (the cap is a
+    * memory knob, never a correctness knob). */
+  test("slice-memo byte cap resets instead of accreting, results unchanged") {
+    val base = joinResults(7)
+    spark.conf.set(LopqIndexStore.SliceMemoBytesConf, "0")
+    try {
+      assert(joinResults(3).nonEmpty) // a differently-keyed batch in between
+      assert(joinResults(7) === base)
+    } finally spark.conf.unset(LopqIndexStore.SliceMemoBytesConf)
+  }
+
   /** The interpreted (non-codegen) path of `graft_adc_proj` must compute
     * exactly the slim model's projection-fold — stages that fall out of
     * whole-stage codegen still have to be bit-identical. */
