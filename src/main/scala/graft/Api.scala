@@ -1,10 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.engine.{AnnIndex, AnnIndexes}
-import graft.ops.{EngineOps, Tables}
+import graft.ops.{EngineOps, Extract, Tables}
 
 /** The reference's REST facade as a library API (ref `api/api.py:145-189`
   * Search endpoints, `:307-384` refresh): `searchByIds` / `searchByVectors`
@@ -92,6 +93,59 @@ final class GraftApi(spark: SparkSession, sfDir: String,
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
     searchByVectors(found, k)
+  }
+
+  /** The reference's flagship similarity query, end to end (SURVEY §3.1,
+    * `/byURL`/`/byB64`: fetch → detect → featurize → search —
+    * `api/api.py:145-189`, `generic_extractor.py:221-255`,
+    * `searcher_lopqhbase.py:838-912`): raw image payloads in, ranked
+    * nearest corpus DETECTIONS out. Each payload runs the pluggable §2.10
+    * detector/featurizer (honest stubs in this sandbox — a real CNN plugs
+    * in through the same traits); its top-scoring detection's feature
+    * probes the corpus's extracted detection features exactly (brute over
+    * the stub's small dim — the indexed ANN serve paths are
+    * [[searchByVectors]]/[[searchBulk]]); neighbors from the query's own
+    * image are skipped like the reference skipping the query sha1.
+    *
+    * Rows: `(q_id, rank, n_id, n_det, micro)` — micro-unit squared-L2 over
+    * features rounded to 6 decimals, so the math is engine-portable (the
+    * stub emits exact thousandths; rounding both engines to 6 decimals
+    * lands them on the same doubles).
+    *
+    * Scale shape: the probe batch is broadcast, the corpus streams through
+    * ONE pass, per-query top-k is a window on `q_id` — no shuffle of the
+    * corpus itself. A large probe batch should ride [[searchBulk]]'s
+    * indexed `annJoin` instead of this exact scan. */
+  def searchByImages(images: Seq[(Long, Array[Byte])], k: Int): DataFrame = {
+    import spark.implicits._
+    def rf(c: Column, i: Int): Column = round(element_at(c, i), 6)
+    val corpus = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    val cfeat = Extract.extract(corpus, Extract.StubDetector, Extract.StubFeaturizer)
+      .select(col("doc_id").as("n_id"), col("det_idx").as("n_det"),
+        rf(col("feature"), 1).as("c0"), rf(col("feature"), 2).as("c1"),
+        rf(col("feature"), 3).as("c2"))
+    val top1 = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("det_idx"))
+    val qfeat = Extract.extract(spark.createDataset(images),
+        Extract.StubDetector, Extract.StubFeaturizer)
+      .withColumn("__rn", row_number().over(top1)).where(col("__rn") === 1)
+      .select(col("doc_id").as("q_id"),
+        rf(col("feature"), 1).as("q0"), rf(col("feature"), 2).as("q1"),
+        rf(col("feature"), 3).as("q2"))
+    val d2 = (col("q0") - col("c0")) * (col("q0") - col("c0")) +
+      (col("q1") - col("c1")) * (col("q1") - col("c1")) +
+      (col("q2") - col("c2")) * (col("q2") - col("c2"))
+    val rw = Window.partitionBy("q_id")
+      .orderBy(col("d2"), col("n_id"), col("n_det"))
+    cfeat.join(broadcast(qfeat), col("n_id") =!= col("q_id"))
+      .withColumn("d2", d2)
+      .withColumn("rank", row_number().over(rw).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("n_det"),
+        floor(col("d2") * 1e6 + lit(0.5)).cast("long").as("micro"))
+      .orderBy("q_id", "rank")
   }
 
   /** Reload the persisted index (codes appended since the manifest

@@ -17,6 +17,23 @@ object PipelineOps {
   private def hxs(e: String, from: Int, len: Int): String =
     s"('0x' || substr($e, $from, $len))::BIGINT"
 
+  /** DuckDB mirror of the §2.10 stub detector/featurizer derivation over
+    * `documents` payloads (`Extract.StubDetector`/`StubFeaturizer`) — the
+    * CTE chain ends at `bf(doc_id, i, x0..y1, score, hf)`. Shared by q40
+    * (the raw extraction rows) and q75 (the §3.1 search-by-image flow). */
+  private def extractCtes: String =
+    s"""h AS (SELECT doc_id, md5(text) AS h0 FROM documents),
+       |d AS (SELECT doc_id, h0, 1 + (${hxs("h0", 1, 2)} % 3) AS n FROM h),
+       |ei AS (SELECT doc_id, h0, i FROM d CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE i < n),
+       |eb AS (SELECT doc_id, i, h0, md5(h0 || ':' || i) AS hi FROM ei),
+       |bb AS (SELECT doc_id, i, h0,
+       |  ${hxs("hi", 1, 4)} % 256 AS x0, ${hxs("hi", 5, 4)} % 256 AS y0,
+       |  ${hxs("hi", 1, 4)} % 256 + 1 + ${hxs("hi", 9, 4)} % 128 AS x1,
+       |  ${hxs("hi", 5, 4)} % 256 + 1 + ${hxs("hi", 13, 4)} % 128 AS y1,
+       |  (${hxs("hi", 17, 4)} % 1001) / 1000.0 AS score
+       |  FROM eb),
+       |bf AS (SELECT *, md5(h0 || ':' || x0 || ',' || y0 || ',' || x1 || ',' || y1) AS hf FROM bb)""".stripMargin
+
   private def sfName(d: String): String = new java.io.File(d).getName
 
   private def deleteDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
@@ -85,17 +102,7 @@ object PipelineOps {
             round(element_at(col("feature"), 3), 6).as("f2"))
           .orderBy("doc_id", "det_idx")
       },
-      Some(s"""WITH h AS (SELECT doc_id, md5(text) AS h0 FROM documents),
-              |d AS (SELECT doc_id, h0, 1 + (${hxs("h0", 1, 2)} % 3) AS n FROM h),
-              |ei AS (SELECT doc_id, h0, i FROM d CROSS JOIN (VALUES (0),(1),(2)) t(i) WHERE i < n),
-              |eb AS (SELECT doc_id, i, h0, md5(h0 || ':' || i) AS hi FROM ei),
-              |bb AS (SELECT doc_id, i, h0,
-              |  ${hxs("hi", 1, 4)} % 256 AS x0, ${hxs("hi", 5, 4)} % 256 AS y0,
-              |  ${hxs("hi", 1, 4)} % 256 + 1 + ${hxs("hi", 9, 4)} % 128 AS x1,
-              |  ${hxs("hi", 5, 4)} % 256 + 1 + ${hxs("hi", 13, 4)} % 128 AS y1,
-              |  (${hxs("hi", 17, 4)} % 1001) / 1000.0 AS score
-              |  FROM eb),
-              |bf AS (SELECT *, md5(h0 || ':' || x0 || ',' || y0 || ',' || x1 || ',' || y1) AS hf FROM bb)
+      Some(s"""WITH $extractCtes
               |SELECT doc_id, i::BIGINT AS det_idx, x0::BIGINT AS x0, y0::BIGINT AS y0,
               |  x1::BIGINT AS x1, y1::BIGINT AS y1, round(score, 6) AS score,
               |  (x0::VARCHAR || ',' || y0 || ',' || x1 || ',' || y1) AS bbox_str,
@@ -360,6 +367,43 @@ object PipelineOps {
               |  (32 * (1 + ${hxs("h", 3, 4)} % 64))::BIGINT AS width,
               |  (32 * (1 + ${hxs("h", 7, 4)} % 64))::BIGINT AS height
               |FROM rn ORDER BY sha1""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // §3.1 FLAGSHIP FLOW through the API facade: search-by-image — payload
+    // → detect → featurize → top-detection probe → ranked nearest corpus
+    // detections (`/byURL`, ref api/api.py:145-189 + generic_extractor.py:
+    // 221-255 + searcher_lopqhbase.py:838-912). The §2.10 stub math makes
+    // the WHOLE pipeline — detection geometry, feature derivation, probe
+    // selection, distance, ranking — reproducible in SQL, so the gate
+    // hash-checks the composition end to end, not just the pieces.
+    QueryDef(
+      "q75_api_image_search",
+      (s, d) => {
+        val payloads = t(s, d, "documents").where(col("doc_id") < 3)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq
+          .sortBy(_._1)
+        new graft.GraftApi(s, d).searchByImages(payloads, 5)
+      },
+      Some(s"""WITH $extractCtes,
+              |feat AS (SELECT doc_id, i::BIGINT AS det_idx, score,
+              |  round((${hxs("hf", 21, 4)} % 2001 - 1000) / 1000.0, 6) AS f0,
+              |  round((${hxs("hf", 25, 4)} % 2001 - 1000) / 1000.0, 6) AS f1,
+              |  round((${hxs("hf", 29, 4)} % 2001 - 1000) / 1000.0, 6) AS f2
+              |  FROM bf),
+              |q AS (SELECT doc_id AS q_id, f0 AS q0, f1 AS q1, f2 AS q2 FROM feat
+              |      WHERE doc_id < 3
+              |      QUALIFY row_number() OVER (PARTITION BY doc_id
+              |        ORDER BY score DESC, det_idx) = 1),
+              |pairs AS (SELECT q.q_id, n.doc_id AS n_id, n.det_idx AS n_det,
+              |    (q.q0 - n.f0) * (q.q0 - n.f0) + (q.q1 - n.f1) * (q.q1 - n.f1)
+              |      + (q.q2 - n.f2) * (q.q2 - n.f2) AS d2
+              |  FROM q JOIN feat n ON n.doc_id <> q.q_id),
+              |ranked AS (SELECT q_id, n_id, n_det, d2,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY d2, n_id, n_det)::BIGINT AS rank
+              |  FROM pairs)
+              |SELECT q_id, rank, n_id, n_det, floor(d2 * 1e6 + 0.5)::BIGINT AS micro
+              |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }

@@ -108,6 +108,28 @@ class PipelineSpec extends SparkSpec {
     assert(out.length == 1 && out(0).getString(1).contains(""""queryId":1"""))
   }
 
+  test("GraftApi searchByImages runs payload→detect→featurize→rank end to end") {
+    val docs = graft.ops.Tables(spark, sf, "documents").where(col("doc_id") < 2)
+      .select(col("doc_id"), col("text").cast("binary").as("p"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1))).toSeq.sortBy(_._1)
+    val api = new GraftApi(spark, sf)
+    val out = api.searchByImages(docs, 3).collect()
+    // exactly k ranked neighbors per query image, ranks 1..k in order
+    assert(out.length == docs.length * 3)
+    docs.map(_._1).foreach { q =>
+      assert(out.filter(_.getLong(0) == q).map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    }
+    // the query's own image never appears among its neighbors
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)))
+    // distances are non-decreasing with rank (per query)
+    docs.map(_._1).foreach { q =>
+      val micros = out.filter(_.getLong(0) == q).sortBy(_.getLong(1)).map(_.getLong(4))
+      assert(micros.sameElements(micros.sorted))
+    }
+    // deterministic: a second call returns the identical rows
+    assert(api.searchByImages(docs, 3).collect().toSeq == out.toSeq)
+  }
+
   test("GraftApi lopq_slim serves the same responses as lopq") {
     // the release-magnitude searcher is a conf-name swap for a facade user
     val full = new GraftApi(spark, sf, searcherName = "lopq")
