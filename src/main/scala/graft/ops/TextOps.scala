@@ -316,8 +316,12 @@ object TextOps {
     QueryDef(
       "q64_simhash_hamming_pairs",
       (s, d) => {
-        // signatures are an index artifact (computed once, joined twice) —
-        // same materialization rationale as lshPairs' checkpointed stages
+        // signatures are an index artifact (computed once, self-joined) —
+        // same materialization rationale as lshPairs' checkpointed stages.
+        // The signature RIDES the band rows (12 bytes/row), so the hamming
+        // verify runs INSIDE the bucket join's output — filter before the
+        // pair distinct, and no joins back to the signature table (was:
+        // distinct → two rejoin shuffles; measured ~35 % of the row's wall).
         val sig = docs(s, d)
           .select(col("doc_id"), simhash(tokens(col("text")), 32).as("sh"))
           .localCheckpoint()
@@ -326,20 +330,19 @@ object TextOps {
             shiftright(col("sh"), b * SimBandBits)
               .bitwiseAND(lit((1L << SimBandBits) - 1)).as("bsig"))
         }: _*))
-        val bands = sig.select(col("doc_id"), bandCol.as("bb"))
-          .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-        val cand = bands.as("a")
+        val bands = sig.select(col("doc_id"), col("sh"), bandCol.as("bb"))
+          .select(col("doc_id"), col("sh"),
+            col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+        val ham = graft.functions.TextFunctions
+          .hammingDistance(col("a.sh"), col("b.sh"))
+        bands.as("a")
           .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
               && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-          .distinct()
-        val ham = graft.functions.TextFunctions.hammingDistance(col("sa"), col("sb"))
-        cand
-          .join(sig.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-          .join(sig.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
           .where(ham <= SimMaxHamming)
-          .select(col("id_a"), col("id_b"), ham.as("hamming"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            ham.as("hamming"))
+          .distinct()
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH $simhashCtes,
