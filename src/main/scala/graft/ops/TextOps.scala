@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -62,6 +63,9 @@ object TextOps {
   private val RowsPerBand = 4
   private val JaccardThreshold = 0.5
   private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  // q76 stratified sampling: per-language quota, md5-hash order
+  private val StratQuota = 40
 
   // q64 simhash banding: 4 disjoint 8-bit bands over the 32-bit signature;
   // pairs verified at hamming ≤ 3 (pigeonhole-exact candidate recall)
@@ -556,6 +560,61 @@ object TextOps {
               |SELECT d.doc_id, d.n_chars, sha256(d.text) AS text_sha
               |FROM documents d
               |WHERE d.doc_id NOT IN (SELECT id FROM losers)
-              |ORDER BY d.doc_id""".stripMargin))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Deterministic STRATIFIED SAMPLING — the corpus-curation step that
+    // balances a language (or domain) mix: keep the first `StratQuota`
+    // documents per language in md5-hash order. Hash order makes the sample
+    // reproducible across runs/engines (no RNG state) and uniform within
+    // each stratum.
+    //
+    // Scale (100 TB): a bare `row_number() OVER (PARTITION BY lang)` puts
+    // an entire stratum — possibly most of the corpus — through ONE task.
+    // Instead the per-stratum counts (one row per language, driver-tiny)
+    // derive a hash cutoff at `oversample·quota/count`, the corpus is
+    // pre-filtered to ~oversample·quota survivors per stratum with a
+    // broadcast cutoff join (embarrassingly parallel scan), and only the
+    // survivors are ranked. The cutoff is verified — any stratum left with
+    // fewer than min(quota, count) survivors re-runs with the cutoff
+    // widened 4× (reaching take-all in the limit) — so the result is
+    // bit-identical to the unbounded window at any skew, while the window
+    // input stays O(strata·quota), independent of corpus size.
+    QueryDef(
+      "q76_stratified_sample",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d).select(col("doc_id"), col("lang"),
+          md5Long(col("doc_id").cast("string")).as("hv"))
+          .localCheckpoint() // hash once, scanned by count + filter passes
+        val counts = base.groupBy("lang").agg(count(lit(1)).as("cnt"))
+          .as[(String, Long)].collect().toMap
+        val MaxHv = 1L << 60 // md5Long range: 15 hex chars = 60 bits
+        def survivors(os: Long): org.apache.spark.sql.DataFrame = {
+          val cut = counts.toSeq.map { case (l, c) =>
+            (l, if (os * StratQuota >= c) Long.MaxValue
+                else MaxHv / c * (os * StratQuota))
+          }
+          base.join(broadcast(cut.toDF("lang", "cut")), "lang")
+            .where(col("hv") <= col("cut"))
+        }
+        val pre = Iterator.iterate(4L)(_ * 4).map(survivors)
+          .find { p =>
+            val got = p.groupBy("lang").agg(count(lit(1)).as("n"))
+              .as[(String, Long)].collect().toMap
+            counts.forall { case (l, c) =>
+              got.getOrElse(l, 0L) >= math.min(StratQuota.toLong, c) }
+          }.get
+        val w = Window.partitionBy("lang").orderBy(col("hv"), col("doc_id"))
+        pre.withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= StratQuota)
+          .select(col("lang"), col("doc_id"), col("rk"))
+          .orderBy("lang", "doc_id")
+      },
+      Some(s"""WITH h AS (SELECT doc_id, lang,
+              |  ${hx("doc_id::VARCHAR")} AS hv FROM documents),
+              |r AS (SELECT lang, doc_id,
+              |  row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h)
+              |SELECT lang, doc_id, rk::BIGINT AS rk FROM r
+              |WHERE rk <= $StratQuota ORDER BY lang, doc_id""".stripMargin))
   )
 }
