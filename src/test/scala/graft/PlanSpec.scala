@@ -104,6 +104,20 @@ class PlanSpec extends SparkSpec {
       "band bucket join degenerated to an all-pairs product")
   }
 
+  test("q76 rank window is fed by the stratum hash cutoff, not the whole corpus") {
+    val df = SparkEntry.queries("q76_stratified_sample")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, "q76 must rank via a window")
+    // everything below the Window is its input subtree: it must be the
+    // broadcast cutoff join + hash filter, so a whole stratum can never
+    // ride one task at corpus scale
+    val below = p.substring(wIdx)
+    assert(below.contains("BroadcastHashJoin"), "cutoff join must broadcast")
+    assert(below.contains("hv") && below.contains("cut"),
+      "window input must be pre-filtered by the per-stratum hash cutoff")
+  }
+
   test("ANN codes scan prunes cell partitions on disk") {
     val h = EngineOps.index(spark, sf)
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
