@@ -67,6 +67,9 @@ object TextOps {
   // q76 stratified sampling: per-language quota, md5-hash order
   private val StratQuota = 40
 
+  // q77 shard packing: tokens per output shard
+  private val ShardBudget = 4096L
+
   // q64 simhash banding: 4 disjoint 8-bit bands over the 32-bit signature;
   // pairs verified at hamming ≤ 3 (pigeonhole-exact candidate recall)
   private val SimBands = 4
@@ -615,6 +618,51 @@ object TextOps {
               |r AS (SELECT lang, doc_id,
               |  row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rk FROM h)
               |SELECT lang, doc_id, rk::BIGINT AS rk FROM r
-              |WHERE rk <= $StratQuota ORDER BY lang, doc_id""".stripMargin))
+              |WHERE rk <= $StratQuota ORDER BY lang, doc_id""".stripMargin)),
+
+    // Token-budget SHARD PACKING — the preprocessing step that chunks a
+    // curated corpus into fixed-token-budget shards in a stable document
+    // order: shard = floor(tokens-before-this-doc / budget). Every training
+    // pipeline runs a form of this before sequence packing.
+    //
+    // Scale (100 TB): the naive `sum() OVER (ORDER BY doc_id)` is a GLOBAL
+    // window — one task owns the whole corpus. This is the distributed
+    // prefix-sum instead: range-partition by doc_id (32 here; at scale the
+    // partition count follows the input splits), per-partition token totals
+    // (one row per partition — driver-tiny) become broadcast prefix
+    // offsets, and each partition computes its local running sum + offset in
+    // parallel. Result is partitioning-independent (any boundary placement
+    // yields the same global cumsum), verified exactly by the oracle's
+    // single-threaded window.
+    QueryDef(
+      "q77_shard_pack",
+      (s, d) => {
+        import s.implicits._
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+          .repartitionByRange(32, col("doc_id"))
+          .withColumn("pid", spark_partition_id())
+          .localCheckpoint() // pin partition ids across the two passes
+        val partials = base.groupBy("pid").agg(sum("n_tok").as("tot"))
+          .as[(Int, Long)].collect().sortBy(_._1)
+        // pid -> tokens in all partitions before it (exclusive prefix)
+        val offsets = partials.map(_._1)
+          .zip(partials.map(_._2).scanLeft(0L)(_ + _)).toSeq
+        val w = Window.partitionBy("pid").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        base
+          .join(broadcast(offsets.toDF("pid", "off")), "pid")
+          .withColumn("before", sum("n_tok").over(w) - col("n_tok") + col("off"))
+          .select(col("doc_id"), col("n_tok"),
+            expr(s"before div $ShardBudget").as("shard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte,
+              |c AS (SELECT doc_id, len(t)::BIGINT AS n_tok,
+              |        sum(len(t)) OVER (ORDER BY doc_id
+              |          ROWS UNBOUNDED PRECEDING) AS cum FROM toks)
+              |SELECT doc_id, n_tok,
+              |       ((cum - n_tok) // $ShardBudget)::BIGINT AS shard
+              |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

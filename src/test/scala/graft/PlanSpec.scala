@@ -118,6 +118,15 @@ class PlanSpec extends SparkSpec {
       "window input must be pre-filtered by the per-stratum hash cutoff")
   }
 
+  test("q77 prefix sum has no unpartitioned window (stays parallel at any corpus size)") {
+    val df = SparkEntry.queries("q77_shard_pack")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, "q77 should compute the running sum via a window")
+    windows.foreach(w =>
+      assert(w.contains("pid"), s"running-sum window lost its partition-id key:\n$w"))
+  }
+
   test("ANN codes scan prunes cell partitions on disk") {
     val h = EngineOps.index(spark, sf)
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
