@@ -663,6 +663,50 @@ object TextOps {
               |          ROWS UNBOUNDED PRECEDING) AS cum FROM toks)
               |SELECT doc_id, n_tok,
               |       ((cum - n_tok) // $ShardBudget)::BIGINT AS shard
-              |FROM c ORDER BY doc_id""".stripMargin))
+              |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // QUALITY-FILTER MATERIALIZATION — the C4/Gopher-style cleanup end
+    // product: compose the per-document quality signals (q22's banded score,
+    // q62's duplicate-n-gram ratio, a token floor) into one keep-set and
+    // emit the cleaned corpus, content-gated by sha256 like q72. All inputs
+    // are shuffle-free projections, so the whole pass is a single
+    // embarrassingly-parallel scan at any corpus size — filters compare the
+    // same round-6 values on both engines.
+    QueryDef(
+      "q78_quality_corpus",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        docs(s, d)
+          .select(col("doc_id"), col("text"),
+            qualityScore(col("text")).as("quality"),
+            size(toks).cast("long").as("n_tok"),
+            shingles(col("text"), 3).as("sh"))
+          .withColumn("dup_ratio",
+            round(lit(1.0) -
+              size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 6))
+          .where(col("quality") >= 0.5 && col("dup_ratio") <= 0.01
+            && col("n_tok") >= 20)
+          .select(col("doc_id"), col("quality"), col("dup_ratio"),
+            sha2(col("text"), 256).as("text_sha"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte,
+              |q AS (SELECT doc_id, text, t, round((
+              |    CASE WHEN len(t) BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END
+              |  + CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+              |      ELSE list_aggregate(list_transform(t, x -> len(x)), 'sum')::DOUBLE / len(t) END)
+              |      BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+              |  + CASE WHEN len(text) = 0 THEN 0.0
+              |      ELSE len(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE / len(text) END
+              |  ) / 3.0, 6) AS quality FROM toks),
+              |r AS (SELECT doc_id, round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) AS dup_ratio
+              |  FROM (SELECT doc_id, CASE WHEN len(t) < 3
+              |    THEN [array_to_string(t, ' ')]
+              |    ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+              |    FROM toks))
+              |SELECT q.doc_id, q.quality, r.dup_ratio, sha256(q.text) AS text_sha
+              |FROM q JOIN r USING (doc_id)
+              |WHERE q.quality >= 0.5 AND r.dup_ratio <= 0.01 AND len(q.t) >= 20
+              |ORDER BY q.doc_id""".stripMargin))
   )
 }
