@@ -434,15 +434,25 @@ object LopqIndexStore {
     sliceKeysMissed.addAndGet(missing.size.toLong)
     val fetched =
       if (missing.isEmpty) Map.empty[(Int, Int), Array[Array[Float]]]
-      else rotationSliceScan(spark, dir, missing).collect()
-        .groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (k, rs) =>
-          val mat = new Array[Array[Float]](rs.length)
-          rs.foreach(r => mat(r.getInt(2)) = r.getSeq[Double](3).toArray.map(_.toFloat))
-          sliceRowsFetched.addAndGet(rs.length.toLong)
-          cache.put(k, mat)
-          k -> mat
-        }
+      else {
+        // downcast to float EXECUTOR-side and collect through the
+        // primitive-array encoder: a release-wide cold batch moves the near
+        // full tensor (~8k slices, ~1M rows), and shipping boxed
+        // Seq[Double] rows measured 18 s against ~6 s for half the bytes
+        // unboxed. Cast double→float in-plan ≡ the old per-element .toFloat.
+        import spark.implicits._
+        rotationSliceScan(spark, dir, missing)
+          .selectExpr("split", "a", "b", "cast(vec as array<float>) vec")
+          .as[(Int, Int, Int, Array[Float])].collect()
+          .groupBy(r => (r._1, r._2))
+          .map { case (k, rs) =>
+            val mat = new Array[Array[Float]](rs.length)
+            rs.foreach(r => mat(r._3) = r._4)
+            sliceRowsFetched.addAndGet(rs.length.toLong)
+            cache.put(k, mat)
+            k -> mat
+          }
+      }
     cached ++ fetched
   }
 
