@@ -127,6 +127,18 @@ class PlanSpec extends SparkSpec {
       assert(w.contains("pid"), s"running-sum window lost its partition-id key:\n$w"))
   }
 
+  test("annJoin's approx top-k window reduces map-side before the shuffle") {
+    val df = SparkEntry.queries("q70_ann_join")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val p = df.queryExecution.executedPlan.toString
+    // the candidate-scoring window must carry Spark's rank-limit pushdown
+    // with a PARTIAL stage: each map task keeps only its own top-rerankK
+    // per query, so the shuffle moves O(queries·rerankK·tasks) rows, never
+    // the full scored candidate set (quota·queries rows at release shape)
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      "approx window lost its partial rank-limit pushdown")
+  }
+
   test("ANN codes scan prunes cell partitions on disk") {
     val h = EngineOps.index(spark, sf)
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
