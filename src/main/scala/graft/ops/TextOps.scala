@@ -623,38 +623,15 @@ object TextOps {
     // Token-budget SHARD PACKING — the preprocessing step that chunks a
     // curated corpus into fixed-token-budget shards in a stable document
     // order: shard = floor(tokens-before-this-doc / budget). Every training
-    // pipeline runs a form of this before sequence packing.
-    //
-    // Scale (100 TB): the naive `sum() OVER (ORDER BY doc_id)` is a GLOBAL
-    // window — one task owns the whole corpus. This is the distributed
-    // prefix-sum instead: range-partition by doc_id (32 here; at scale the
-    // partition count follows the input splits), per-partition token totals
-    // (one row per partition — driver-tiny) become broadcast prefix
-    // offsets, and each partition computes its local running sum + offset in
-    // parallel. Result is partitioning-independent (any boundary placement
-    // yields the same global cumsum), verified exactly by the oracle's
-    // single-threaded window.
+    // pipeline runs a form of this before sequence packing. Physical design
+    // in [[shardPack]].
     QueryDef(
       "q77_shard_pack",
       (s, d) => {
-        import s.implicits._
         val base = t(s, d, "documents")
           .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
-          .repartitionByRange(32, col("doc_id"))
-          .withColumn("pid", spark_partition_id())
-          .localCheckpoint() // pin partition ids across the two passes
-        val partials = base.groupBy("pid").agg(sum("n_tok").as("tot"))
-          .as[(Int, Long)].collect().sortBy(_._1)
-        // pid -> tokens in all partitions before it (exclusive prefix)
-        val offsets = partials.map(_._1)
-          .zip(partials.map(_._2).scanLeft(0L)(_ + _)).toSeq
-        val w = Window.partitionBy("pid").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        base
-          .join(broadcast(offsets.toDF("pid", "off")), "pid")
-          .withColumn("before", sum("n_tok").over(w) - col("n_tok") + col("off"))
-          .select(col("doc_id"), col("n_tok"),
-            expr(s"before div $ShardBudget").as("shard"))
+        shardPack(s, base)
+          .select(col("doc_id"), col("n_tok"), col("shard"))
           .orderBy("doc_id")
       },
       Some(s"""WITH $toksCte,
@@ -674,39 +651,100 @@ object TextOps {
     // same round-6 values on both engines.
     QueryDef(
       "q78_quality_corpus",
-      (s, d) => {
-        val toks = tokens(col("text"))
-        docs(s, d)
-          .select(col("doc_id"), col("text"),
-            qualityScore(col("text")).as("quality"),
-            size(toks).cast("long").as("n_tok"),
-            shingles(col("text"), 3).as("sh"))
-          .withColumn("dup_ratio",
-            round(lit(1.0) -
-              size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 6))
-          .where(col("quality") >= 0.5 && col("dup_ratio") <= 0.01
-            && col("n_tok") >= 20)
+      (s, d) =>
+        qualityKeep(s, d)
           .select(col("doc_id"), col("quality"), col("dup_ratio"),
             sha2(col("text"), 256).as("text_sha"))
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH $toksCte,
-              |q AS (SELECT doc_id, text, t, round((
-              |    CASE WHEN len(t) BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END
-              |  + CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
-              |      ELSE list_aggregate(list_transform(t, x -> len(x)), 'sum')::DOUBLE / len(t) END)
-              |      BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
-              |  + CASE WHEN len(text) = 0 THEN 0.0
-              |      ELSE len(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE / len(text) END
-              |  ) / 3.0, 6) AS quality FROM toks),
-              |r AS (SELECT doc_id, round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) AS dup_ratio
-              |  FROM (SELECT doc_id, CASE WHEN len(t) < 3
-              |    THEN [array_to_string(t, ' ')]
-              |    ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
-              |    FROM toks))
-              |SELECT q.doc_id, q.quality, r.dup_ratio, sha256(q.text) AS text_sha
-              |FROM q JOIN r USING (doc_id)
-              |WHERE q.quality >= 0.5 AND r.dup_ratio <= 0.01 AND len(q.t) >= 20
-              |ORDER BY q.doc_id""".stripMargin))
+          .orderBy("doc_id"),
+      Some(s"""WITH $qualityCtes
+              |SELECT doc_id, quality, dup_ratio, sha256(text) AS text_sha
+              |FROM keep ORDER BY doc_id""".stripMargin)),
+
+    // The CURATION PIPELINE end to end — quality filter (q78's keep-set)
+    // feeding token-budget shard packing (q77's distributed prefix sum) as
+    // ONE declarative plan: scan -> shuffle-free signal projection + filter
+    // -> range partition -> per-partition running sums. This is the whole
+    // pre-training data layout pass a corpus pipeline runs nightly, and the
+    // composition stays exactly as scalable as its pieces (the filter
+    // prunes before the only shuffle).
+    QueryDef(
+      "q79_curation_pipeline",
+      (s, d) =>
+        shardPack(s, qualityKeep(s, d).select("doc_id", "n_tok"))
+          .select(col("doc_id"), col("n_tok"), col("shard"))
+          .orderBy("doc_id"),
+      Some(s"""WITH $qualityCtes,
+              |c AS (SELECT doc_id, n_tok,
+              |        sum(n_tok) OVER (ORDER BY doc_id
+              |          ROWS UNBOUNDED PRECEDING) AS cum FROM keep)
+              |SELECT doc_id, n_tok,
+              |       ((cum - n_tok) // $ShardBudget)::BIGINT AS shard
+              |FROM c ORDER BY doc_id""".stripMargin))
   )
+
+  /** Distributed prefix-sum shard assignment over `(doc_id, n_tok)` rows —
+    * shared by q77 (raw corpus) and q79 (curated keep-set).
+    *
+    * Scale (100 TB): the naive `sum() OVER (ORDER BY doc_id)` is a GLOBAL
+    * window — one task owns the whole corpus. Here: range-partition by
+    * doc_id (32 here; at scale the partition count follows the input
+    * splits), per-partition token totals (one row per partition —
+    * driver-tiny) become broadcast prefix offsets, and each partition
+    * computes its local running sum + offset in parallel (PlanSpec pins the
+    * window stays pid-partitioned). Result is partitioning-independent (any
+    * boundary placement yields the same global cumsum), verified exactly by
+    * the oracle's single-threaded window. */
+  private def shardPack(s: org.apache.spark.sql.SparkSession,
+      in: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val base = in.repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // pin partition ids across the two passes
+    val partials = base.groupBy("pid").agg(sum("n_tok").as("tot"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    // pid -> tokens in all partitions before it (exclusive prefix)
+    val offsets = partials.map(_._1)
+      .zip(partials.map(_._2).scanLeft(0L)(_ + _)).toSeq
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets.toDF("pid", "off")), "pid")
+      .withColumn("before", sum("n_tok").over(w) - col("n_tok") + col("off"))
+      .withColumn("shard", expr(s"before div $ShardBudget"))
+  }
+
+  /** The q78 keep-set: documents surviving the quality trio (banded score,
+    * duplicate-n-gram ratio, token floor), with the signal columns kept.
+    * Shuffle-free projection + filter; both engines compare the same
+    * round-6 values. */
+  private def qualityKeep(s: org.apache.spark.sql.SparkSession, d: String) =
+    docs(s, d)
+      .select(col("doc_id"), col("text"),
+        qualityScore(col("text")).as("quality"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        shingles(col("text"), 3).as("sh"))
+      .withColumn("dup_ratio",
+        round(lit(1.0) -
+          size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 6))
+      .where(col("quality") >= 0.5 && col("dup_ratio") <= 0.01
+        && col("n_tok") >= 20)
+
+  /** DuckDB twin of [[qualityKeep]] (CTE chain ending in `keep`). */
+  private def qualityCtes: String =
+    s"""$toksCte,
+       |q AS (SELECT doc_id, text, t, round((
+       |    CASE WHEN len(t) BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.0 END
+       |  + CASE WHEN (CASE WHEN len(t) = 0 THEN 0.0
+       |      ELSE list_aggregate(list_transform(t, x -> len(x)), 'sum')::DOUBLE / len(t) END)
+       |      BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END
+       |  + CASE WHEN len(text) = 0 THEN 0.0
+       |      ELSE len(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE / len(text) END
+       |  ) / 3.0, 6) AS quality FROM toks),
+       |r AS (SELECT doc_id, round(1.0 - len(list_distinct(s))::DOUBLE / len(s), 6) AS dup_ratio
+       |  FROM (SELECT doc_id, CASE WHEN len(t) < 3
+       |    THEN [array_to_string(t, ' ')]
+       |    ELSE list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END AS s
+       |    FROM toks)),
+       |keep AS (SELECT q.doc_id, q.text, q.quality, r.dup_ratio, len(q.t)::BIGINT AS n_tok
+       |  FROM q JOIN r USING (doc_id)
+       |  WHERE q.quality >= 0.5 AND r.dup_ratio <= 0.01 AND len(q.t) >= 20)""".stripMargin
 }
