@@ -679,7 +679,8 @@ object TextOps {
               |          ROWS UNBOUNDED PRECEDING) AS cum FROM keep)
               |SELECT doc_id, n_tok,
               |       ((cum - n_tok) // $ShardBudget)::BIGINT AS shard
-              |FROM c ORDER BY doc_id""".stripMargin))
+              |FROM c ORDER BY doc_id""".stripMargin),
+      bench = true)
   )
 
   /** Distributed prefix-sum shard assignment over `(doc_id, n_tok)` rows —
