@@ -70,6 +70,10 @@ object TextOps {
   // q77 shard packing: tokens per output shard
   private val ShardBudget = 4096L
 
+  // q80/q81: 8-token gram window (decontamination + duplicate spans)
+  private val GramN = 8
+  private val EvalMod = 5
+
   // q64 simhash banding: 4 disjoint 8-bit bands over the 32-bit signature;
   // pairs verified at hamming ≤ 3 (pigeonhole-exact candidate recall)
   private val SimBands = 4
@@ -680,8 +684,96 @@ object TextOps {
               |SELECT doc_id, n_tok,
               |       ((cum - n_tok) // $ShardBudget)::BIGINT AS shard
               |FROM c ORDER BY doc_id""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // EVAL-SET DECONTAMINATION — the GPT-3-style n-gram overlap check: any
+    // training document sharing an 8-token gram with a held-out eval
+    // document is contamination (Brown et al. 2020 §C used 13-grams; 8
+    // keeps signal at the synthetic corpus's doc lengths). The eval split
+    // here is a deterministic md5 slice of the corpus (~20 %) so both
+    // engines derive it identically.
+    //
+    // Scale (100 TB): a real eval suite is megabytes against terabytes —
+    // its distinct gram-hash set is broadcast, so the training side is ONE
+    // shuffle-free scan plus a broadcast semi-join; the only shuffle is the
+    // map-side-combinable per-doc count. Gram hashes (60-bit md5) ride the
+    // join instead of the gram strings.
+    QueryDef(
+      "q80_decontaminate",
+      (s, d) => {
+        val grams = docs(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(shingles(col("text"), GramN))).as("g"))
+          .select(col("doc_id"), md5Long(col("g")).as("gh"),
+            (md5Long(col("doc_id").cast("string")) % EvalMod === 0).as("is_eval"))
+        val evalGrams = grams.where(col("is_eval")).select("gh").distinct()
+        grams.where(!col("is_eval"))
+          .join(broadcast(evalGrams), "gh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_shared"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte,
+              |$distinctGramCte,
+              |grams AS (SELECT doc_id, ${hx("g")} AS gh,
+              |  ${hx("doc_id::VARCHAR")} % $EvalMod = 0 AS is_eval FROM dg),
+              |ev AS (SELECT DISTINCT gh FROM grams WHERE is_eval)
+              |SELECT doc_id, count(*)::BIGINT AS n_shared
+              |FROM grams JOIN ev USING (gh) WHERE NOT is_eval
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // DUPLICATE-SPAN ANALYSIS — per-document duplicated-8-gram positions
+    // (the measurement behind exact-substring dedup, Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better": a gram
+    // occurring in ≥ 2 distinct documents marks a duplicated span). Output
+    // is every document's gram count, duplicated-position count, and the
+    // duplicated fraction — the signal a span-removal pass would cut on.
+    //
+    // Scale (100 TB): the canonical two-shuffle shape — gram-hash
+    // partitioned distinct-doc counts (uniform 60-bit keys, no skew), then
+    // a same-keyed join back; AQE coalesces both. Per-doc aggregation is
+    // map-side combinable; nothing touches the driver.
+    QueryDef(
+      "q81_dup_spans",
+      (s, d) => {
+        val pos = docs(s, d)
+          .select(col("doc_id"), explode(shingles(col("text"), GramN)).as("g"))
+          .select(col("doc_id"), md5Long(col("g")).as("gh"))
+        val byGram = pos.select("doc_id", "gh").distinct()
+          .groupBy("gh").agg(count(lit(1)).as("nd"))
+        pos.join(byGram, "gh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_grams"),
+            sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup"))
+          .withColumn("dup_frac",
+            round(col("n_dup").cast("double") / col("n_grams"), 6))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte,
+              |$gramCte,
+              |g AS (SELECT doc_id, ${hx("g")} AS gh FROM pg),
+              |gc AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+              |per AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+              |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+              |  FROM g JOIN gc USING (gh) GROUP BY doc_id)
+              |SELECT doc_id, n_grams, n_dup,
+              |       round(n_dup::DOUBLE / n_grams, 6) AS dup_frac
+              |FROM per ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB 8-gram expansion (positional, with repeats) — the oracle twin
+    * of `shingles(text, GramN)` exploded. */
+  private def gramCte: String =
+    s"pg AS (SELECT doc_id, unnest(CASE WHEN len(t) < $GramN " +
+      "THEN [array_to_string(t,' ')] " +
+      s"ELSE list_transform(range(1, len(t)-${GramN - 2}), i -> array_to_string(t[i:i+${GramN - 1}], ' ')) END) AS g FROM toks)"
+
+  /** Same expansion, deduplicated per document (q80's contamination unit is
+    * the distinct gram). */
+  private def distinctGramCte: String =
+    s"dg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) < $GramN " +
+      "THEN [array_to_string(t,' ')] " +
+      s"ELSE list_transform(range(1, len(t)-${GramN - 2}), i -> array_to_string(t[i:i+${GramN - 1}], ' ')) END)) AS g FROM toks)"
 
   /** Distributed prefix-sum shard assignment over `(doc_id, n_tok)` rows —
     * shared by q77 (raw corpus) and q79 (curated keep-set).
