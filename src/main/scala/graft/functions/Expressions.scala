@@ -439,6 +439,20 @@ object GraftFunctions {
         c(2).eval().asInstanceOf[ArrayData].toFloatArray(),
         c(3).eval().asInstanceOf[Number].intValue(),
         c(4).eval().asInstanceOf[Number].intValue())
+    }),
+    // Spark's own runtime-filter bloom expressions (used internally by
+    // InjectRuntimeFilter), surfaced as callable functions so a pipeline
+    // can build the bloom ONCE over a dimension key set and prune a fact
+    // scan before the join shuffle (ScaleOps q82). Both are codegen'd
+    // builtins; values are pre-hashed with xxhash64 on both sides.
+    "graft_bloom_agg" -> ((c: Seq[Expression]) => {
+      require(c.size == 3, "graft_bloom_agg(xxhash64-value, estItems, numBits)")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        c(0), c(1), c(2))
+    }),
+    "graft_bloom_contains" -> ((c: Seq[Expression]) => {
+      require(c.size == 2, "graft_bloom_contains(bloom-binary, xxhash64-value)")
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(c(0), c(1))
     }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (n, b) =>

@@ -147,6 +147,47 @@ object ScaleOps {
              |       round(quantile_cont(value, 0.5), 4) AS p50,
              |       round(quantile_cont(value, 0.95), 4) AS p95,
              |       round(quantile_cont(value, 0.99), 4) AS p99
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Bloom-pruned semi join — the explicit form of Spark's runtime
+    // filtering (InjectRuntimeFilter): when the dimension side is too big
+    // to broadcast but its KEY SET fits a bloom sketch, build the bloom
+    // once over the dim keys, prune the fact scan BEFORE the join
+    // shuffle, and let the exact join remove the false positives — so the
+    // result is bit-identical to the plain semi join (the oracle) while
+    // the shuffle carries only ~matching rows. At 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling the
+    // selectivity-fraction of it; the sketch itself is O(numBits) —
+    // 128 KB here — independent of either table's size.
+    QueryDef(
+      "q82_bloom_join",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        val dimKeys = t(s, d, "orders")
+          .where(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        // one pass over the dim keys -> a driver-held 128 KB sketch
+        val bloom = dimKeys
+          .select(call_function("graft_bloom_agg",
+            xxhash64(col("o_orderkey")), lit(200000L), lit(1048576L)).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        val fact = t(s, d, "lineitem")
+          .select("l_orderkey", "l_returnflag", "l_quantity")
+        val pruned = fact.where(call_function("graft_bloom_contains",
+          lit(bloom), xxhash64(col("l_orderkey"))))
+        pruned
+          .join(dimKeys.hint("shuffle_hash"),
+            col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       round(sum(l_quantity), 2) AS qty
+             |FROM lineitem SEMI JOIN (
+             |  SELECT o_orderkey FROM orders
+             |  WHERE o_orderpriority = '1-URGENT') o
+             |  ON l_orderkey = o_orderkey
+             |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
   )
 }

@@ -139,6 +139,28 @@ class PlanSpec extends SparkSpec {
       "approx window lost its partial rank-limit pushdown")
   }
 
+  test("q82 bloom prunes the fact side before the join shuffle") {
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, lit, xxhash64}
+    val orders = graft.ops.Tables(spark, sf, "orders")
+    val lineitem = graft.ops.Tables(spark, sf, "lineitem")
+    val dimKeys = orders.where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    val bloom = dimKeys.select(call_function("graft_bloom_agg",
+      xxhash64(col("o_orderkey")), lit(200000L), lit(1048576L)).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val total = lineitem.count()
+    val matched = lineitem.join(dimKeys,
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val pruned = lineitem.where(call_function("graft_bloom_contains",
+      lit(bloom), xxhash64(col("l_orderkey")))).count()
+    // the bloom keeps every true match (no false negatives) and drops the
+    // bulk of the non-matching fact rows before any shuffle would run
+    assert(pruned >= matched, "bloom dropped a true match")
+    assert(pruned < total / 2,
+      s"bloom pruned nothing: $pruned of $total rows survived ($matched true matches)")
+  }
+
   test("ANN codes scan prunes cell partitions on disk") {
     val h = EngineOps.index(spark, sf)
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
