@@ -275,6 +275,53 @@ object StreamingOps {
         s.table(qn).orderBy("event_id")
       },
       Some("""SELECT event_id, user_id, event_type, value, props
-             |FROM events ORDER BY event_id""".stripMargin))
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    // Stream-STREAM inner join (beyond the reference — the Structured
+    // Streaming capability an attribution/enrichment pipeline needs): each
+    // click joins the same user's views from the preceding 30 minutes.
+    // Both sides are watermarked and the join carries an event-time RANGE
+    // condition, so Spark can bound the buffered state (a view older than
+    // watermark + 30 min can never match and is evicted); inner-join
+    // matches emit eagerly, so a finite drain is exact and equals the
+    // batch range-join oracle.
+    //
+    // Scale: state is partitioned by user_id exactly like the shuffle —
+    // partition-local at any executor count — and bounded by the range
+    // condition per key, not by stream length.
+    QueryDef(
+      "q83_stream_stream_join",
+      (s, d) => {
+        val clicks = Tables.normalizeTs(eventsSource(s, d))
+          .where(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("click_ts"),
+            col("event_id").as("click_id"))
+          .withWatermark("click_ts", "40 days")
+        val views = Tables.normalizeTs(eventsSource(s, d))
+          .where(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+            col("event_id").as("view_id"))
+          .withWatermark("view_ts", "40 days")
+        val joined = clicks.join(views,
+          col("user_id") === col("v_user") &&
+            col("view_ts") >= col("click_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("view_ts") <= col("click_ts"))
+          .select(col("user_id"), col("click_id"), col("view_id"),
+            date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts_str"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts_str"))
+        val qn = s"graft_stream_join_${nameSeq.incrementAndGet()}"
+        val q = joined.writeStream.format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(qn).orderBy("click_id", "view_id")
+      },
+      Some("""SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+             |       strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_str,
+             |       strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_str
+             |FROM events a JOIN events b
+             |  ON a.user_id = b.user_id
+             | AND a.event_type = 'click' AND b.event_type = 'view'
+             | AND b.ts BETWEEN a.ts - INTERVAL 30 MINUTE AND a.ts
+             |ORDER BY click_id, view_id""".stripMargin))
   )
 }
