@@ -74,6 +74,14 @@ object TextOps {
   private val GramN = 8
   private val EvalMod = 5
 
+  /** q84 scrub patterns — written in the RE2 ∩ Java-regex common dialect
+    * (character classes and bounded quantifiers only) so Spark and DuckDB
+    * match identically. Declared BEFORE `defs`: the oracle SQL strings are
+    * built eagerly at object init, in declaration order. */
+  private val EmailRe = "[A-Za-z0-9._]+@[A-Za-z0-9]+\\.com"
+  private val PhoneRe = "555-[0-9]{4}"
+  private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
   // q64 simhash banding: 4 disjoint 8-bit bands over the 32-bit signature;
   // pairs verified at hamming ≤ 3 (pigeonhole-exact candidate recall)
   private val SimBands = 4
@@ -758,7 +766,99 @@ object TextOps {
               |  FROM g JOIN gc USING (gh) GROUP BY doc_id)
               |SELECT doc_id, n_grams, n_dup,
               |       round(n_dup::DOUBLE / n_grams, 6) AS dup_frac
-              |FROM per ORDER BY doc_id""".stripMargin))
+              |FROM per ORDER BY doc_id""".stripMargin)),
+
+    // PII REDACTION — the scrub pass every released corpus runs (emails,
+    // phone numbers, IPv4 addresses → typed placeholders) plus per-doc
+    // match counts, the audit signal. The synthetic corpus carries no
+    // natural PII (digit-free word soup), so both engines inject the SAME
+    // deterministic spans (doc_id-derived, 0–3 of each kind) before
+    // scrubbing — the gate then exercises the real machinery: global
+    // regexp_replace chains and regexp_count over patterns written in the
+    // RE2 ∩ Java dialect (char classes + bounded quantifiers only, no
+    // boundaries/lookaround, so both engines match identically).
+    //
+    // Scale (100 TB): a pure shuffle-free projection — native codegen'd
+    // string expressions, no UDF, no driver involvement; redacted text is
+    // content-gated by sha256 like q72/q78.
+    QueryDef(
+      "q84_pii_scrub",
+      (s, d) => {
+        val nStr = (m: Long) => (col("doc_id") % m).cast("string")
+        val aug = concat(
+          col("text"), lit(" "),
+          call_function("repeat",
+            concat(lit("user"), nStr(89), lit("@mail"), nStr(7), lit(".com ")),
+            (col("doc_id") % 4).cast("int")),
+          call_function("repeat",
+            concat(lit("555-"), lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"), lit(" ")),
+            (col("doc_id") % 3).cast("int")),
+          call_function("repeat",
+            concat(lit("10."), nStr(256), lit(".0.1 ")),
+            ((col("doc_id") + 1) % 3).cast("int")))
+        docs(s, d)
+          .withColumn("aug", aug)
+          .select(col("doc_id"),
+            regexp_count(col("aug"), lit(EmailRe)).cast("long").as("n_email"),
+            regexp_count(col("aug"), lit(PhoneRe)).cast("long").as("n_phone"),
+            regexp_count(col("aug"), lit(IpRe)).cast("long").as("n_ip"),
+            sha2(regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"), 256)
+              .as("red_sha"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH aug AS (SELECT doc_id, text || ' ' ||
+              |  repeat('user' || (doc_id % 89)::VARCHAR || '@mail' || (doc_id % 7)::VARCHAR || '.com ', (doc_id % 4)::INT) ||
+              |  repeat('555-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') || ' ', (doc_id % 3)::INT) ||
+              |  repeat('10.' || (doc_id % 256)::VARCHAR || '.0.1 ', ((doc_id + 1) % 3)::INT) AS a
+              |  FROM documents)
+              |SELECT doc_id,
+              |  len(regexp_extract_all(a, '$EmailRe'))::BIGINT AS n_email,
+              |  len(regexp_extract_all(a, '$PhoneRe'))::BIGINT AS n_phone,
+              |  len(regexp_extract_all(a, '$IpRe'))::BIGINT AS n_ip,
+              |  sha256(regexp_replace(regexp_replace(regexp_replace(a,
+              |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'),
+              |    '$IpRe', '<IP>', 'g')) AS red_sha
+              |FROM aug ORDER BY doc_id""".stripMargin)),
+
+    // DOMAIN-MIXTURE WEIGHTS — per-source corpus share and a
+    // temperature-scaled sampling weight (α = 0.5: upsample the tail,
+    // downsample the head — the standard multi-source pre-training mix,
+    // e.g. XLM-R's α-smoothed sampling). Weight is reported RELATIVE to
+    // the largest source (max = 1.0); the client normalizes the O(sources)
+    // scalar vector. Every float step is order-free so the hash gate is
+    // exact across engines: the share denominator is an INTEGER sum, ÷ and
+    // sqrt are IEEE correctly-rounded, and the weight denominator is a
+    // max, not a float sum (a Σ share^α float reduction would be
+    // summation-order-sensitive in the last ulp).
+    //
+    // Scale (100 TB): one map-side-combinable groupBy on source; the
+    // global window runs over O(distinct sources) rows (thousands-to-
+    // millions of tiny rows, not the corpus) — the textbook scalar reduce.
+    QueryDef(
+      "q85_domain_mix",
+      (s, d) => {
+        val w = Window.partitionBy()
+        docs(s, d)
+          .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+          .groupBy("source")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum("n_tok").as("n_tok"))
+          .withColumn("share", col("n_tok").cast("double") / sum("n_tok").over(w))
+          .withColumn("sw", sqrt(col("share")))
+          .select(col("source"), col("n_docs"), col("n_tok"),
+            round(col("share"), 6).as("share"),
+            round(col("sw") / max("sw").over(w), 6).as("weight"))
+          .orderBy("source")
+      },
+      Some(s"""WITH $toksCte,
+              |per AS (SELECT source, count(*)::BIGINT AS n_docs,
+              |  sum(len(t))::BIGINT AS n_tok FROM toks GROUP BY source),
+              |sh AS (SELECT source, n_docs, n_tok,
+              |  n_tok::DOUBLE / sum(n_tok) OVER () AS share FROM per)
+              |SELECT source, n_docs, n_tok, round(share, 6) AS share,
+              |       round(sqrt(share) / max(sqrt(share)) OVER (), 6) AS weight
+              |FROM sh ORDER BY source""".stripMargin))
   )
 
   /** DuckDB 8-gram expansion (positional, with repeats) — the oracle twin
