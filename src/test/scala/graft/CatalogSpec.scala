@@ -60,4 +60,34 @@ class CatalogSpec extends SparkSpec {
       assert(ds.sameElements(ds.sorted))
     }
   }
+
+  test("q84 injected PII spans are counted and fully redacted") {
+    val rows = SparkEntry.queries("q84_pii_scrub")(spark, sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // counts must equal the deterministic injection arithmetic
+      assert(r.getAs[Long]("n_email") == id % 4, s"doc $id email count")
+      assert(r.getAs[Long]("n_phone") == id % 3, s"doc $id phone count")
+      assert(r.getAs[Long]("n_ip") == (id + 1) % 3, s"doc $id ip count")
+    }
+    // redaction changes the content hash whenever anything matched
+    val touched = rows.filter(r => r.getAs[Long]("n_email") +
+      r.getAs[Long]("n_phone") + r.getAs[Long]("n_ip") > 0)
+    assert(touched.nonEmpty)
+  }
+
+  test("q85 mixture weights are max-normalized and compress the head/tail spread") {
+    val rows = SparkEntry.queries("q85_domain_mix")(spark, sf).collect()
+    val shares = rows.map(_.getAs[Double]("share"))
+    val weights = rows.map(_.getAs[Double]("weight"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4)
+    assert(math.abs(weights.max - 1.0) < 1e-9)
+    assert(weights.forall(w => w > 0.0 && w <= 1.0))
+    // α = 0.5 tempering: the head/tail weight ratio is the sqrt of the
+    // share ratio — strictly gentler than proportional sampling
+    val spreadShare = shares.max / shares.min
+    val spreadWeight = weights.max / weights.min
+    assert(spreadWeight < spreadShare)
+    assert(math.abs(spreadWeight - math.sqrt(spreadShare)) / spreadWeight < 0.01)
+  }
 }
