@@ -858,7 +858,66 @@ object TextOps {
               |  n_tok::DOUBLE / sum(n_tok) OVER () AS share FROM per)
               |SELECT source, n_docs, n_tok, round(share, 6) AS share,
               |       round(sqrt(share) / max(sqrt(share)) OVER (), 6) AS weight
-              |FROM sh ORDER BY source""".stripMargin))
+              |FROM sh ORDER BY source""".stripMargin)),
+
+    // DUPLICATE-SPAN REMOVAL — the CUT pass acting on q81's signal (Lee et
+    // al. 2022's exact-substring dedup): every token covered by an 8-gram
+    // occurring in ≥ 2 distinct documents is removed; the cleaned text is
+    // emitted content-gated by sha256 plus kept/cut counts. A gram
+    // starting at token i covers tokens [i, i+7]; a doc shorter than the
+    // gram width is its own single gram (whole-doc cut if duplicated).
+    //
+    // Scale (100 TB): q81's two-shuffle gram-count shape, then per-doc
+    // duplicated START positions aggregate to an array bounded by DOC
+    // LENGTH (never corpus-sized), join back on doc_id, and the cut
+    // itself is a shuffle-free higher-order filter (token index vs the
+    // covered intervals) — no UDF, no driver involvement.
+    QueryDef(
+      "q86_dup_span_cut",
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
+        val pos = docs(s, d)
+          .select(col("doc_id"),
+            posexplode(shingles(col("text"), GramN)).as(Seq("s0", "g")))
+          .select(col("doc_id"), col("s0"), md5Long(col("g")).as("gh"))
+        val dupStarts = pos
+          .join(pos.select("doc_id", "gh").distinct()
+            .groupBy("gh").agg(count(lit(1)).as("nd")), "gh")
+          .where(col("nd") >= 2)
+          .groupBy("doc_id").agg(collect_set(col("s0")).as("starts"))
+        base.join(dupStarts, Seq("doc_id"), "left")
+          .withColumn("starts",
+            coalesce(col("starts"), array().cast("array<int>")))
+          .withColumn("kept", filter(col("t"), (_, i) =>
+            !exists(col("starts"), st => i >= st && i <= st + (GramN - 1))))
+          .select(col("doc_id"),
+            size(col("t")).cast("long").as("n_tok"),
+            size(col("kept")).cast("long").as("n_kept"),
+            round(lit(1.0) - size(col("kept")).cast("double") /
+              greatest(size(col("t")), lit(1)).cast("double"), 6).as("cut_frac"),
+            sha2(concat_ws(" ", col("kept")), 256).as("kept_sha"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $toksCte,
+              |psg AS (SELECT doc_id, unnest(CASE WHEN len(t) < $GramN
+              |  THEN [{'s': 1, 'g': array_to_string(t,' ')}]
+              |  ELSE list_transform(range(1, len(t)-${GramN - 2}), i -> {'s': i, 'g': array_to_string(t[i:i+${GramN - 1}], ' ')}) END) AS u
+              |  FROM toks),
+              |g AS (SELECT doc_id, (u).s AS s0, ${hx("(u).g")} AS gh FROM psg),
+              |gc AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+              |ds AS (SELECT doc_id, list(DISTINCT s0) AS starts
+              |  FROM g JOIN gc USING (gh) WHERE nd >= 2 GROUP BY doc_id),
+              |k AS (SELECT doc_id, t, coalesce(starts, []) AS starts
+              |  FROM toks LEFT JOIN ds USING (doc_id)),
+              |kk AS (SELECT doc_id, len(t)::BIGINT AS n_tok,
+              |  list_filter(list_transform(range(1, len(t)+1),
+              |    i -> CASE WHEN len(list_filter(starts, st -> i >= st AND i <= st + ${GramN - 1})) > 0
+              |         THEN NULL ELSE t[i] END), x -> x IS NOT NULL) AS kept
+              |  FROM k)
+              |SELECT doc_id, n_tok, len(kept)::BIGINT AS n_kept,
+              |  round(1 - len(kept)::DOUBLE / greatest(n_tok, 1), 6) AS cut_frac,
+              |  sha256(coalesce(array_to_string(kept, ' '), '')) AS kept_sha
+              |FROM kk ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB 8-gram expansion (positional, with repeats) — the oracle twin

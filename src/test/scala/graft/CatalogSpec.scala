@@ -76,6 +76,22 @@ class CatalogSpec extends SparkSpec {
     assert(touched.nonEmpty)
   }
 
+  test("q86 span cut acts exactly on q81's duplicated-gram signal") {
+    val cut = SparkEntry.queries("q86_dup_span_cut")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_kept"))).toMap
+    val spans = SparkEntry.queries("q81_dup_spans")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup")).toMap
+    assert(cut.keySet == spans.keySet)
+    cut.foreach { case (id, (nTok, nKept)) =>
+      assert(nKept <= nTok, s"doc $id kept more than it had")
+      // a doc loses tokens iff it has at least one duplicated gram
+      assert((nKept < nTok) == (spans(id) > 0), s"doc $id cut/signal mismatch")
+    }
+    assert(cut.values.exists { case (t, k) => k < t }, "no spans cut at all")
+    assert(cut.values.exists { case (t, k) => k == t }, "everything cut")
+  }
+
   test("q85 mixture weights are max-normalized and compress the head/tail spread") {
     val rows = SparkEntry.queries("q85_domain_mix")(spark, sf).collect()
     val shares = rows.map(_.getAs[Double]("share"))
