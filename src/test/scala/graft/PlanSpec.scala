@@ -161,6 +161,38 @@ class PlanSpec extends SparkSpec {
       s"bloom pruned nothing: $pruned of $total rows survived ($matched true matches)")
   }
 
+  test("q84 PII scrub is one shuffle-free codegen'd projection of a pruned scan") {
+    val p = planOf("q84_pii_scrub")
+    // only the parallelism repartition (and the orderBy's range exchange)
+    // may shuffle — the scrub itself adds no Exchange, no join, no agg
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "PII scrub grew a shuffle-bearing operator")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan reads more than the two columns the scrub needs")
+  }
+
+  test("q85 domain window runs over the aggregated sources, not the corpus") {
+    val p = planOf("q85_domain_mix")
+    // partial aggregation reduces map-side before the one source shuffle
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source aggregation lost its map-side combine")
+    // the global window must sit ABOVE the aggregate (O(sources) rows),
+    // never directly over the corpus scan
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window "))
+    val aggIdx = lines.lastIndexWhere(_.contains("HashAggregate"))
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "window is not fed by the per-source aggregate")
+  }
+
+  test("q86 span cut joins back on doc_id and cuts via a higher-order filter, not a UDF") {
+    val p = planOf("q86_dup_span_cut")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "span cut fell back to a UDF")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span cut degenerated to an all-pairs product")
+  }
+
   test("ANN codes scan prunes cell partitions on disk") {
     val h = EngineOps.index(spark, sf)
     val q = spark.read.parquet(s"$sf/embeddings.parquet")
