@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{CellMath, VectorOps}
-import graft.engine.{LopqIndex, LopqIndexStore, LopqModel, LopqParams, LopqPca, LopqSearcher, LopqTrainer}
+import graft.engine.{LopqIndex, LopqIndexStore, LopqModel, LopqParams, LopqPca, LopqSearcher, LopqSlimIndex, LopqTrainer}
 import graft.functions.VectorFunctions._
 
 /** The LOPQ ANN engine surface as catalog queries: train → encode →
@@ -62,6 +62,21 @@ object EngineOps {
     * RETRAINING — round 2 retrained per session (58 s at sf0.1). */
   private val indexCache = TrieMap.empty[(SparkSession, String), LopqIndex]
 
+  /** The slim serve HANDLE for the per-sfDir index, session-cached like
+    * [[indexCache]] — the q69/q70/q71/q73 serve paths previously re-ran
+    * `loadSlim` per call, paying the histogram-heal `codes.count()` +
+    * counts-collect jobs each time and (worse) discarding the slice/ADC
+    * broadcasts [[graft.engine.LopqSearcher.annJoin]] memoizes ON the
+    * handle — a resident bulk service holds one handle, so the bench was
+    * measuring handle churn, not the join (~0.4 s/call at sf0.1). Safe to
+    * cache: this dir is only mutated through [[refreshIndex]] (which
+    * evicts) — the incremental/stream queries append to their own `_incr`/
+    * `_stream` clones, never this one. */
+  private val slimCache = TrieMap.empty[(SparkSession, String), LopqSlimIndex]
+
+  private[graft] def slimIndex(s: SparkSession, d: String): LopqSlimIndex =
+    slimCache.getOrElseUpdate((s, d), LopqIndexStore.loadSlim(s, indexDir(d)).get)
+
   /** Force a reload from disk on next access — the API `refresh` endpoint
     * (ref `api/api.py:307-384`: re-scan updates since the high-watermark).
     * Also the eviction path for ALL per-(session, dir) caches — index
@@ -70,6 +85,7 @@ object EngineOps {
     * pcaCache/oracleReady previously had no eviction path). */
   def refreshIndex(s: SparkSession, d: String): LopqIndex = {
     indexCache.remove((s, d))
+    slimCache.remove((s, d))
     pcaCache.remove((s, d))
     oracleReady.remove((s, d))
     // the store's own model cache too: an index dir rebuilt OUT of this JVM
@@ -406,7 +422,7 @@ object EngineOps {
       (s, d) => {
         ensureOracle(s, d)
         index(s, d) // build/persist the index before loading it slim
-        val slim = LopqIndexStore.loadSlim(s, indexDir(d)).get
+        val slim = slimIndex(s, d)
         val e = t(s, d, "embeddings")
         val perQuery = queryVectors(s, d).map { case (qid, vec) =>
           LopqSearcher.searchSlim(slim, e, "vec_id", "embedding", vec,
@@ -435,7 +451,7 @@ object EngineOps {
       (s, d) => {
         ensureOracle(s, d)
         index(s, d) // build/persist before loading slim
-        val slim = LopqIndexStore.loadSlim(s, indexDir(d)).get
+        val slim = slimIndex(s, d)
         val e = t(s, d, "embeddings")
         val queries = e.where(col("vec_id") < NumJoinQueries)
           .select(col("vec_id").as("q_id"), col("embedding"))
@@ -464,7 +480,7 @@ object EngineOps {
       (s, d) => {
         ensureOracle(s, d)
         index(s, d) // build/persist before loading slim
-        val slim = LopqIndexStore.loadSlim(s, indexDir(d)).get
+        val slim = slimIndex(s, d)
         val e = t(s, d, "embeddings")
         val staged = indexDir(d) + "_annstream_src"
         val outDir = indexDir(d) + "_annstream_out"
@@ -539,7 +555,7 @@ object EngineOps {
       (s, d) => {
         ensureOracle(s, d)
         index(s, d) // build/persist before loading slim
-        val slim = LopqIndexStore.loadSlim(s, indexDir(d)).get
+        val slim = slimIndex(s, d)
         val e = t(s, d, "embeddings")
         val queries = e.select(col("vec_id").as("q_id"), col("embedding"))
         val cand = LopqSearcher.annJoin(slim, queries, "q_id", "embedding",
