@@ -287,6 +287,14 @@ object LopqSearcher {
   val AnnJoinBroadcastCandMaxRowsConf = "spark.graft.annjoin.broadcastCandMaxRows"
   val DefaultAnnJoinBroadcastCandMaxRows: Long = 4L << 20
 
+  /** Conf: pruned-codes size (plan-stats bytes) below which [[annJoin]]
+    * skips the round-robin balancing shuffle before the fan-out join — at
+    * small scans the whole fan-out stage costs less than the shuffle's
+    * latency; at release scans (where the skew measurably serialized the
+    * stage) the balance is exactly worth its one narrow-row shuffle. */
+  val AnnJoinBalanceMinBytesConf = "spark.graft.annjoin.balanceMinBytes"
+  val DefaultAnnJoinBalanceMinBytes: Long = 32L << 20
+
   /** SET-ORIENTED ANN similarity join — every query row of `queries` gets
     * its top-`k` neighbours from the index in ONE shuffle-joined plan, no
     * per-query driver loop (SURVEY §7.1 north-star `similarity_join`; the
@@ -433,9 +441,18 @@ object LopqSearcher {
     // (candidate rows) never shuffles. Results are unchanged: the join is
     // broadcast (no co-location needed) and every downstream window breaks
     // ties on (dist, id), independent of row order (AnnJoinSpec pins
-    // bit-equality with the per-query path).
-    val cand = pruned
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // bit-equality with the per-query path). SIZE-GATED: below
+    // [[AnnJoinBalanceMinBytesConf]] of pruned codes the whole fan-out
+    // stage is seconds of CPU at worst, so the balancing shuffle is pure
+    // added latency (~a stage round-trip per call at the test shapes) —
+    // skew balancing is bought exactly when there is stage CPU to balance.
+    val balanceMinBytes = spark.conf
+      .get(AnnJoinBalanceMinBytesConf, DefaultAnnJoinBalanceMinBytes.toString).toLong
+    val prunedBalanced =
+      if (pruned.queryExecution.optimizedPlan.stats.sizeInBytes > balanceMinBytes)
+        pruned.repartition(spark.sessionState.conf.numShufflePartitions)
+      else pruned
+    val cand = prunedBalanced
       .join(qside, "cell_id")
       .withColumn("adc_dist", adcCol)
       .withColumn("arnk", row_number().over(wApprox))

@@ -228,17 +228,28 @@ class AnnJoinSpec extends SparkSpec {
     * the fan-out join — without it, a clustered corpus concentrates the
     * candidate expansion in the few scan tasks holding the heavy cells
     * (measured at the 1000-probe V2 shape: 23 s of stage CPU at average
-    * parallelism TWO). The join is broadcast, so no co-location is lost. */
+    * parallelism TWO). The join is broadcast, so no co-location is lost.
+    * The balance is SIZE-GATED (`annjoin.balanceMinBytes`): below the
+    * threshold the fan-out stage is cheaper than the shuffle's latency,
+    * so the test-shape plan must NOT carry the exchange; forcing the
+    * threshold to 0 must bring it back (the release-scan regime). */
   test("the fan-out join is fed by a round-robin balanced codes side") {
     val e = Tables(spark, sf, "embeddings")
     val queries = e.where(col("vec_id") < 3)
       .select(col("vec_id").as("q_id"), col("embedding"))
-    val df = LopqSearcher.annJoin(built, queries, "q_id", "embedding",
-      e, "vec_id", "embedding", Quota, TopK, RerankK)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("roundrobinpartitioning"),
-      "no round-robin exchange on the codes side:\n" + plan.take(3000))
+    def planOf(): String = {
+      val df = LopqSearcher.annJoin(built, queries, "q_id", "embedding",
+        e, "vec_id", "embedding", Quota, TopK, RerankK)
+      df.collect()
+      df.queryExecution.executedPlan.toString.toLowerCase
+    }
+    assert(!planOf().contains("roundrobinpartitioning"),
+      "tiny codes side paid the balancing shuffle anyway")
+    spark.conf.set(LopqSearcher.AnnJoinBalanceMinBytesConf, "0")
+    try
+      assert(planOf().contains("roundrobinpartitioning"),
+        "no round-robin exchange on the codes side at release-scan sizes")
+    finally spark.conf.unset(LopqSearcher.AnnJoinBalanceMinBytesConf)
   }
 
   /** r9: a repeated batch against one handle must not re-fetch rotation
