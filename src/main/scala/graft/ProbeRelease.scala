@@ -60,6 +60,14 @@ object ProbeRelease {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    import scala.jdk.CollectionConverters._
+    System.getProperties.asScala.foreach { case (k, v) =>
+      if (k.startsWith("spark.graft.probe.conf.")) {
+        val key = k.stripPrefix("spark.graft.probe.conf.")
+        println(s"[probe-release] conf $key=$v")
+        spark.conf.set(key, v)
+      }
+    }
     val idx = LopqIndexStore.loadSlim(spark, s.dir).get
     sizes.foreach { n =>
       (1 to 3).foreach { pass =>
@@ -82,7 +90,14 @@ object ProbeRelease {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
     if (args.headOption.contains("annjoin")) {
       val rest = args.drop(1)
-      val (shapeArg, sizeArgs) = rest.partition(a => a == "v2" || a == "v3")
+      // `conf:key=value` args become session confs (A/B-ing the join's
+      // size gates without a rebuild)
+      val (confArgs, rest2) = rest.partition(_.startsWith("conf:"))
+      confArgs.foreach { a =>
+        val Array(k, v) = a.stripPrefix("conf:").split("=", 2)
+        System.setProperty(s"spark.graft.probe.conf.$k", v)
+      }
+      val (shapeArg, sizeArgs) = rest2.partition(a => a == "v2" || a == "v3")
       val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq.map(_.toInt)
                   else Seq(250, 1000, 2000)
       probeAnnJoin(shapeArg.headOption, sizes)

@@ -287,13 +287,20 @@ object LopqSearcher {
   val AnnJoinBroadcastCandMaxRowsConf = "spark.graft.annjoin.broadcastCandMaxRows"
   val DefaultAnnJoinBroadcastCandMaxRows: Long = 4L << 20
 
-  /** Conf: pruned-codes size (plan-stats bytes) below which [[annJoin]]
-    * skips the round-robin balancing shuffle before the fan-out join — at
-    * small scans the whole fan-out stage costs less than the shuffle's
-    * latency; at release scans (where the skew measurably serialized the
-    * stage) the balance is exactly worth its one narrow-row shuffle. */
-  val AnnJoinBalanceMinBytesConf = "spark.graft.annjoin.balanceMinBytes"
-  val DefaultAnnJoinBalanceMinBytes: Long = 32L << 20
+  /** Conf: expected fan-out rows (Σ over visited cells of
+    * queries-visiting × codes-in-cell — EXACT, from the batch's cell-visit
+    * counts and the index histogram, both already driver-resident) below
+    * which [[annJoin]] skips the round-robin balancing shuffle before the
+    * fan-out join: under it the whole fan-out stage costs less than the
+    * shuffle's latency; over it (the release regime, where the skew
+    * measurably serialized the stage) the balance is worth its one
+    * narrow-row shuffle. Row count, not plan-stats bytes: Catalyst's
+    * post-IN-filter byte estimate of the pruned scan says nothing about
+    * the join's multiplicative fan-out (a first cut gated on scan bytes
+    * turned the balance off at the 1000-probe V2 shape and gave the 4×
+    * skew back — measured 14 s vs 3.3 s/pass). */
+  val AnnJoinBalanceMinFanOutRowsConf = "spark.graft.annjoin.balanceMinFanOutRows"
+  val DefaultAnnJoinBalanceMinFanOutRows: Long = 1L << 21
 
   /** SET-ORIENTED ANN similarity join — every query row of `queries` gets
     * its top-`k` neighbours from the index in ONE shuffle-joined plan, no
@@ -441,15 +448,17 @@ object LopqSearcher {
     // (candidate rows) never shuffles. Results are unchanged: the join is
     // broadcast (no co-location needed) and every downstream window breaks
     // ties on (dist, id), independent of row order (AnnJoinSpec pins
-    // bit-equality with the per-query path). SIZE-GATED: below
-    // [[AnnJoinBalanceMinBytesConf]] of pruned codes the whole fan-out
-    // stage is seconds of CPU at worst, so the balancing shuffle is pure
+    // bit-equality with the per-query path). FAN-OUT-GATED: below
+    // [[AnnJoinBalanceMinFanOutRowsConf]] expected join-output rows the
+    // whole fan-out stage is trivial CPU, so the balancing shuffle is pure
     // added latency (~a stage round-trip per call at the test shapes) —
     // skew balancing is bought exactly when there is stage CPU to balance.
-    val balanceMinBytes = spark.conf
-      .get(AnnJoinBalanceMinBytesConf, DefaultAnnJoinBalanceMinBytes.toString).toLong
+    val balanceMinRows = spark.conf
+      .get(AnnJoinBalanceMinFanOutRowsConf, DefaultAnnJoinBalanceMinFanOutRows.toString).toLong
+    val fanOutRows = cellRows.iterator
+      .map { case (c, nq) => nq * index.cellCounts.countOf(c) }.sum
     val prunedBalanced =
-      if (pruned.queryExecution.optimizedPlan.stats.sizeInBytes > balanceMinBytes)
+      if (fanOutRows > balanceMinRows)
         pruned.repartition(spark.sessionState.conf.numShufflePartitions)
       else pruned
     val cand = prunedBalanced

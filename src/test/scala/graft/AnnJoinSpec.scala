@@ -229,7 +229,7 @@ class AnnJoinSpec extends SparkSpec {
     * candidate expansion in the few scan tasks holding the heavy cells
     * (measured at the 1000-probe V2 shape: 23 s of stage CPU at average
     * parallelism TWO). The join is broadcast, so no co-location is lost.
-    * The balance is SIZE-GATED (`annjoin.balanceMinBytes`): below the
+    * The balance is SIZE-GATED (`annjoin.balanceMinFanOutRows`): below the
     * threshold the fan-out stage is cheaper than the shuffle's latency,
     * so the test-shape plan must NOT carry the exchange; forcing the
     * threshold to 0 must bring it back (the release-scan regime). */
@@ -245,11 +245,11 @@ class AnnJoinSpec extends SparkSpec {
     }
     assert(!planOf().contains("roundrobinpartitioning"),
       "tiny codes side paid the balancing shuffle anyway")
-    spark.conf.set(LopqSearcher.AnnJoinBalanceMinBytesConf, "0")
+    spark.conf.set(LopqSearcher.AnnJoinBalanceMinFanOutRowsConf, "0")
     try
       assert(planOf().contains("roundrobinpartitioning"),
         "no round-robin exchange on the codes side at release-scan sizes")
-    finally spark.conf.unset(LopqSearcher.AnnJoinBalanceMinBytesConf)
+    finally spark.conf.unset(LopqSearcher.AnnJoinBalanceMinFanOutRowsConf)
   }
 
   /** r9: a repeated batch against one handle must not re-fetch rotation
