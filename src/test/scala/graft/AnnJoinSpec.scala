@@ -136,6 +136,10 @@ class AnnJoinSpec extends SparkSpec {
       shuffleWriteBytes(df.queryExecution.executedPlan)
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // r9: the payload normally rides an EXPLICIT broadcast (exact-size
+    // hint); force the genuinely-huge-batch regime where it must shuffle —
+    // that is where the O(pairs·D) vs O(pairs·M·S) payload pin matters
+    spark.conf.set(LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf, "0")
     try {
       val tableBytes = totalShuffle()
       spark.conf.set(LopqSearcher.AnnJoinShipTablesMaxBytesConf, "0")
@@ -148,6 +152,7 @@ class AnnJoinSpec extends SparkSpec {
         s"projection mode shuffled MORE: $projBytes >= $tableBytes")
     } finally {
       spark.conf.unset(LopqSearcher.AnnJoinShipTablesMaxBytesConf)
+      spark.conf.unset(LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf)
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
