@@ -180,6 +180,18 @@ object Bench {
           Seq(annJoinRow("annjoin_release_v3", _.V3,
             () => ReleaseShape.ensureSlim(spark, v3)))
         else Seq.empty
+      } ++ {
+        // the batch path at the release DEPLOYMENT magnitude: 1000 probes,
+        // 16.7M-cell model, candidates reranked against the ~32 GB lookup
+        // table through the broadcast-candidate regime (100k candidate ids
+        // are past any IN-list — the table STREAMS through the join once
+        // per batch, the correct plan at that candidate count). Loaded
+        // directly like release_ann_v4 (never ensureSlim at 32 GB).
+        val v4 = ReleaseShape.V4
+        if (LopqIndexStore.fingerprintOk(v4.dir, v4.p, v4.n, v4.pcaDims))
+          Seq(annJoinRow("annjoin_release_v4", _.V4,
+            () => LopqIndexStore.loadSlim(spark, v4.dir).get))
+        else Seq.empty
       }
     } ++ {
       // v3 = THE release model constants (V=4096/split → 16.7M cells,

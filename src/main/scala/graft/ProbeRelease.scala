@@ -50,6 +50,7 @@ object ProbeRelease {
   private def probeAnnJoin(shapeArg: Option[String], sizes: Seq[Int]): Unit = {
     val s = shapeArg match {
       case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
       case _ => ReleaseShape.V2
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -97,7 +98,7 @@ object ProbeRelease {
         val Array(k, v) = a.stripPrefix("conf:").split("=", 2)
         System.setProperty(s"spark.graft.probe.conf.$k", v)
       }
-      val (shapeArg, sizeArgs) = rest2.partition(a => a == "v2" || a == "v3")
+      val (shapeArg, sizeArgs) = rest2.partition(a => a == "v2" || a == "v3" || a == "v4")
       val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq.map(_.toInt)
                   else Seq(250, 1000, 2000)
       probeAnnJoin(shapeArg.headOption, sizes)
