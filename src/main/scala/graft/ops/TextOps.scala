@@ -917,7 +917,70 @@ object TextOps {
               |SELECT doc_id, n_tok, len(kept)::BIGINT AS n_kept,
               |  round(1 - len(kept)::DOUBLE / greatest(n_tok, 1), 6) AS cut_frac,
               |  sha256(coalesce(array_to_string(kept, ' '), '')) AS kept_sha
-              |FROM kk ORDER BY doc_id""".stripMargin))
+              |FROM kk ORDER BY doc_id""".stripMargin)),
+
+    // TEMPERED-MIXTURE SAMPLE MATERIALIZATION — q85's α = 0.5 mixture
+    // applied: each source contributes floor(sqrt(its token mass)) docs
+    // (quota ∝ mass^α — heads damped, tails kept), drawn in md5-hash order
+    // like q76 (reproducible, RNG-free). The floor-of-sqrt quota is
+    // bit-identical across engines: sqrt of an exactly-representable
+    // BIGINT is IEEE correctly-rounded on both.
+    //
+    // Scale (100 TB): q76's verified-cutoff design — per-source (count,
+    // mass) stats are driver-tiny, a broadcast hash-cutoff join prunes the
+    // corpus to ~oversample·quota survivors per source in one parallel
+    // scan (widened 4× until every source retains min(quota, count), so
+    // the result equals the unbounded window at any skew), and only the
+    // survivors hit the rank window — O(sources·quota) rows, never a
+    // whole source through one task.
+    QueryDef(
+      "q87_mixture_sample",
+      (s, d) => {
+        import s.implicits._
+        val base = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_tok"),
+            md5Long(col("doc_id").cast("string")).as("hv"))
+          .localCheckpoint() // hash once; scanned by stats + filter passes
+        val stats = base.groupBy("source")
+          .agg(count(lit(1)).as("cnt"), sum("n_tok").as("tok"))
+          .as[(String, Long, Long)].collect()
+        val quotas = stats.map { case (src, cnt, tok) =>
+          (src, cnt, math.sqrt(tok.toDouble).toLong) }
+        val MaxHv = 1L << 60
+        def survivors(os: Long): org.apache.spark.sql.DataFrame = {
+          val cut = quotas.toSeq.map { case (src, cnt, q) =>
+            (src, q, if (os * q >= cnt) Long.MaxValue
+                     else MaxHv / cnt * (os * q))
+          }
+          base.join(broadcast(cut.toDF("source", "quota", "cut")), "source")
+            .where(col("hv") <= col("cut"))
+        }
+        val pre = Iterator.iterate(4L)(_ * 4).map(survivors)
+          .find { p =>
+            val got = p.groupBy("source").agg(count(lit(1)).as("n"))
+              .as[(String, Long)].collect().toMap
+            quotas.forall { case (src, cnt, q) =>
+              got.getOrElse(src, 0L) >= math.min(q, cnt) }
+          }.get
+        val w = Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))
+        pre.withColumn("rk", row_number().over(w).cast("long"))
+          .where(col("rk") <= col("quota"))
+          .select(col("source"), col("doc_id"), col("n_tok"), col("rk"))
+          .orderBy("source", "doc_id")
+      },
+      Some(s"""WITH $toksCte,
+              |st AS (SELECT source,
+              |  floor(sqrt(sum(len(t))::DOUBLE))::BIGINT AS quota
+              |  FROM toks GROUP BY source),
+              |h AS (SELECT doc_id, source, len(t)::BIGINT AS n_tok,
+              |  ${hx("doc_id::VARCHAR")} AS hv FROM toks),
+              |r AS (SELECT source, doc_id, n_tok,
+              |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rk
+              |  FROM h)
+              |SELECT source, doc_id, n_tok, rk::BIGINT AS rk
+              |FROM r JOIN st USING (source)
+              |WHERE rk <= quota ORDER BY source, doc_id""".stripMargin))
   )
 
   /** DuckDB 8-gram expansion (positional, with repeats) — the oracle twin

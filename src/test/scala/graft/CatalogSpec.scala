@@ -92,6 +92,23 @@ class CatalogSpec extends SparkSpec {
     assert(cut.values.exists { case (t, k) => k == t }, "everything cut")
   }
 
+  test("q87 sample takes exactly min(count, floor(sqrt(token mass))) docs per source") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expected = docs
+      .select(col("source"), size(split(trim(col("text")), " +")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("cnt"), sum("n_tok").as("tok"))
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        math.min(r.getAs[Long]("cnt"),
+          math.sqrt(r.getAs[Long]("tok").toDouble).toLong)).toMap
+    val got = SparkEntry.queries("q87_mixture_sample")(spark, sf).collect()
+      .groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+    expected.foreach { case (src, n) =>
+      assert(got.getOrElse(src, 0L) == n, s"source $src quota mismatch")
+    }
+  }
+
   test("q85 mixture weights are max-normalized and compress the head/tail spread") {
     val rows = SparkEntry.queries("q85_domain_mix")(spark, sf).collect()
     val shares = rows.map(_.getAs[Double]("share"))
