@@ -69,6 +69,7 @@ object TextOps {
 
   // q77 shard packing: tokens per output shard
   private val ShardBudget = 4096L
+  private val SeqCapacity = 512L
 
   // q80/q81: 8-token gram window (decontamination + duplicate spans)
   private val GramN = 8
@@ -980,7 +981,73 @@ object TextOps {
               |  FROM h)
               |SELECT source, doc_id, n_tok, rk::BIGINT AS rk
               |FROM r JOIN st USING (source)
-              |WHERE rk <= quota ORDER BY source, doc_id""".stripMargin))
+              |WHERE rk <= quota ORDER BY source, doc_id""".stripMargin)),
+
+    // SEQUENCE PACKING — the step after shard chunking: within each q77
+    // shard, NEXT-FIT pack documents (in stable doc order) into training
+    // sequences of capacity 512 tokens — a doc that does not fit closes the
+    // sequence and opens the next (an over-capacity doc sits alone). Every LLM
+    // data pipeline runs a form of this before tokenized example assembly.
+    //
+    // Scale (100 TB): packing is a SEQUENTIAL fold, but only within a
+    // shard — and a shard is budget-bounded (≤ ShardBudget tokens ≈ ≤ a
+    // few hundred docs), so each group folds in bounded memory via a
+    // higher-order `aggregate` over the collected shard (no UDF, no
+    // driver); shards themselves pack embarrassingly parallel after q77's
+    // distributed prefix sum. The oracle replays the identical fold as a
+    // recursive CTE.
+    QueryDef(
+      "q88_sequence_pack",
+      (s, d) => {
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        val C = SeqCapacity
+        val outT = "array<struct<doc_id:bigint,n_tok:bigint,seq:bigint>>"
+        val sharded = shardPack(s, base)
+          .groupBy("shard")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("n_tok")))).as("ds"))
+        val folded = sharded.withColumn("packed", aggregate(
+          col("ds"),
+          struct(lit(0L).as("fill"), lit(0L).as("seq"),
+            array().cast(outT).as("out")),
+          (acc, x) => {
+            val split = (acc.getField("fill") + x.getField("n_tok") > C) &&
+              (acc.getField("fill") > 0L)
+            val seq = when(split, acc.getField("seq") + 1L)
+              .otherwise(acc.getField("seq"))
+            val fill = when(split, x.getField("n_tok"))
+              .otherwise(acc.getField("fill") + x.getField("n_tok"))
+            struct(fill.as("fill"), seq.as("seq"),
+              concat(acc.getField("out"), array(struct(
+                x.getField("doc_id").as("doc_id"),
+                x.getField("n_tok").as("n_tok"),
+                seq.as("seq")))).as("out"))
+          },
+          acc => acc.getField("out")))
+        folded.select(col("shard"), explode(col("packed")).as("p"))
+          .select(col("p.doc_id").as("doc_id"), col("p.n_tok").as("n_tok"),
+            col("shard"), col("p.seq").as("seq"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $toksCte,
+              |c AS (SELECT doc_id, len(t)::BIGINT AS n_tok,
+              |        sum(len(t)) OVER (ORDER BY doc_id
+              |          ROWS UNBOUNDED PRECEDING) AS cum FROM toks),
+              |sh AS (SELECT doc_id, n_tok,
+              |       ((cum - n_tok) // $ShardBudget)::BIGINT AS shard FROM c),
+              |dd AS (SELECT shard, doc_id, n_tok,
+              |  row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM sh),
+              |p AS (
+              |  SELECT shard, doc_id, n_tok, rn, 0::BIGINT AS seq, n_tok AS fill
+              |  FROM dd WHERE rn = 1
+              |  UNION ALL
+              |  SELECT dd.shard, dd.doc_id, dd.n_tok, dd.rn,
+              |    CASE WHEN p.fill + dd.n_tok > $SeqCapacity AND p.fill > 0
+              |         THEN p.seq + 1 ELSE p.seq END,
+              |    CASE WHEN p.fill + dd.n_tok > $SeqCapacity AND p.fill > 0
+              |         THEN dd.n_tok ELSE p.fill + dd.n_tok END
+              |  FROM dd JOIN p ON dd.shard = p.shard AND dd.rn = p.rn + 1)
+              |SELECT doc_id, n_tok, shard, seq FROM p ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB 8-gram expansion (positional, with repeats) — the oracle twin

@@ -109,6 +109,39 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("q88 packed sequences respect capacity and next-fit order") {
+    val C = 512L
+    val rows = SparkEntry.queries("q88_sequence_pack")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("shard"), r.getAs[Long]("seq")))
+    rows.groupBy(t => (t._3, t._4)).foreach { case ((shard, seq), g) =>
+      val tot = g.map(_._2).sum
+      // a sequence only exceeds capacity when a single over-capacity doc
+      // sits alone in it
+      assert(tot <= C || g.length == 1, s"shard $shard seq $seq overflows: $tot")
+    }
+    rows.groupBy(_._3).foreach { case (shard, g) =>
+      val inOrder = g.sortBy(_._1)
+      // seq numbers are nondecreasing in doc order and start at 0
+      assert(inOrder.head._4 == 0L, s"shard $shard seq does not start at 0")
+      inOrder.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 == a._4 || b._4 == a._4 + 1, s"shard $shard seq jumps")
+      case _ => ()
+      }
+      // next-fit: a new sequence opens only when the doc would not fit
+      val fills = inOrder.scanLeft((0L, 0L)) { case ((fill, seq), (_, n, _, s2)) =>
+        if (s2 == seq && fill > 0) (fill + n, seq) else (n, s2)
+      }.drop(1)
+      inOrder.zip(fills).sliding(2).foreach {
+        case Array(((_, _, _, s1), (f1, _)), ((_, n2, _, s2), _)) =>
+          if (s2 == s1 + 1) assert(f1 + n2 > C,
+            s"shard $shard split early: fill $f1 + $n2 <= $C")
+        case _ => ()
+      }
+    }
+    assert(rows.map(_._1).distinct.length == rows.length)
+  }
+
   test("q85 mixture weights are max-normalized and compress the head/tail spread") {
     val rows = SparkEntry.queries("q85_domain_mix")(spark, sf).collect()
     val shares = rows.map(_.getAs[Double]("share"))
