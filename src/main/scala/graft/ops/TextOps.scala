@@ -1047,7 +1047,63 @@ object TextOps {
               |    CASE WHEN p.fill + dd.n_tok > $SeqCapacity AND p.fill > 0
               |         THEN dd.n_tok ELSE p.fill + dd.n_tok END
               |  FROM dd JOIN p ON dd.shard = p.shard AND dd.rn = p.rn + 1)
-              |SELECT doc_id, n_tok, shard, seq FROM p ORDER BY doc_id""".stripMargin))
+              |SELECT doc_id, n_tok, shard, seq FROM p ORDER BY doc_id""".stripMargin)),
+
+    // STREAMING CURATION — the q79 pipeline run the way a production
+    // corpus actually accretes: documents ARRIVE as a stream, each
+    // micro-batch passes the q78 quality filter and lands in an
+    // exactly-once store (batch-id-keyed partition overwrite — a replayed
+    // batch rewrites identical bytes, q50's idempotency shape), the stream
+    // is RESTARTED on its checkpoint and must add nothing, and the token-
+    // budget shard layout runs at publish time over the materialized
+    // keep-set (layout is a property of the published snapshot — packing
+    // inside the stream would couple shard numbers to batch arrival
+    // order). Drained + laid out result must equal the one-shot batch
+    // pipeline exactly — same oracle as q79.
+    //
+    // Scale (100 TB): the filter is the same shuffle-free projection per
+    // micro-batch; the store is append-only partitions; the publish-time
+    // layout is q77's distributed prefix sum over (doc_id, n_tok) rows —
+    // never the raw text.
+    QueryDef(
+      "q89_stream_curation",
+      (s, d) => {
+        val root = s"/root/repo/target/graft-stream/${new java.io.File(d).getName}"
+        val src = s"$root/cur_src"; val out = s"$root/cur_out"
+        val ckpt = s"$root/cur_ckpt"
+        Seq(src, out, ckpt).foreach { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(hp)) fs.delete(hp, true)
+        }
+        val docsDf = t(s, d, "documents")
+        // four staged files + maxFilesPerTrigger=1 → four real micro-batches
+        (0 until 4).foreach { i =>
+          docsDf.where(col("doc_id") % 4 === i)
+            .repartition(1).write.mode(org.apache.spark.sql.SaveMode.Append).parquet(src)
+        }
+        def drain(): Unit = s.readStream.schema(docsDf.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            qualityKeepOf(b).select("doc_id", "n_tok")
+              .write.mode("overwrite").parquet(s"$out/batch_id=$id")
+          }
+          .start().awaitTermination()
+        drain()
+        drain() // checkpoint restart: zero new offsets, zero new writes
+        shardPack(s, s.read.parquet(out).select("doc_id", "n_tok"))
+          .select(col("doc_id"), col("n_tok"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $qualityCtes,
+              |c AS (SELECT doc_id, n_tok,
+              |        sum(n_tok) OVER (ORDER BY doc_id
+              |          ROWS UNBOUNDED PRECEDING) AS cum FROM keep)
+              |SELECT doc_id, n_tok,
+              |       ((cum - n_tok) // $ShardBudget)::BIGINT AS shard
+              |FROM c ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB 8-gram expansion (positional, with repeats) — the oracle twin
@@ -1097,10 +1153,10 @@ object TextOps {
   /** The q78 keep-set: documents surviving the quality trio (banded score,
     * duplicate-n-gram ratio, token floor), with the signal columns kept.
     * Shuffle-free projection + filter; both engines compare the same
-    * round-6 values. */
-  private def qualityKeep(s: org.apache.spark.sql.SparkSession, d: String) =
-    docs(s, d)
-      .select(col("doc_id"), col("text"),
+    * round-6 values. Frame-parametric so the same filter runs over the
+    * batch corpus (q78/q79) and over streaming micro-batches (q89). */
+  private def qualityKeepOf(in: org.apache.spark.sql.DataFrame) =
+    in.select(col("doc_id"), col("text"),
         qualityScore(col("text")).as("quality"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
         shingles(col("text"), 3).as("sh"))
@@ -1109,6 +1165,9 @@ object TextOps {
           size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 6))
       .where(col("quality") >= 0.5 && col("dup_ratio") <= 0.01
         && col("n_tok") >= 20)
+
+  private def qualityKeep(s: org.apache.spark.sql.SparkSession, d: String) =
+    qualityKeepOf(docs(s, d))
 
   /** DuckDB twin of [[qualityKeep]] (CTE chain ending in `keep`). */
   private def qualityCtes: String =
