@@ -226,6 +226,48 @@ object MultimodalOps {
              |  (1 + (doc_id * 7) % 1000)::BIGINT AS width,
              |  (1 + (doc_id * 13) % 800)::BIGINT AS height,
              |  (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 13 ELSE 44 END)::BIGINT AS n_bytes
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // §2.8 byte-level container sniffing, AUDIO twin of q66: construct
+    // well-formed PCM WAVs (with a LIST chunk BEFORE fmt, so the RIFF
+    // chunk walk is exercised — a fixed-offset read fails them), then
+    // recover channels / sample rate / payload size / integer-µs duration
+    // by READING THE BYTES. The oracle computes every field
+    // arithmetically from the construction, so a parser (or builder)
+    // defect breaks the hash. A multimodal corpus routes and filters
+    // audio on exactly this header metadata without ever decoding.
+    QueryDef(
+      "q90_wav_header",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val rates = Array(8000, 16000, 22050, 44100)
+            it.map { id =>
+              val channels = 1 + (id % 2).toInt
+              val rate = rates((id % 4).toInt)
+              val frames = 1 + (id * 31 % 512).toInt
+              val block = channels * 2 // 16-bit PCM
+              val bytes = graft.core.AudioHeader.synthesize(
+                channels, rate, 16, frames * block)
+              val w = graft.core.AudioHeader.parse(bytes)
+                .getOrElse(sys.error(s"synthesized WAV unparseable for doc $id"))
+              (id, w.channels.toLong, w.sampleRate.toLong, w.dataBytes,
+                w.durationMicros, bytes.length.toLong)
+            }
+          }.toDF("doc_id", "channels", "sample_rate", "n_data", "dur_us", "n_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  1 + (doc_id % 2) AS channels,
+             |  CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |       WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+             |  1 + (doc_id * 31) % 512 AS frames
+             |  FROM documents)
+             |SELECT doc_id, channels::BIGINT AS channels, rate::BIGINT AS sample_rate,
+             |  (frames * channels * 2)::BIGINT AS n_data,
+             |  ((frames * channels * 2) * 1000000 // (rate * channels * 2))::BIGINT AS dur_us,
+             |  (12 + 20 + 24 + 8 + frames * channels * 2)::BIGINT AS n_bytes
+             |FROM p ORDER BY doc_id""".stripMargin))
   )
 }
