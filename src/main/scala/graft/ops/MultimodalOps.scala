@@ -268,6 +268,45 @@ object MultimodalOps {
              |  (frames * channels * 2)::BIGINT AS n_data,
              |  ((frames * channels * 2) * 1000000 // (rate * channels * 2))::BIGINT AS dur_us,
              |  (12 + 20 + 24 + 8 + frames * channels * 2)::BIGINT AS n_bytes
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // §2.8 container sniffing, VIDEO leg — completes the image/audio/video
+    // trio: construct well-formed ISO-BMFF files (a `free` box before
+    // `moov` AND before `mvhd`, so both the top-level and the child box
+    // walks are exercised), recover brand / movie timescale / duration /
+    // integer-ms length by reading the bytes. Routing video by duration
+    // bucket or brand — the q56 frame-sample planner's inputs — needs
+    // exactly this and no decoder.
+    QueryDef(
+      "q91_mp4_header",
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "documents").select(col("doc_id")).as[Long]
+          .mapPartitions { it =>
+            val scales = Array(1000L, 600L, 90000L, 48000L)
+            val brands = Array("isom", "mp42")
+            it.map { id =>
+              val bytes = graft.core.Mp4Header.synthesize(
+                brands((id % 2).toInt), scales((id % 4).toInt),
+                1L + id * 17 % 100000)
+              val m = graft.core.Mp4Header.parse(bytes)
+                .getOrElse(sys.error(s"synthesized MP4 unparseable for doc $id"))
+              (id, m.brand, m.timescale, m.duration, m.durationMillis,
+                bytes.length.toLong)
+            }
+          }.toDF("doc_id", "brand", "timescale", "duration", "dur_ms", "n_bytes")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  CASE doc_id % 2 WHEN 0 THEN 'isom' ELSE 'mp42' END AS brand,
+             |  CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 600
+             |       WHEN 2 THEN 90000 ELSE 48000 END AS timescale,
+             |  1 + (doc_id * 17) % 100000 AS duration
+             |  FROM documents)
+             |SELECT doc_id, brand, timescale::BIGINT AS timescale,
+             |  duration::BIGINT AS duration,
+             |  (duration * 1000 // timescale)::BIGINT AS dur_ms,
+             |  160::BIGINT AS n_bytes
              |FROM p ORDER BY doc_id""".stripMargin))
   )
 }

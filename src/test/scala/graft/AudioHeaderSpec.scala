@@ -54,6 +54,19 @@ class AudioHeaderSpec extends AnyFunSuite {
     assert(parsed.exists(p => p.sampleRate == 8000 && p.channels == 1))
   }
 
+  test("MP4 sniff walks both box levels and rejects foreign payloads") {
+    import graft.core.Mp4Header
+    val b = Mp4Header.synthesize("isom", 90000L, 90000L * 3)
+    val m = Mp4Header.parse(b).get
+    assert(m.brand == "isom" && m.timescale == 90000L)
+    assert(m.durationMillis == 3000L)
+    assert(Mp4Header.parse("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Mp4Header.parse(b.take(20)).isEmpty) // inside ftyp — no moov yet
+    assert(AudioHeader.parse(b).isEmpty) // the trio never cross-parses
+    val wav = AudioHeader.synthesize(1, 8000, 16, 8)
+    assert(Mp4Header.parse(wav).isEmpty)
+  }
+
   test("compressed (non-PCM) fmt is refused — metadata needs a codec there") {
     val b = AudioHeader.synthesize(1, 8000, 16, 32)
     // fmt audioFormat field sits right after "fmt " + size: flip PCM(1) → 2
