@@ -407,6 +407,31 @@ object Relational {
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_str,
              |       event_type, count(*) AS cnt, round(sum(value), 4) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY hour_str, event_type""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // §2.4 hierarchical subtotal aggregation — ROLLUP over (day, type):
+    // the daily/overall operational report shape (per-type per-day, per-day
+    // subtotal, grand total) in ONE aggregation pass instead of three
+    // unioned scans. Subtotal rows surface as 'ALL' sentinels so the
+    // output is NULL-free on both engines. Scale: Spark expands the
+    // grouping sets map-side and partially aggregates each — still one
+    // shuffle, map-side combinable, no extra scans.
+    QueryDef(
+      "q92_rollup_report",
+      (s, d) =>
+        t(s, d, "events")
+          .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+          .rollup("day", "event_type")
+          .agg(count(lit(1)).cast("long").as("cnt"),
+            round(sum("value"), 4).as("sum_value"))
+          .select(coalesce(col("day"), lit("ALL")).as("day"),
+            coalesce(col("event_type"), lit("ALL")).as("event_type"),
+            col("cnt"), col("sum_value"))
+          .orderBy("day", "event_type"),
+      Some("""SELECT coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+             |       coalesce(event_type, 'ALL') AS event_type,
+             |       count(*) AS cnt, round(sum(value), 4) AS sum_value
+             |FROM events GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
+             |ORDER BY day, event_type""".stripMargin))
   )
 }
