@@ -95,8 +95,10 @@ object ProbeRelease {
       // size gates without a rebuild)
       val (confArgs, rest2) = rest.partition(_.startsWith("conf:"))
       confArgs.foreach { a =>
-        val Array(k, v) = a.stripPrefix("conf:").split("=", 2)
-        System.setProperty(s"spark.graft.probe.conf.$k", v)
+        a.stripPrefix("conf:").split("=", 2) match {
+          case Array(k, v) => System.setProperty(s"spark.graft.probe.conf.$k", v)
+          case _ => sys.error(s"bad conf arg (want conf:key=value): $a")
+        }
       }
       val (shapeArg, sizeArgs) = rest2.partition(a => a == "v2" || a == "v3" || a == "v4")
       val sizes = if (sizeArgs.nonEmpty) sizeArgs.toSeq.map(_.toInt)

@@ -1,21 +1,37 @@
 package graft.core
 
-/** Real WAV (RIFF) container header parsing — channels, sample rate, bit
-  * depth, and payload size read straight from the leading bytes, no codec
-  * library; duration derives from the fmt chunk's byte rate. The audio
-  * twin of [[ImageHeader]]: the reference sniffs image containers at the
-  * byte level before any decode (`imgio/imgio.py:42-111`); a multimodal
-  * corpus treats audio the same way — an opaque binary column whose TYPED
-  * METADATA is recoverable from the header alone, so routing/filtering
-  * never touches a decoder. Returns None when the payload is not a
-  * well-formed PCM WAV, so callers can fall back for foreign payloads.
+/** Real WAV (RIFF) container header parsing — format code, channels, sample
+  * rate, bit depth, and payload size read straight from the leading bytes,
+  * no codec library; duration derives from the fmt chunk's byte rate for
+  * PCM (where it is exact). The audio twin of [[ImageHeader]]: the
+  * reference sniffs image containers at the byte level before any decode
+  * (`imgio/imgio.py:42-111`); a multimodal corpus treats audio the same
+  * way — an opaque binary column whose TYPED METADATA is recoverable from
+  * the header alone, so routing/filtering never touches a decoder.
+  * Returns None when the payload is not a well-formed WAV, so callers can
+  * fall back for foreign payloads. Non-PCM (compressed) WAVs still parse:
+  * the format code and channel/rate metadata are in the header and a
+  * corpus routes on them; only the duration is withheld (it needs a
+  * codec's frame table, not arithmetic on the byte rate).
+  *
+  * SECURITY/ROBUSTNESS: these sniffers run over UNTRUSTED corpus bytes
+  * inside executor tasks. Chunk sizes are attacker-controlled unsigned
+  * 32-bit values; all cursor arithmetic is done in Long so a crafted size
+  * near 2^32 can never truncate into a non-advancing or negative Int step
+  * (which would hang the task — and its speculative retry — forever).
+  * Every walk either advances by >= 8 bytes per iteration or returns.
   */
 object AudioHeader {
 
-  /** Parsed header: channels, sample rate (Hz), bits/sample, data payload
-    * bytes, and integer-µs duration (dataBytes · 1e6 / byteRate). */
-  final case class Wav(channels: Int, sampleRate: Int, bits: Int,
-      dataBytes: Long, durationMicros: Long)
+  /** WAVE_FORMAT_PCM — the only format whose duration is header-derivable. */
+  val PcmFormat = 1
+
+  /** Parsed header: fmt format code, channels, sample rate (Hz),
+    * bits/sample, data payload bytes, and integer-µs duration
+    * (dataBytes · 1e6 / byteRate) — Some only for PCM, where the byte
+    * rate is exact; compressed formats route on the other fields. */
+  final case class Wav(format: Int, channels: Int, sampleRate: Int,
+      bits: Int, dataBytes: Long, durationMicros: Option[Long])
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
@@ -33,23 +49,29 @@ object AudioHeader {
     * payload itself need not be present (streaming sniff of a prefix). */
   def parse(b: Array[Byte]): Option[Wav] = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-    var i = 12
-    var fmt: Option[(Int, Int, Int, Long)] = None // channels, rate, bits, byteRate
+    var i: Long = 12L
+    // format, channels, rate, bits, byteRate
+    var fmt: Option[(Int, Int, Int, Int, Long)] = None
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "fmt ")) {
+      val at = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      val size = le32(b, at + 4) // unsigned 32-bit, UNTRUSTED
+      if (tag(b, at, "fmt ")) {
         if (i + 8 + 16 > b.length || size < 16) return None
-        val audioFormat = le16(b, i + 8)
-        if (audioFormat != 1) return None // PCM only — compressed needs a codec
-        fmt = Some((le16(b, i + 10), le32(b, i + 12).toInt,
-          le16(b, i + 22), le32(b, i + 16)))
-      } else if (tag(b, i, "data")) {
-        return fmt.map { case (ch, rate, bits, byteRate) =>
-          Wav(ch, rate, bits, size,
-            if (byteRate == 0) 0L else size * 1000000L / byteRate)
+        fmt = Some((le16(b, at + 8), le16(b, at + 10),
+          le32(b, at + 12).toInt, le16(b, at + 22), le32(b, at + 16)))
+      } else if (tag(b, at, "data")) {
+        return fmt.map { case (format, ch, rate, bits, byteRate) =>
+          Wav(format, ch, rate, bits, size,
+            if (format == PcmFormat && byteRate != 0)
+              Some(size * 1000000L / byteRate)
+            else None)
         }
       }
-      i += 8 + size.toInt + (size.toInt & 1) // chunks pad to even offsets
+      // Long arithmetic: size 0xFFFFFFF8 must NOT become toInt = -8 and
+      // freeze the cursor — the advance is always >= 8, so the loop
+      // terminates on any byte string (crafted sizes just overrun the
+      // buffer and fall out of the loop to None).
+      i += 8L + size + (size & 1L) // chunks pad to even offsets
     }
     None
   }

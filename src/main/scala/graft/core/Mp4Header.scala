@@ -6,19 +6,35 @@ package graft.core
   * ([[ImageHeader]] images, [[AudioHeader]] audio): a multimodal corpus
   * routes video on exactly this metadata — duration buckets, brand
   * filters, sample-clock alignment — without ever touching a decoder.
-  * Returns None for foreign/truncated/compressed-header payloads.
+  * Returns None for foreign/truncated/compressed-header payloads. Both
+  * mvhd versions parse: v0 (32-bit times) and v1 (64-bit creation/
+  * modification/duration, per ISO 14496-12 §8.2.2 — common in real
+  * corpora for long recordings).
+  *
+  * SECURITY/ROBUSTNESS: box sizes are attacker-controlled unsigned 32-bit
+  * values and these sniffers run over UNTRUSTED corpus bytes in executor
+  * tasks. All cursors advance in Long arithmetic — a crafted size >= 2^31
+  * must never truncate into a negative Int step that walks the cursor
+  * backwards forever (hanging the task and its speculative retry). Every
+  * loop advances by >= 8 bytes per iteration or returns. mvhd field reads
+  * are bounded by the ENCLOSING moov extent, not the whole buffer, so a
+  * child box whose declared payload crosses the moov boundary is refused
+  * rather than parsed from a neighbor's bytes.
   */
 object Mp4Header {
 
-  /** `(brand, timescale, duration, durationMillis)` — duration in movie
-    * timescale units; millis = duration · 1000 / timescale (integer). */
+  /** `(brand, timescale, duration, durationMillis, version)` — duration in
+    * movie timescale units; millis = duration · 1000 / timescale (integer);
+    * version is the mvhd box version (0 or 1) the fields were read from. */
   final case class Mp4(brand: String, timescale: Long, duration: Long,
-      durationMillis: Long)
+      durationMillis: Long, version: Int)
 
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be32(b: Array[Byte], i: Int): Long =
     ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
       (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
   private def tag(b: Array[Byte], i: Int, s: String): Boolean =
     (0 until 4).forall(k => b(i + k) == s.charAt(k).toByte)
   private def ascii(b: Array[Byte], i: Int): String =
@@ -32,50 +48,80 @@ object Mp4Header {
   def parse(b: Array[Byte]): Option[Mp4] = {
     if (b.length < 16 || !tag(b, 4, "ftyp")) return None
     val brand = ascii(b, 8)
-    var i = 0
+    var i: Long = 0L
     while (i + 8 <= b.length) {
-      val size = be32(b, i)
+      val at = i.toInt
+      val size = be32(b, at) // unsigned 32-bit, UNTRUSTED
       if (size < 8) return None // largesize/to-eof — not a sniffable prefix
-      if (tag(b, i + 4, "moov")) {
-        var j = i + 8
-        val end = math.min(i + size, b.length.toLong).toInt
+      if (tag(b, at + 4, "moov")) {
+        var j: Long = i + 8
+        val end: Long = math.min(i + size, b.length.toLong)
         while (j + 8 <= end) {
-          val cs = be32(b, j)
+          val jat = j.toInt
+          val cs = be32(b, jat)
           if (cs < 8) return None
-          if (tag(b, j + 4, "mvhd")) {
-            val version = u8(b, j + 8)
-            if (version != 0 || j + 8 + 24 > b.length) return None
-            val timescale = be32(b, j + 20)
-            val duration = be32(b, j + 24)
-            return Some(Mp4(brand, timescale, duration,
-              if (timescale == 0) 0L else duration * 1000L / timescale))
+          if (tag(b, jat + 4, "mvhd")) {
+            // Field reads bounded by BOTH the mvhd box's own extent and
+            // the enclosing moov extent — a declared payload crossing
+            // either boundary is malformed, not a neighbor's bytes.
+            val boxEnd = math.min(j + cs, end)
+            val version = u8(b, jat + 8)
+            // v0: version/flags 4B, creation 4B, modification 4B,
+            //     timescale @+20 (4B), duration @+24 (4B).
+            // v1: creation 8B, modification 8B,
+            //     timescale @+28 (4B), duration @+32 (8B).
+            return version match {
+              case 0 if j + 28 <= boxEnd =>
+                val timescale = be32(b, jat + 20)
+                val duration = be32(b, jat + 24)
+                Some(Mp4(brand, timescale, duration,
+                  if (timescale == 0) 0L else duration * 1000L / timescale, 0))
+              case 1 if j + 40 <= boxEnd =>
+                val timescale = be32(b, jat + 28)
+                val duration = be64(b, jat + 32)
+                Some(Mp4(brand, timescale, duration,
+                  if (timescale == 0) 0L
+                  else duration * 1000L / timescale, 1))
+              case _ => None
+            }
           }
-          j += cs.toInt
+          j += cs // Long: cs >= 8, always advances — crafted sizes exit the loop
         }
         return None // moov without mvhd is malformed
       }
-      i += size.toInt
+      i += size // Long: size >= 8, always advances
     }
     None
   }
 
   /** Minimal WELL-FORMED fixture: `ftyp` + a `free` box BEFORE `moov` (so
     * the top-level walk is exercised) + `moov` containing a `free` then
-    * the v0 `mvhd` (so the child walk is exercised too). */
-  def synthesize(brand: String, timescale: Long, duration: Long): Array[Byte] = {
+    * the `mvhd` (so the child walk is exercised too). `version` picks the
+    * mvhd layout: 0 (32-bit times) or 1 (64-bit times). */
+  def synthesize(brand: String, timescale: Long, duration: Long,
+      version: Int = 0): Array[Byte] = {
     require(brand.length == 4, "brand is a 4CC")
+    require(version == 0 || version == 1, "mvhd version is 0 or 1")
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     def w32(v: Long): Unit =
       (3 to 0 by -1).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    def w64(v: Long): Unit = { w32(v >>> 32); w32(v & 0xffffffffL) }
     w32(16L); w("ftyp"); w(brand); w32(0L) // major brand + minor version
     w32(12L); w("free"); w32(0L)
-    val mvhdSize = 8 + 4 + 96 // header + version/flags + v0 payload
+    // v0 payload: 4 (ver/flags) + 16 (times) + 80; v1: 4 + 28 + 80
+    val mvhdSize = 8 + 4 + (if (version == 0) 16 else 28) + 80
     w32(8L + 16L + mvhdSize); w("moov")
     w32(16L); w("free"); w32(0L); w32(0L)
-    w32(mvhdSize.toLong); w("mvhd"); w32(0L) // version 0, flags 0
-    w32(0L); w32(0L) // creation, modification
-    w32(timescale); w32(duration)
+    w32(mvhdSize.toLong); w("mvhd")
+    out.write(version); out.write(0); out.write(0); out.write(0) // ver, flags
+    if (version == 0) {
+      w32(0L); w32(0L) // creation, modification
+      w32(timescale); w32(duration)
+    } else {
+      w64(0L); w64(0L) // creation, modification (64-bit)
+      w32(timescale); w64(duration)
+    }
     w32(0x00010000L); w32(0x01000000L) // rate 1.0, volume 1.0 + reserved
     (0 until 2).foreach(_ => w32(0L)) // reserved
     Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L)

@@ -250,12 +250,26 @@ object MultimodalOps {
               val block = channels * 2 // 16-bit PCM
               val bytes = graft.core.AudioHeader.synthesize(
                 channels, rate, 16, frames * block)
+              if (id % 5 == 0) {
+                // every 5th doc is "compressed": flip the fmt format code
+                // to µ-law (7) — routing metadata must survive the header,
+                // only the duration is codec-bound
+                val at = (0 until bytes.length - 4).find(k =>
+                  bytes(k) == 'f' && bytes(k + 1) == 'm' &&
+                    bytes(k + 2) == 't' && bytes(k + 3) == ' ').get
+                bytes(at + 8) = 7
+              }
               val w = graft.core.AudioHeader.parse(bytes)
                 .getOrElse(sys.error(s"synthesized WAV unparseable for doc $id"))
-              (id, w.channels.toLong, w.sampleRate.toLong, w.dataBytes,
-                w.durationMicros, bytes.length.toLong)
+              // -1 sentinel (not NULL) for the codec-bound duration keeps
+              // the cross-engine hash free of NULL-ordering concerns; the
+              // library API itself carries Option[Long]
+              (id, w.format.toLong, w.channels.toLong, w.sampleRate.toLong,
+                w.dataBytes, w.durationMicros.getOrElse(-1L),
+                bytes.length.toLong)
             }
-          }.toDF("doc_id", "channels", "sample_rate", "n_data", "dur_us", "n_bytes")
+          }.toDF("doc_id", "format", "channels", "sample_rate", "n_data",
+            "dur_us", "n_bytes")
           .orderBy("doc_id")
       },
       Some("""WITH p AS (SELECT doc_id,
@@ -264,9 +278,13 @@ object MultimodalOps {
              |       WHEN 2 THEN 22050 ELSE 44100 END AS rate,
              |  1 + (doc_id * 31) % 512 AS frames
              |  FROM documents)
-             |SELECT doc_id, channels::BIGINT AS channels, rate::BIGINT AS sample_rate,
+             |SELECT doc_id,
+             |  (CASE WHEN doc_id % 5 = 0 THEN 7 ELSE 1 END)::BIGINT AS format,
+             |  channels::BIGINT AS channels, rate::BIGINT AS sample_rate,
              |  (frames * channels * 2)::BIGINT AS n_data,
-             |  ((frames * channels * 2) * 1000000 // (rate * channels * 2))::BIGINT AS dur_us,
+             |  (CASE WHEN doc_id % 5 = 0 THEN -1
+             |        ELSE (frames * channels * 2) * 1000000 // (rate * channels * 2)
+             |   END)::BIGINT AS dur_us,
              |  (12 + 20 + 24 + 8 + frames * channels * 2)::BIGINT AS n_bytes
              |FROM p ORDER BY doc_id""".stripMargin)),
 
@@ -286,27 +304,36 @@ object MultimodalOps {
             val scales = Array(1000L, 600L, 90000L, 48000L)
             val brands = Array("isom", "mp42")
             it.map { id =>
+              // every 3rd doc carries a v1 mvhd (64-bit times) with a
+              // duration past 2^32 — unrepresentable in a v0 box at all,
+              // so a parser that ignored the version could not hash-match
+              val v1 = id % 3 == 0
+              val dur = 1L + id * 17 % 100000 + (if (v1) 1L << 33 else 0L)
               val bytes = graft.core.Mp4Header.synthesize(
-                brands((id % 2).toInt), scales((id % 4).toInt),
-                1L + id * 17 % 100000)
+                brands((id % 2).toInt), scales((id % 4).toInt), dur,
+                version = if (v1) 1 else 0)
               val m = graft.core.Mp4Header.parse(bytes)
                 .getOrElse(sys.error(s"synthesized MP4 unparseable for doc $id"))
-              (id, m.brand, m.timescale, m.duration, m.durationMillis,
-                bytes.length.toLong)
+              (id, m.brand, m.version.toLong, m.timescale, m.duration,
+                m.durationMillis, bytes.length.toLong)
             }
-          }.toDF("doc_id", "brand", "timescale", "duration", "dur_ms", "n_bytes")
+          }.toDF("doc_id", "brand", "mvhd_version", "timescale", "duration",
+            "dur_ms", "n_bytes")
           .orderBy("doc_id")
       },
       Some("""WITH p AS (SELECT doc_id,
              |  CASE doc_id % 2 WHEN 0 THEN 'isom' ELSE 'mp42' END AS brand,
              |  CASE doc_id % 4 WHEN 0 THEN 1000 WHEN 1 THEN 600
              |       WHEN 2 THEN 90000 ELSE 48000 END AS timescale,
-             |  1 + (doc_id * 17) % 100000 AS duration
+             |  1 + (doc_id * 17) % 100000
+             |    + CASE WHEN doc_id % 3 = 0 THEN 8589934592 ELSE 0 END AS duration,
+             |  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS v
              |  FROM documents)
-             |SELECT doc_id, brand, timescale::BIGINT AS timescale,
+             |SELECT doc_id, brand, v::BIGINT AS mvhd_version,
+             |  timescale::BIGINT AS timescale,
              |  duration::BIGINT AS duration,
              |  (duration * 1000 // timescale)::BIGINT AS dur_ms,
-             |  160::BIGINT AS n_bytes
+             |  (CASE v WHEN 0 THEN 160 ELSE 172 END)::BIGINT AS n_bytes
              |FROM p ORDER BY doc_id""".stripMargin))
   )
 }

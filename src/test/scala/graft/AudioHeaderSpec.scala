@@ -3,19 +3,25 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.AudioHeader
+import graft.core.Mp4Header
 
-/** Byte-level WAV sniffing edge cases the oracle's arithmetic twin cannot
-  * see: rejection of foreign/truncated/compressed payloads, odd-size chunk
-  * padding, and header-prefix (dataless) parsing. */
+/** Byte-level WAV/MP4 sniffing edge cases the oracle's arithmetic twin
+  * cannot see: rejection of foreign/truncated payloads, odd-size chunk
+  * padding, header-prefix (dataless) parsing, non-PCM passthrough, mvhd
+  * v1, and — critically — TERMINATION on adversarial crafted sizes. These
+  * parsers run over untrusted corpus bytes inside executor tasks; a size
+  * field near 2^32 truncated to a negative Int once froze the cursor
+  * (infinite loop). Every crafted fixture here must return None, fast. */
 class AudioHeaderSpec extends AnyFunSuite {
 
   test("synthesized PCM WAV round-trips every field") {
     val b = AudioHeader.synthesize(channels = 2, sampleRate = 44100,
       bits = 16, dataBytes = 44100 * 4) // exactly one second
     val w = AudioHeader.parse(b).get
+    assert(w.format == AudioHeader.PcmFormat)
     assert(w.channels == 2 && w.sampleRate == 44100 && w.bits == 16)
     assert(w.dataBytes == 44100L * 4)
-    assert(w.durationMicros == 1000000L)
+    assert(w.durationMicros.contains(1000000L))
   }
 
   test("foreign and truncated payloads are rejected, not mis-parsed") {
@@ -36,7 +42,7 @@ class AudioHeaderSpec extends AnyFunSuite {
     val prefix = full.take(full.length - 4096)
     val w = AudioHeader.parse(prefix).get
     assert(w.dataBytes == 4096L)
-    assert(w.durationMicros == 4096L * 1000000 / (16000L * 4))
+    assert(w.durationMicros.contains(4096L * 1000000 / (16000L * 4)))
   }
 
   test("odd-sized unknown chunks are pad-skipped per RIFF") {
@@ -55,7 +61,6 @@ class AudioHeaderSpec extends AnyFunSuite {
   }
 
   test("MP4 sniff walks both box levels and rejects foreign payloads") {
-    import graft.core.Mp4Header
     val b = Mp4Header.synthesize("isom", 90000L, 90000L * 3)
     val m = Mp4Header.parse(b).get
     assert(m.brand == "isom" && m.timescale == 90000L)
@@ -67,12 +72,107 @@ class AudioHeaderSpec extends AnyFunSuite {
     assert(Mp4Header.parse(wav).isEmpty)
   }
 
-  test("compressed (non-PCM) fmt is refused — metadata needs a codec there") {
+  test("non-PCM fmt passes through format metadata but withholds duration") {
     val b = AudioHeader.synthesize(1, 8000, 16, 32)
     // fmt audioFormat field sits right after "fmt " + size: flip PCM(1) → 2
     val i = (0 until b.length - 4).find(k =>
       b(k) == 'f' && b(k + 1) == 'm' && b(k + 2) == 't' && b(k + 3) == ' ').get
     b(i + 8) = 2
-    assert(AudioHeader.parse(b).isEmpty)
+    // The routing metadata (format code, channels, rate, payload size) is
+    // still in the header; only the duration needs a codec, so only it is
+    // withheld — a corpus routes compressed audio instead of dropping it.
+    val w = AudioHeader.parse(b).get
+    assert(w.format == 2 && w.channels == 1 && w.sampleRate == 8000)
+    assert(w.dataBytes == 32L)
+    assert(w.durationMicros.isEmpty)
+  }
+
+  test("mvhd version 1 (64-bit times) parses with the v1 field offsets") {
+    // long recordings commonly carry v1 headers; duration here exceeds
+    // 2^32 timescale units, unrepresentable in a v0 box at all
+    val dur = (1L << 33) + 12345L
+    val b = Mp4Header.synthesize("mp42", 48000L, dur, version = 1)
+    val m = Mp4Header.parse(b).get
+    assert(m.brand == "mp42" && m.timescale == 48000L)
+    assert(m.duration == dur)
+    assert(m.durationMillis == dur * 1000L / 48000L)
+    // and the v0 round-trip still holds with the shared builder
+    assert(Mp4Header.parse(Mp4Header.synthesize("isom", 600L, 1200L))
+      .exists(_.durationMillis == 2000L))
+  }
+
+  // ---- adversarial crafted-size fixtures: must TERMINATE with None ----
+  // A RIFF chunk size of 0xFFFFFFF8 once became toInt = -8 → advance 0 →
+  // infinite loop; an MP4 box size >= 2^31 became a negative Int step →
+  // cursor walked backwards forever. Long-cursor arithmetic makes every
+  // iteration advance >= 8 bytes, so these all fall out of the walk.
+
+  private def timed[A](body: => A): A = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future(body), 10.seconds)
+  }
+
+  test("RIFF chunk size 0xFFFFFFF8 terminates with None (no frozen cursor)") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    w("RIFF"); w32(0xFFFFFFFFL); w("WAVE")
+    w("junk"); w32(0xFFFFFFF8L) // toInt would be -8: advance-by-zero trap
+    assert(timed(AudioHeader.parse(out.toByteArray)).isEmpty)
+  }
+
+  test("RIFF fmt chunk with crafted huge size terminates with None") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    w("RIFF"); w32(0xFFFFFFFFL); w("WAVE")
+    w("fmt "); w32(0x80000010L); out.write(new Array[Byte](16))
+    assert(timed(AudioHeader.parse(out.toByteArray)).isEmpty)
+  }
+
+  test("MP4 top-level box size 0x80000000 terminates with None") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Long): Unit =
+      (3 to 0 by -1).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    w32(16L); w("ftyp"); w("isom"); w32(0L)
+    w32(0x80000000L); w("free") // toInt would be negative: backwards walk
+    assert(timed(Mp4Header.parse(out.toByteArray)).isEmpty)
+  }
+
+  test("MP4 child box size >= 2^31 inside moov terminates with None") {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Long): Unit =
+      (3 to 0 by -1).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    w32(16L); w("ftyp"); w("isom"); w32(0L)
+    w32(24L); w("moov")
+    w32(0xFFFFFFF0L); w("free"); w32(0L); w32(0L)
+    assert(timed(Mp4Header.parse(out.toByteArray)).isEmpty)
+  }
+
+  test("truncated moov (declared size past the buffer) yields None") {
+    val good = Mp4Header.synthesize("isom", 1000L, 5000L)
+    // cut inside the moov child list, before mvhd's fields are reachable
+    assert(timed(Mp4Header.parse(good.take(good.length - 90))).isEmpty)
+  }
+
+  test("mvhd whose declared extent crosses the moov boundary is refused") {
+    // moov declares room for the child header only; the mvhd box claims a
+    // full v0 payload that would read past the moov extent into whatever
+    // bytes follow — must be None, not a parse of a neighbor's bytes
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w32(v: Long): Unit =
+      (3 to 0 by -1).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    w32(16L); w("ftyp"); w("isom"); w32(0L)
+    w32(8L + 12L); w("moov") // moov extent ends 12 bytes in
+    w32(108L); w("mvhd"); w32(0L) // claims the full v0 box
+    out.write(new Array[Byte](108)) // plausible trailing bytes to mis-read
+    assert(timed(Mp4Header.parse(out.toByteArray)).isEmpty)
   }
 }
