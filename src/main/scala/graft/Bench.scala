@@ -74,8 +74,23 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
 
-    /** Time `Passes` runs of `run`; record per-pass times + median. */
-    def timeRow(name: String)(run: () => Either[String, Unit]): (String, Double) = {
+    /** Time `Passes` runs of `run`; record per-pass times + median.
+      * `warmup` extra passes run UNTIMED first: rows whose claim is
+      * steady-state amortized throughput (the annjoin batch rows — a
+      * resident bulk service answers batches continuously) pay their
+      * first-touch costs (page-cache population of the codes/tensor
+      * files, JIT, shuffle-dir creation) outside the timed window, so the
+      * recorded passes measure the same thing the docs claim. r9's
+      * warmup-free annjoin v3/v4 rows had a 2.3× non-monotone pass spread
+      * from exactly those first-touch effects bleeding into pass 1 and
+      * the page cache churning between rows. */
+    def timeRow(name: String, warmup: Int = 0)(run: () => Either[String, Unit]): (String, Double) = {
+      (1 to warmup).foreach { _ =>
+        run() match {
+          case Left(err) => errors(name) = err
+          case Right(_) => ()
+        }
+      }
       val times = (1 to Passes).map { _ =>
         val t0 = System.nanoTime()
         run() match {
@@ -155,7 +170,10 @@ object Bench {
           graft.functions.GraftFunctions.register(spark)
           val shape = s(ReleaseShape)
           val idx = ensure()
-          timeRow(name) { () =>
+          // 1 untimed warmup: these rows claim steady-state amortized
+          // ms/query, so first-touch page-cache/JIT costs stay out of the
+          // timed passes (see timeRow)
+          timeRow(name, warmup = 1) { () =>
             try {
               // unpersist only the batch cache THIS pass created
               val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet

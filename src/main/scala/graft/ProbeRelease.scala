@@ -10,6 +10,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   * release-shape query's latency actually go?
   * Usage: runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
+  *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -87,8 +88,128 @@ object ProbeRelease {
     spark.stop()
   }
 
+  /** Corpus-SELF-dedup probe at release magnitude (VERDICT r9 "What's
+    * missing #1" / next-round #3): every corpus vector is a probe through
+    * ONE [[LopqSearcher.annJoin]] plan — the vector-granularity analogue
+    * of the reference's extraction dedup pass
+    * (`updater/extraction_checker.py:225-258`), at the probe count where
+    * the batch gates cross into their large-batch regimes: the query
+    * payload passes the 1 GB broadcast bound (SMJ fan-out join) and the
+    * candidate set passes the broadcast-candidate bound (shuffle rerank
+    * join). The regimes that RAN are printed from the engine's own gate
+    * notes ([[LopqSearcher.lastPlanNotes]]), not inferred from timings.
+    *
+    * Unlike the exactness-gated q73 (tiny model, rerank prefix = whole
+    * candidate pool), this is the PRODUCTION configuration: the candidate
+    * POOL is bounded by a dedup-sized quota (a near-duplicate shares its
+    * probe's top cells — visiting 10k codes per probe buys nothing) and
+    * the rerank prefix is BOUNDED (`rerankK` ≪ pool). The price of those
+    * bounds is measured, not assumed: exact top-k neighbors of a sampled
+    * probe set are brute-forced and the recall of the bounded batch
+    * output against them is printed. */
+  private def probeDedup(shapeArg: Option[String], nProbesArg: Option[Int],
+      quota: Int, rerankK: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val s = shapeArg match {
+      case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
+      case _ => ReleaseShape.V2
+    }
+    val k = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    import scala.jdk.CollectionConverters._
+    System.getProperties.asScala.foreach { case (kk, v) =>
+      if (kk.startsWith("spark.graft.probe.conf.")) {
+        val key = kk.stripPrefix("spark.graft.probe.conf.")
+        println(s"[probe-release] conf $key=$v")
+        spark.conf.set(key, v)
+      }
+    }
+    val idx = LopqIndexStore.loadSlim(spark, s.dir).get
+    val vectors = ReleaseShape.vectors(spark, s.dir)
+    val nProbes = nProbesArg.getOrElse(s.n.toInt)
+    println(s"[probe-release] dedup ${s.name} nProbes=$nProbes quota=$quota " +
+      s"rerankK=$rerankK k=$k")
+    val probes = vectors.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // ask for k+1 so self (dist 0, rank 1) does not crowd out a true
+    // neighbor; the dedup read drops self and re-ranks
+    def run() = LopqSearcher.annJoin(idx, probes, "q_id", "q_vec",
+      vectors, "vec_id", "embedding", quota, k + 1, rerankK)
+    val out = s"${graft.ops.EngineOps.indexRoot}/${s.name}_dedup_probe"
+    (1 to 3).foreach { pass =>
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val t0 = System.nanoTime()
+      // final pass persists the result for the recall check (parquet write
+      // of O(nProbes·k) small rows — labeled, so the cold/warm noop passes
+      // stay comparable)
+      if (pass < 3) run().write.format("noop").mode("overwrite").save()
+      else run().write.mode("overwrite").parquet(out)
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => cachedBefore(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      val label = if (pass == 1) "cold" else if (pass == 2) "warm" else "warm+parquet"
+      println(f"[probe-release] dedup pass $pass ($label%-12s) ${sec}%8.2f s " +
+        f"total  ${sec * 1000 / nProbes}%7.3f ms/probe")
+      if (pass == 1) LopqSearcher.lastPlanNotes(spark).toSeq.sorted.foreach {
+        case (kk, v) => println(f"[probe-release]   regime $kk%-18s = $v")
+      }
+    }
+    // ---- bounded-prefix recall vs a brute-forced exact oracle ----
+    val sampleN = 128
+    val sampleIds = (0 until sampleN).map(i => i.toLong * nProbes / sampleN).distinct
+    val sampleDf = vectors.where(col("vec_id").isin(sampleIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = vectors.crossJoin(broadcast(sampleDf))
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("d", graft.functions.VectorFunctions.l2DistanceSq(
+        col("q_vec"), col("embedding")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d"), col("vec_id"))))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("id"))
+    val ann = spark.read.parquet(out)
+      .where(col("q_id").isin(sampleIds: _*))
+      .where(col("id") =!= col("q_id")) // dedup reads drop self
+      .withColumn("nrnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rank"))))
+      .where(col("nrnk") <= k)
+      .select("q_id", "id")
+    val truePairs = exact.count()
+    val hit = exact.intersect(ann).count()
+    println(f"[probe-release] dedup recall@$k (bounded quota=$quota, " +
+      f"rerankK=$rerankK) over ${sampleIds.size} sampled probes: " +
+      f"$hit/$truePairs = ${hit.toDouble / truePairs}%.4f")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
+    if (args.headOption.contains("dedup")) {
+      val rest = args.drop(1)
+      val (confArgs, rest2) = rest.partition(_.startsWith("conf:"))
+      confArgs.foreach { a =>
+        a.stripPrefix("conf:").split("=", 2) match {
+          case Array(kk, v) => System.setProperty(s"spark.graft.probe.conf.$kk", v)
+          case _ => sys.error(s"bad conf arg (want conf:key=value): $a")
+        }
+      }
+      val (shapeArg, numArgs) = rest2.partition(a => a == "v2" || a == "v3" || a == "v4")
+      val nums = numArgs.map(_.toInt)
+      probeDedup(shapeArg.headOption, nums.headOption,
+        quota = nums.lift(1).getOrElse(1000),
+        rerankK = nums.lift(2).getOrElse(32))
+      return
+    }
     if (args.headOption.contains("annjoin")) {
       val rest = args.drop(1)
       // `conf:key=value` args become session confs (A/B-ing the join's

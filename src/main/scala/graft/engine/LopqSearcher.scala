@@ -278,6 +278,25 @@ object LopqSearcher {
   val AnnJoinMaxLookupIdsConf = "spark.graft.annjoin.maxLookupIds"
   val DefaultAnnJoinMaxLookupIds: Int = MaxStackSafeInPushdown
 
+  /** Read-side keys for the LAST [[annJoin]] plan's regime decisions
+    * (`spark.graft.annjoin.last.*`). Every gate in the batch join is sized
+    * on quantities the engine knows exactly (pair counts, fan-out rows,
+    * payload bytes — never Catalyst plan-stats); these notes surface WHICH
+    * regime each gate picked so probes and specs can PIN the regime a
+    * given shape runs in rather than inferring it from timings — at the
+    * corpus-self-dedup magnitude the interesting claim is precisely "this
+    * ran through the SMJ fallback", and a claim like that needs a
+    * recorded witness, not an estimate. */
+  val AnnJoinLastPrefix = "spark.graft.annjoin.last."
+  private def note(spark: org.apache.spark.sql.SparkSession, key: String, v: Any): Unit =
+    spark.conf.set(AnnJoinLastPrefix + key, v.toString)
+  /** The last plan's regime notes, for probes/specs. */
+  def lastPlanNotes(spark: org.apache.spark.sql.SparkSession): Map[String, String] =
+    Seq("shipMode", "cellsPushed", "balanced", "qsideBroadcast", "rerankMode",
+        "nPairs", "fanOutRows", "qsidePayloadBytes", "candBound")
+      .flatMap(k => spark.conf.getOption(AnnJoinLastPrefix + k).map(k -> _))
+      .toMap
+
   /** Conf: candidate-row cap for the middle rerank regime — too many ids
     * for a pushed IN-list, small enough to broadcast. The candidate side
     * rides a broadcast and the vector table STREAMS through the join (one
@@ -401,6 +420,7 @@ object LopqSearcher {
     val maxPushed = spark.conf
       .get(AnnJoinMaxPushedCellsConf, DefaultAnnJoinMaxPushedCells.toString).toInt
     ensureInPushdown(spark, math.min(unionCells.length, maxPushed))
+    note(spark, "cellsPushed", unionCells.length <= maxPushed)
     val pruned =
       if (unionCells.length <= maxPushed)
         index.codes.where(LopqIndexStore.cellFilter(
@@ -418,6 +438,8 @@ object LopqSearcher {
     val tableBytesEst = nPairs * index.slim.m.toLong * sClusters * 8L
     val shipTables = tableBytesEst <= spark.conf
       .get(AnnJoinShipTablesMaxBytesConf, DefaultAnnJoinShipTablesMaxBytes.toString).toLong
+    note(spark, "nPairs", nPairs)
+    note(spark, "shipMode", if (shipTables) "tables" else "projection")
     val qpairs = qcells
       .select(col("q_id"), col("aq"), explode(col("cells")).as("cell_id"))
     val (qside, adcCol) =
@@ -469,6 +491,8 @@ object LopqSearcher {
       .get(AnnJoinBalanceMinFanOutRowsConf, DefaultAnnJoinBalanceMinFanOutRows.toString).toLong
     val fanOutRows = cellRows.iterator
       .map { case (c, nq) => nq * index.cellCounts.countOf(c) }.sum
+    note(spark, "fanOutRows", fanOutRows)
+    note(spark, "balanced", fanOutRows > balanceMinRows)
     val prunedBalanced =
       if (fanOutRows > balanceMinRows)
         pruned.repartition(spark.sessionState.conf.numShufflePartitions)
@@ -484,6 +508,8 @@ object LopqSearcher {
     val qsidePayloadBytes = nPairs * (pairBytes + 24L)
     val broadcastQMax = spark.conf
       .get(AnnJoinBroadcastQueriesMaxBytesConf, DefaultAnnJoinBroadcastQueriesMaxBytes.toString).toLong
+    note(spark, "qsidePayloadBytes", qsidePayloadBytes)
+    note(spark, "qsideBroadcast", qsidePayloadBytes <= broadcastQMax)
     val qsideHinted =
       if (qsidePayloadBytes <= broadcastQMax)
         org.apache.spark.sql.functions.broadcast(qside)
@@ -513,10 +539,17 @@ object LopqSearcher {
     // the count-job (cheap — qcells is cached) is only paid when the table
     // is lookup-threshold; scan-mode plans keep their fixed job count
     lazy val candBound = qcells.count() * rerankK
+    def noteRerank(mode: String): Unit = {
+      note(spark, "rerankMode", mode)
+      note(spark, "candBound",
+        if (RerankShape.useLookup(vectors, RerankShape.Auto)) candBound else -1L)
+    }
     val rerankJoined =
-      if (!RerankShape.useLookup(vectors, RerankShape.Auto))
+      if (!RerankShape.useLookup(vectors, RerankShape.Auto)) {
+        noteRerank("scan")
         cand.join(vecSide, "id") // table streams comfortably — Catalyst picks
-      else if (candBound <= maxLookupIds) {
+      } else if (candBound <= maxLookupIds) {
+        noteRerank("lookup")
         val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val ids = candP.select("id").distinct().collect().map(_.get(0))
         ensureInPushdown(spark, ids.length)
@@ -525,11 +558,15 @@ object LopqSearcher {
           else vecSide.where(col("id").isin(
             scala.collection.immutable.ArraySeq.unsafeWrapArray(ids): _*))
         pruned.join(broadcast(candP), "id")
-      } else if (candBound <= maxBcastCand)
+      } else if (candBound <= maxBcastCand) {
         // middle regime: candidates broadcast, the big table STREAMS through
         // the join — one scan, no shuffle of the table
+        noteRerank("broadcastCand")
         vecSide.join(broadcast(cand), "id")
-      else cand.join(vecSide, "id") // genuinely huge batch: shuffle join
+      } else {
+        noteRerank("shuffle")
+        cand.join(vecSide, "id") // genuinely huge batch: shuffle join
+      }
     rerankJoined
       .join(qcells.select(col("q_id"), col("q_vec")), "q_id")
       .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(col("q_vec"), col("n_vec"))))

@@ -229,6 +229,50 @@ class AnnJoinSpec extends SparkSpec {
     }
   }
 
+  /** r10: every annJoin run records WHICH regime each size gate picked
+    * (`spark.graft.annjoin.last.*`) — the corpus-self-dedup probe's claim
+    * "this ran through the SMJ fallback" needs a recorded witness, not a
+    * timing inference. Pin (a) the default small-batch regimes, (b) that
+    * forcing every gate to its LARGE-batch side both flips the notes AND
+    * leaves the results bit-identical — the fallback regimes are the same
+    * answer, differently shuffled. */
+  test("regime notes record each gate's decision; forced fallbacks stay bit-identical") {
+    val base = joinResults(7)
+    def notes = LopqSearcher.lastPlanNotes(spark)
+    val n0 = notes
+    assert(n0("shipMode") == "tables") // tiny batch: tables ride the broadcast
+    assert(n0("balanced") == "false") // under the fan-out gate
+    assert(n0("qsideBroadcast") == "true") // payload far under 1 GB
+    assert(n0("nPairs").toLong > 0 && n0("fanOutRows").toLong > 0)
+    try {
+      // force every gate across its threshold: projection ship, balanced
+      // fan-out, SMJ query side, shuffle rerank — the million-probe regime
+      spark.conf.set(LopqSearcher.AnnJoinShipTablesMaxBytesConf, "0")
+      spark.conf.set(LopqSearcher.AnnJoinBalanceMinFanOutRowsConf, "0")
+      spark.conf.set(LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf, "0")
+      spark.conf.set(RerankShape.ThresholdConf, "0")
+      spark.conf.set(LopqSearcher.AnnJoinMaxLookupIdsConf, "0")
+      spark.conf.set(LopqSearcher.AnnJoinBroadcastCandMaxRowsConf, "0")
+      assert(joinResults(7) === base)
+      val n1 = notes
+      assert(n1("shipMode") == "projection")
+      assert(n1("balanced") == "true")
+      assert(n1("qsideBroadcast") == "false")
+      assert(n1("rerankMode") == "shuffle")
+      // middle rerank regime: candidates broadcast, table streams
+      spark.conf.unset(LopqSearcher.AnnJoinBroadcastCandMaxRowsConf)
+      assert(joinResults(7) === base)
+      assert(notes("rerankMode") == "broadcastCand")
+    } finally {
+      Seq(LopqSearcher.AnnJoinShipTablesMaxBytesConf,
+        LopqSearcher.AnnJoinBalanceMinFanOutRowsConf,
+        LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf,
+        RerankShape.ThresholdConf,
+        LopqSearcher.AnnJoinMaxLookupIdsConf,
+        LopqSearcher.AnnJoinBroadcastCandMaxRowsConf).foreach(spark.conf.unset)
+    }
+  }
+
   /** r9: the codes side must pass through a round-robin repartition before
     * the fan-out join — without it, a clustered corpus concentrates the
     * candidate expansion in the few scan tasks holding the heavy cells
