@@ -293,9 +293,24 @@ object LopqSearcher {
   /** The last plan's regime notes, for probes/specs. */
   def lastPlanNotes(spark: org.apache.spark.sql.SparkSession): Map[String, String] =
     Seq("shipMode", "cellsPushed", "balanced", "qsideBroadcast", "rerankMode",
-        "nPairs", "fanOutRows", "qsidePayloadBytes", "candBound")
+        "exactShape", "nPairs", "fanOutRows", "qsidePayloadBytes", "candBound")
       .flatMap(k => spark.conf.getOption(AnnJoinLastPrefix + k).map(k -> _))
       .toMap
+
+  /** Conf: bytes of the probe-vector MATRIX (probes × D floats) under
+    * which a huge batch's exact stage attaches the probe vector by
+    * broadcast map-side lookup ([[graft.functions.BroadcastL2DistSqExpr]])
+    * instead of a `q_id` join. The join form re-shuffles the candidate
+    * rows AFTER they picked up the D-dim candidate vector — a second
+    * O(pairs·D) network pass that dwarfs every other stage at the
+    * corpus-self-dedup shape (600k probes × 256-prefix × 512-d ≈ 300 GB);
+    * the probe matrix is O(probes·D) regardless of the pair count. Only
+    * consulted when the candidate set is past
+    * [[AnnJoinBroadcastCandMaxRowsConf]] (bounded batches broadcast the
+    * small side of the q_id join anyway); past BOTH bounds the shuffle
+    * join is genuinely the only plan. */
+  val AnnJoinBroadcastQueryVecsMaxBytesConf = "spark.graft.annjoin.broadcastQueryVecsMaxBytes"
+  val DefaultAnnJoinBroadcastQueryVecsMaxBytes: Long = 1L << 30
 
   /** Conf: candidate-row cap for the middle rerank regime — too many ids
     * for a pushed IN-list, small enough to broadcast. The candidate side
@@ -567,9 +582,49 @@ object LopqSearcher {
         noteRerank("shuffle")
         cand.join(vecSide, "id") // genuinely huge batch: shuffle join
       }
-    rerankJoined
-      .join(qcells.select(col("q_id"), col("q_vec")), "q_id")
-      .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(col("q_vec"), col("n_vec"))))
+    // ---- exact stage: attach the probe vector to each candidate pair ----
+    // Bounded batches: a q_id join — Catalyst broadcasts the small side and
+    // the distance is the codegen'd two-column fold. HUGE batches (the
+    // candidate set already past the broadcast-candidate bound): the q_id
+    // join would re-shuffle the candidate rows AFTER the id-join attached
+    // the D-dim candidate vector — a second O(pairs·D) network pass, the
+    // scale-killer of a corpus-self-dedup (600k probes × 256 prefix ×
+    // 512-d ≈ 300 GB of fat-row shuffle). While the probe MATRIX fits
+    // [[AnnJoinBroadcastQueryVecsMaxBytesConf]] (O(probes·D), independent
+    // of the pair count), broadcast it and compute the distance map-side
+    // ([[graft.functions.BroadcastL2DistSqExpr]] — bit-identical fold), so
+    // candidate rows never move again; past both bounds the shuffle join
+    // is genuinely the only distributed plan.
+    val qIdIntegral = queries.schema(qIdCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    val qvecMaxBytes = spark.conf
+      .get(AnnJoinBroadcastQueryVecsMaxBytesConf, DefaultAnnJoinBroadcastQueryVecsMaxBytes.toString).toLong
+    val exactViaBroadcast = candBound > maxBcastCand && qIdIntegral && {
+      val dim = qcells.select(size(col("q_vec"))).take(1)
+        .headOption.map(_.getInt(0)).getOrElse(0)
+      dim > 0 && candBound / rerankK * (4L * dim + 64L) <= qvecMaxBytes
+    }
+    val exactJoined =
+      if (exactViaBroadcast) {
+        note(spark, "exactShape", "broadcastQvec")
+        val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
+        qcells.select(col("q_id").cast("long"), col("q_vec")).collect()
+          .foreach(r => qmap.put(r.getLong(0), r.getSeq[Float](1).toArray))
+        val bc = spark.sparkContext.broadcast(qmap)
+        import org.apache.spark.sql.graft.GraftBridge
+        rerankJoined.withColumn("exact_dist",
+          sqrt(GraftBridge.column(graft.functions.BroadcastL2DistSqExpr(
+            GraftBridge.expression(col("q_id")),
+            GraftBridge.expression(col("n_vec")), bc))))
+      } else {
+        note(spark, "exactShape", "qidJoin")
+        rerankJoined
+          .join(qcells.select(col("q_id"), col("q_vec")), "q_id")
+          .withColumn("exact_dist", sqrt(VectorFunctions.l2DistanceSq(col("q_vec"), col("n_vec"))))
+      }
+    exactJoined
       .withColumn("rank", row_number().over(wExact).cast("long"))
       .where(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("id"), col("adc_dist"), col("exact_dist"))

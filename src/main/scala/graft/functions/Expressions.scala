@@ -411,6 +411,93 @@ case class AdcProjectionExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Exact squared L2 between a BROADCAST probe vector — looked up map-side
+  * by the row's probe id — and the row's own vector. The batch ANN join's
+  * exact rerank needs (probe vector, candidate vector) together per pair;
+  * joining the probe vectors in by `q_id` re-shuffles the candidate rows
+  * AFTER they picked up the D-dim candidate vector — a second O(pairs·D)
+  * network pass (~300 GB at a 600k-probe × 256-prefix self-dedup). While
+  * the probe MATRIX is broadcastable (O(probes·D), independent of the
+  * pair count), this lookup keeps the exact stage shuffle-free: candidate
+  * rows stay where the id-join put them and the probe vector comes off
+  * the broadcast. The map is fetched once per partition into a mutable
+  * member (no per-row `Broadcast.value` hop).
+  *
+  * Numeric contract (spec-pinned): the same sequential left-to-right
+  * double-precision fold as `graft_l2sq` — distances are bit-identical to
+  * the join form, so the regime switch never changes a result hash.
+  * Nullable: a probe id absent from the map yields null (cannot happen
+  * when the map is built from the same batch's rows). */
+case class BroadcastL2DistSqExpr(left: Expression, right: Expression,
+    qvecs: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, Array[Float]]])
+  extends BinaryExpression {
+  // left = probe id (integral), right = candidate vector ARRAY<FLOAT|DOUBLE>
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bcast_l2sq"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType | IntegerType, ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BIGINT|INT probe id, ARRAY<FLOAT|DOUBLE>), " +
+        s"got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  private def isFloatVec: Boolean =
+    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = qvecs.value.get(a.asInstanceOf[Number].longValue())
+    if (q == null) return null
+    val v = b.asInstanceOf[ArrayData]
+    if (v.numElements() != q.length) return null
+    val f = isFloatVec
+    var s = 0.0
+    var i = 0
+    while (i < q.length) {
+      if (v.isNullAt(i)) return null
+      val y = if (f) v.getFloat(i).toDouble else v.getDouble(i)
+      val d = q(i).toDouble - y
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("qvecBroadcast", qvecs,
+      "org.apache.spark.broadcast.Broadcast")
+    // one map fetch per partition, not per row
+    val mapVar = ctx.addMutableState("java.util.HashMap", "qvecMap",
+      v => s"$v = (java.util.HashMap) $bRef.value();")
+    val getY = if (isFloatVec) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (qid, vec) => {
+      val q = ctx.freshName("q")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final float[] $q = (float[]) $mapVar.get(java.lang.Long.valueOf((long) $qid));
+         |if ($q == null || $vec.numElements() != $q.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $q.length; $i++) {
+         |    if ($vec.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $d = (double) $q[$i] - (double) $vec.$getY($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Registration of the graft expressions, two ways:
   *   - [[GraftFunctions.register]]: imperative, idempotent, works on any
   *     existing session (every catalog query calls it via `Tables.apply`);

@@ -259,6 +259,14 @@ class AnnJoinSpec extends SparkSpec {
       assert(n1("balanced") == "true")
       assert(n1("qsideBroadcast") == "false")
       assert(n1("rerankMode") == "shuffle")
+      // a huge-batch exact stage with a broadcastable probe matrix attaches
+      // q_vec by map-side lookup (BroadcastL2DistSqExpr) — bit-identical
+      assert(n1("exactShape") == "broadcastQvec")
+      // ...and past the probe-matrix bound too, the q_id join is genuinely
+      // the only plan left — still bit-identical
+      spark.conf.set(LopqSearcher.AnnJoinBroadcastQueryVecsMaxBytesConf, "0")
+      assert(joinResults(7) === base)
+      assert(notes("exactShape") == "qidJoin")
       // middle rerank regime: candidates broadcast, table streams
       spark.conf.unset(LopqSearcher.AnnJoinBroadcastCandMaxRowsConf)
       assert(joinResults(7) === base)
@@ -269,7 +277,8 @@ class AnnJoinSpec extends SparkSpec {
         LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf,
         RerankShape.ThresholdConf,
         LopqSearcher.AnnJoinMaxLookupIdsConf,
-        LopqSearcher.AnnJoinBroadcastCandMaxRowsConf).foreach(spark.conf.unset)
+        LopqSearcher.AnnJoinBroadcastCandMaxRowsConf,
+        LopqSearcher.AnnJoinBroadcastQueryVecsMaxBytesConf).foreach(spark.conf.unset)
     }
   }
 
