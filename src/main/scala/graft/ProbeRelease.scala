@@ -121,6 +121,11 @@ object ProbeRelease {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the broadcast-qvec exact stage collects the probe matrix
+      // (O(probes·D) — ~1.2 GB at the 600k × 512-d self-dedup) to the
+      // driver before broadcasting; the default 1g maxResultSize is sized
+      // for accidental collects, not this deliberate one
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -145,19 +150,22 @@ object ProbeRelease {
     def run() = LopqSearcher.annJoin(idx, probes, "q_id", "q_vec",
       vectors, "vec_id", "embedding", quota, k + 1, rerankK)
     val out = s"${graft.ops.EngineOps.indexRoot}/${s.name}_dedup_probe"
-    (1 to 3).foreach { pass =>
+    // full-corpus runs are minutes per pass — 2 passes (cold, warm+write);
+    // dev-scale runs keep the 3-pass cold/warm/warm-write split
+    val nPasses = if (nProbes > 100000) 2 else 3
+    (1 to nPasses).foreach { pass =>
       val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       // final pass persists the result for the recall check (parquet write
       // of O(nProbes·k) small rows — labeled, so the cold/warm noop passes
       // stay comparable)
-      if (pass < 3) run().write.format("noop").mode("overwrite").save()
+      if (pass < nPasses) run().write.format("noop").mode("overwrite").save()
       else run().write.mode("overwrite").parquet(out)
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => cachedBefore(id) }
         .values.foreach(_.unpersist(blocking = false))
-      val label = if (pass == 1) "cold" else if (pass == 2) "warm" else "warm+parquet"
+      val label = if (pass == 1) "cold" else if (pass < nPasses) "warm" else "warm+parquet"
       println(f"[probe-release] dedup pass $pass ($label%-12s) ${sec}%8.2f s " +
         f"total  ${sec * 1000 / nProbes}%7.3f ms/probe")
       if (pass == 1) LopqSearcher.lastPlanNotes(spark).toSeq.sorted.foreach {

@@ -308,7 +308,9 @@ object LopqSearcher {
     * consulted when the candidate set is past
     * [[AnnJoinBroadcastCandMaxRowsConf]] (bounded batches broadcast the
     * small side of the q_id join anyway); past BOTH bounds the shuffle
-    * join is genuinely the only plan. */
+    * join is genuinely the only plan. The matrix is collected to the
+    * driver before broadcasting — size `spark.driver.maxResultSize` (and
+    * the driver heap) above the bound when raising it. */
   val AnnJoinBroadcastQueryVecsMaxBytesConf = "spark.graft.annjoin.broadcastQueryVecsMaxBytes"
   val DefaultAnnJoinBroadcastQueryVecsMaxBytes: Long = 1L << 30
 
