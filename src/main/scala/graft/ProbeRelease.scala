@@ -10,7 +10,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   * release-shape query's latency actually go?
   * Usage: runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
-  *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK]
+  *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -108,7 +108,7 @@ object ProbeRelease {
     * probe set are brute-forced and the recall of the bounded batch
     * output against them is printed. */
   private def probeDedup(shapeArg: Option[String], nProbesArg: Option[Int],
-      quota: Int, rerankK: Int): Unit = {
+      quota: Int, rerankK: Int, jitterEps: Option[Double]): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
@@ -142,9 +142,31 @@ object ProbeRelease {
     val vectors = ReleaseShape.vectors(spark, s.dir)
     val nProbes = nProbesArg.getOrElse(s.n.toInt)
     println(s"[probe-release] dedup ${s.name} nProbes=$nProbes quota=$quota " +
-      s"rerankK=$rerankK k=$k")
-    val probes = vectors.where(col("vec_id") < nProbes)
+      s"rerankK=$rerankK k=$k" +
+      jitterEps.map(e => s" jitterEps=$e").getOrElse(""))
+    // Two probe modes, two questions:
+    //   - SELF (default): probes ARE corpus rows → recall measures the
+    //     in-cluster kNN ranking of the bounded prefix — the hard ANN
+    //     metric, and on a synthetic corpus with NO planted near-dups
+    //     (every cluster sibling roughly equidistant) the prefix ranks the
+    //     tail near-randomly at wide D, so the number can collapse without
+    //     meaning the DEDUP job fails.
+    //   - JITTERED: each probe is a corpus row plus eps·N(0,1) noise — a
+    //     PLANTED near-duplicate whose distance gap to every non-source
+    //     row is huge (eps·√D vs √2·√D), i.e. the re-encode/crop shape
+    //     real dedup hunts. recall@1 then measures exactly "does the
+    //     bounded pipeline find the near-identical source".
+    val rawProbes = vectors.where(col("vec_id") < nProbes)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probes = jitterEps match {
+      case None => rawProbes
+      case Some(eps) =>
+        val jitterU = udf { (id: Long, v: Seq[Float]) =>
+          val rn = new java.util.Random(9182736L + id)
+          v.map(x => x + (rn.nextGaussian() * eps).toFloat)
+        }
+        rawProbes.select(col("q_id"), jitterU(col("q_id"), col("q_vec")).as("q_vec"))
+    }
     // ask for k+1 so self (dist 0, rank 1) does not crowd out a true
     // neighbor; the dedup read drops self and re-ranks
     def run() = LopqSearcher.annJoin(idx, probes, "q_id", "q_vec",
@@ -173,12 +195,14 @@ object ProbeRelease {
       }
     }
     // ---- bounded-prefix recall vs a brute-forced exact oracle ----
+    // Self mode drops the trivial self hit (id == q_id) from BOTH sides;
+    // jittered mode keeps it — there the probe is NOT a corpus row and
+    // id == q_id is the PLANTED near-duplicate the dedup exists to find.
     val sampleN = 128
     val sampleIds = (0 until sampleN).map(i => i.toLong * nProbes / sampleN).distinct
-    val sampleDf = vectors.where(col("vec_id").isin(sampleIds: _*))
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val sampleDf = probes.where(col("q_id").isin(sampleIds: _*))
     val exact = vectors.crossJoin(broadcast(sampleDf))
-      .where(col("vec_id") =!= col("q_id"))
+      .where(if (jitterEps.isEmpty) col("vec_id") =!= col("q_id") else lit(true))
       .withColumn("d", graft.functions.VectorFunctions.l2DistanceSq(
         col("q_vec"), col("embedding")))
       .withColumn("rnk", row_number().over(
@@ -187,7 +211,7 @@ object ProbeRelease {
       .select(col("q_id"), col("vec_id").as("id"), col("rnk"))
     val ann = spark.read.parquet(out)
       .where(col("q_id").isin(sampleIds: _*))
-      .where(col("id") =!= col("q_id")) // dedup reads drop self
+      .where(if (jitterEps.isEmpty) col("id") =!= col("q_id") else lit(true))
       .withColumn("nrnk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("rank"))))
       .where(col("nrnk") <= k)
@@ -223,11 +247,17 @@ object ProbeRelease {
           case _ => sys.error(s"bad conf arg (want conf:key=value): $a")
         }
       }
-      val (shapeArg, numArgs) = rest2.partition(a => a == "v2" || a == "v3" || a == "v4")
+      val (jitterArgs, rest3) = rest2.partition(_.startsWith("jitter"))
+      val jitterEps = jitterArgs.headOption.map {
+        case "jitter" => 0.1
+        case a => a.stripPrefix("jitter:").toDouble
+      }
+      val (shapeArg, numArgs) = rest3.partition(a => a == "v2" || a == "v3" || a == "v4")
       val nums = numArgs.map(_.toInt)
       probeDedup(shapeArg.headOption, nums.headOption,
         quota = nums.lift(1).getOrElse(1000),
-        rerankK = nums.lift(2).getOrElse(32))
+        rerankK = nums.lift(2).getOrElse(32),
+        jitterEps = jitterEps)
       return
     }
     if (args.headOption.contains("annjoin")) {

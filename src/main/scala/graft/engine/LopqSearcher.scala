@@ -314,6 +314,18 @@ object LopqSearcher {
   val AnnJoinBroadcastQueryVecsMaxBytesConf = "spark.graft.annjoin.broadcastQueryVecsMaxBytes"
   val DefaultAnnJoinBroadcastQueryVecsMaxBytes: Long = 1L << 30
 
+  /** Conf: estimated bytes of candidate rows CARRYING their D-dim vector
+    * (candBound · D floats) above which the exact stage prefers the
+    * broadcast-probe-matrix lookup even when the candidate set itself is
+    * small enough to broadcast. The trigger matters at WIDE vector
+    * shapes: 100k probes × 32 prefix at the 4096-d deployment width is
+    * only 3.2M candidate rows — under the broadcast-candidate bound — but
+    * each row drags 16 KB of vector through the q_id join's shuffle
+    * (~52 GB); below the floor the q_id join is cheap/broadcastable and
+    * stays the default. */
+  val AnnJoinExactFatShuffleFloorConf = "spark.graft.annjoin.exactFatShuffleFloorBytes"
+  val DefaultAnnJoinExactFatShuffleFloor: Long = 256L << 20
+
   /** Conf: candidate-row cap for the middle rerank regime — too many ids
     * for a pushed IN-list, small enough to broadcast. The candidate side
     * rides a broadcast and the vector table STREAMS through the join (one
@@ -603,10 +615,20 @@ object LopqSearcher {
     }
     val qvecMaxBytes = spark.conf
       .get(AnnJoinBroadcastQueryVecsMaxBytesConf, DefaultAnnJoinBroadcastQueryVecsMaxBytes.toString).toLong
-    val exactViaBroadcast = candBound > maxBcastCand && qIdIntegral && {
+    val fatFloor = spark.conf
+      .get(AnnJoinExactFatShuffleFloorConf, DefaultAnnJoinExactFatShuffleFloor.toString).toLong
+    // trigger on EITHER huge-batch signal: the candidate set is past the
+    // broadcast bound (many pairs), or the pairs are few but WIDE enough
+    // that dragging their vectors through a q_id shuffle dwarfs the probe
+    // matrix (the 4096-d deployment shape)
+    val exactViaBroadcast = qIdIntegral && {
       val dim = qcells.select(size(col("q_vec"))).take(1)
         .headOption.map(_.getInt(0)).getOrElse(0)
-      dim > 0 && candBound / rerankK * (4L * dim + 64L) <= qvecMaxBytes
+      val probeMatrixBytes = candBound / rerankK * (4L * dim + 64L)
+      val pairVecBytes = candBound * (4L * dim + 24L)
+      dim > 0 && probeMatrixBytes <= qvecMaxBytes &&
+        (candBound > maxBcastCand ||
+          pairVecBytes > math.max(probeMatrixBytes, fatFloor))
     }
     val exactJoined =
       if (exactViaBroadcast) {

@@ -271,6 +271,16 @@ class AnnJoinSpec extends SparkSpec {
       spark.conf.unset(LopqSearcher.AnnJoinBroadcastCandMaxRowsConf)
       assert(joinResults(7) === base)
       assert(notes("rerankMode") == "broadcastCand")
+      assert(notes("exactShape") == "qidJoin") // qvec bound still 0
+      // WIDE-pair trigger: even a broadcastable candidate set prefers the
+      // probe-matrix lookup once dragging its vectors through the q_id
+      // shuffle passes the fat-row floor (the 4096-d deployment shape,
+      // forced here by zeroing the floor) — still bit-identical
+      spark.conf.unset(LopqSearcher.AnnJoinBroadcastQueryVecsMaxBytesConf)
+      spark.conf.set(LopqSearcher.AnnJoinExactFatShuffleFloorConf, "0")
+      assert(joinResults(7) === base)
+      assert(notes("rerankMode") == "broadcastCand")
+      assert(notes("exactShape") == "broadcastQvec")
     } finally {
       Seq(LopqSearcher.AnnJoinShipTablesMaxBytesConf,
         LopqSearcher.AnnJoinBalanceMinFanOutRowsConf,
@@ -278,7 +288,8 @@ class AnnJoinSpec extends SparkSpec {
         RerankShape.ThresholdConf,
         LopqSearcher.AnnJoinMaxLookupIdsConf,
         LopqSearcher.AnnJoinBroadcastCandMaxRowsConf,
-        LopqSearcher.AnnJoinBroadcastQueryVecsMaxBytesConf).foreach(spark.conf.unset)
+        LopqSearcher.AnnJoinBroadcastQueryVecsMaxBytesConf,
+        LopqSearcher.AnnJoinExactFatShuffleFloorConf).foreach(spark.conf.unset)
     }
   }
 
