@@ -57,7 +57,14 @@ object AudioHeader {
       val size = le32(b, at + 4) // unsigned 32-bit, UNTRUSTED
       if (tag(b, at, "fmt ")) {
         if (i + 8 + 16 > b.length || size < 16) return None
-        fmt = Some((le16(b, at + 8), le16(b, at + 10),
+        var format = le16(b, at + 8)
+        // WAVE_FORMAT_EXTENSIBLE (0xFFFE — the modern container for >2ch /
+        // >16-bit PCM) carries the REAL format code in the first two bytes
+        // of the SubFormat GUID at fmt-payload offset 24; resolving it
+        // here means extensible PCM keeps its header-exact duration
+        if (format == 0xFFFE && size >= 40 && i + 8 + 26 <= b.length)
+          format = le16(b, at + 32)
+        fmt = Some((format, le16(b, at + 10),
           le32(b, at + 12).toInt, le16(b, at + 22), le32(b, at + 16)))
       } else if (tag(b, at, "data")) {
         return fmt.map { case (format, ch, rate, bits, byteRate) =>

@@ -87,6 +87,31 @@ class AudioHeaderSpec extends AnyFunSuite {
     assert(w.durationMicros.isEmpty)
   }
 
+  test("WAVE_FORMAT_EXTENSIBLE resolves the real format from the SubFormat GUID") {
+    // hand-build a 40-byte extensible fmt whose SubFormat is PCM (0x0001):
+    // the parser must surface format=1 WITH the header-exact duration
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit =
+      (0 until 4).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    w("RIFF"); w32(4 + 48 + 8); w("WAVE")
+    w("fmt "); w32(40L)
+    w16(0xFFFE); w16(2); w32(48000L); w32(48000L * 8); w16(8); w16(32)
+    w16(22); w16(32); w32(0x3L) // cbSize, validBits, channelMask
+    w16(1); w16(0) // SubFormat GUID: PCM (0x0001) + start of the fixed tail
+    w32(0x00100000L); w32(0x80000080L); w32(0x00719b38L) // KSDATAFORMAT tail
+    w("data"); w32(48000L * 8 / 2) // half a second
+    val wv = AudioHeader.parse(out.toByteArray).get
+    assert(wv.format == 1 && wv.channels == 2 && wv.bits == 32)
+    assert(wv.durationMicros.contains(500000L))
+    // an extensible NON-PCM SubFormat still routes, duration withheld
+    val bytes = out.toByteArray
+    bytes(20 + 24) = 3 // SubFormat -> IEEE float (0x0003)
+    val wf = AudioHeader.parse(bytes).get
+    assert(wf.format == 3 && wf.durationMicros.isEmpty)
+  }
+
   test("mvhd version 1 (64-bit times) parses with the v1 field offsets") {
     // long recordings commonly carry v1 headers; duration here exceeds
     // 2^32 timescale units, unrepresentable in a v0 box at all
