@@ -41,8 +41,12 @@ object Mp4Header {
     new String(b, i, 4, "US-ASCII")
 
   /** Boxes are `(size BE32, type 4B, payload)`; `size == 1` means a
-    * 64-bit largesize follows (unsupported here — a header sniff works on
-    * prefixes well under 4 GB), `size == 0` means to-end-of-file. The
+    * 64-bit largesize follows (a >4 GB media box — skipped at the top
+    * level so a faststart file whose huge `mdat` precedes `moov` in the
+    * sniffed bytes still parses; the largesize is as untrusted as any
+    * size and walks under the same Long-advance guards), `size == 0`
+    * means to-end-of-file (legal only for the LAST box — nothing can
+    * follow it, so a to-EOF box that is not `moov` ends the walk). The
     * first box must be `ftyp`; `mvhd` is the first child of `moov`
     * per-spec ordering, but the walk searches the whole child list. */
   def parse(b: Array[Byte]): Option[Mp4] = {
@@ -51,10 +55,20 @@ object Mp4Header {
     var i: Long = 0L
     while (i + 8 <= b.length) {
       val at = i.toInt
-      val size = be32(b, at) // unsigned 32-bit, UNTRUSTED
-      if (size < 8) return None // largesize/to-eof — not a sniffable prefix
+      val size0 = be32(b, at) // unsigned 32-bit, UNTRUSTED
+      val (size, hdr): (Long, Long) =
+        if (size0 == 1L) {
+          // 64-bit largesize follows the type; reject non-advancing or
+          // negative-signed values the same way as crafted 32-bit sizes
+          if (i + 16 > b.length) return None
+          val ls = be64(b, at + 8)
+          if (ls < 16L) return None
+          (ls, 16L)
+        } else if (size0 == 0L) (b.length - i, 8L) // to end of file
+        else if (size0 < 8L) return None
+        else (size0, 8L)
       if (tag(b, at + 4, "moov")) {
-        var j: Long = i + 8
+        var j: Long = i + hdr
         val end: Long = math.min(i + size, b.length.toLong)
         while (j + 8 <= end) {
           val jat = j.toInt

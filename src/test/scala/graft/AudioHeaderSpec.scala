@@ -180,6 +180,37 @@ class AudioHeaderSpec extends AnyFunSuite {
     assert(timed(Mp4Header.parse(out.toByteArray)).isEmpty)
   }
 
+  test("largesize and to-EOF boxes walk correctly; crafted largesize terminates") {
+    def w32of(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (3 to 0 by -1).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    def w64of(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      w32of(out, v >>> 32); w32of(out, v & 0xffffffffL)
+    }
+    // the faststart-with-huge-media shape: ftyp, then a LARGESIZE box
+    // (size field 1 + 64-bit total), then a to-EOF moov (size field 0) —
+    // both the 64-bit skip and the last-box semantics must walk
+    val good = Mp4Header.synthesize("isom", 600L, 1200L)
+    val moovAt = good.length - 132 // moov box is the synthesized tail
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    w32of(out, 16L); w("ftyp"); w("isom"); w32of(out, 0L)
+    w32of(out, 1L); w("free"); w64of(out, 24L) // largesize box: 16 hdr + 8 payload
+    w64of(out, 0L)
+    out.write(good, moovAt, 132) // the moov...
+    val withLarge = out.toByteArray
+    withLarge(16 + 24) = 0; withLarge(16 + 24 + 1) = 0
+    withLarge(16 + 24 + 2) = 0; withLarge(16 + 24 + 3) = 0 // moov size -> 0 (to-EOF)
+    val m = Mp4Header.parse(withLarge).get
+    assert(m.timescale == 600L && m.durationMillis == 2000L)
+    // crafted largesize: sign bit set -> refused; absurd-huge -> walks out
+    val bad = withLarge.clone()
+    bad(16 + 8) = 0x80.toByte // largesize 0x80000000…
+    assert(timed(Mp4Header.parse(bad)).isEmpty)
+    val far = withLarge.clone()
+    far(16 + 9) = 0x7f.toByte // largesize ~2^54: jumps past the buffer
+    assert(timed(Mp4Header.parse(far)).isEmpty)
+  }
+
   test("truncated moov (declared size past the buffer) yields None") {
     val good = Mp4Header.synthesize("isom", 1000L, 5000L)
     // cut inside the moov child list, before mvhd's fields are reachable
