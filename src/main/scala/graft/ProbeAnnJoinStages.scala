@@ -175,6 +175,10 @@ object ProbeAnnJoinStages {
       lastDf = ReleaseShape.annJoinFor(spark, s, idx, n)
       lastDf.write.format("noop").mode("overwrite").save()
       println(f"[probe-fused] TOTAL ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      if (pass == 1)
+        graft.engine.LopqSearcher.lastPlanNotes(spark).toSeq.sorted.foreach {
+          case (k, v) => println(f"[probe-fused]   regime $k%-18s = $v")
+        }
       if (pass < passes)
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }

@@ -371,6 +371,33 @@ class AnnJoinSpec extends SparkSpec {
     assert(bad.eval(null) === null)
   }
 
+  /** The dedup semantics a bounded batch must deliver: a probe that is a
+    * corpus row plus tiny noise (the re-encode/crop shape) finds its
+    * source. Rank ≤ 2 rather than == 1 only because the corpus may hold
+    * exact duplicate vectors — a probe jittered off one copy is
+    * equidistant to both. */
+  test("a jittered probe's planted near-duplicate is found at the top of the rerank") {
+    val e = Tables(spark, sf, "embeddings")
+    val jitterU = org.apache.spark.sql.functions.udf { (id: Long, v: Seq[Float]) =>
+      val rn = new java.util.Random(55L + id)
+      val nrm = math.sqrt(v.iterator.map(x => x.toDouble * x).sum)
+      v.map(x => x + (rn.nextGaussian() * nrm * 1e-4).toFloat)
+    }
+    val nProbes = 20
+    val probes = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"),
+        jitterU(col("vec_id"), col("embedding")).as("embedding"))
+    val found = LopqSearcher.annJoin(built, probes, "q_id", "embedding",
+        e, "vec_id", "embedding", Quota, TopK, RerankK)
+      .where(col("id") === col("q_id"))
+      .select("q_id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until nProbes.toLong).foreach { qid =>
+      assert(found.get(qid).exists(_ <= 2L),
+        s"probe $qid: planted source not in the top-2 (got ${found.get(qid)})")
+    }
+  }
+
   test("a query with no reachable cells simply yields no rows") {
     val slim = built
     val e = Tables(spark, sf, "embeddings")
