@@ -72,9 +72,24 @@ object Mp4Header {
         val end: Long = math.min(i + size, b.length.toLong)
         while (j + 8 <= end) {
           val jat = j.toInt
-          val cs = be32(b, jat)
-          if (cs < 8) return None
+          val cs0 = be32(b, jat)
+          // children get the same size grammar as the top level: a
+          // largesize child (a huge udta, say) skips under the Long
+          // guards; a to-EOF child legally ends the moov's child list
+          val cs: Long =
+            if (cs0 == 1L) {
+              if (j + 16 > end) return None
+              val ls = be64(b, jat + 8)
+              if (ls < 16L) return None
+              ls
+            } else if (cs0 == 0L) end - j
+            else if (cs0 < 8L) return None
+            else cs0
           if (tag(b, jat + 4, "mvhd")) {
+            // an mvhd is a fixed ~112-byte FullBox — one declaring a
+            // 64-bit largesize is malformed, and its fields would sit at
+            // shifted offsets; refuse rather than misread
+            if (cs0 == 1L) return None
             // Field reads bounded by BOTH the mvhd box's own extent and
             // the enclosing moov extent — a declared payload crossing
             // either boundary is malformed, not a neighbor's bytes.

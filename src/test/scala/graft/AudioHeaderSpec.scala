@@ -209,6 +209,18 @@ class AudioHeaderSpec extends AnyFunSuite {
     val far = withLarge.clone()
     far(16 + 9) = 0x7f.toByte // largesize ~2^54: jumps past the buffer
     assert(timed(Mp4Header.parse(far)).isEmpty)
+
+    // a LARGESIZE CHILD inside moov (a huge udta, say) is skipped, and
+    // the mvhd after it still parses
+    val out2 = new java.io.ByteArrayOutputStream()
+    def w2(s: String): Unit = out2.write(s.getBytes("US-ASCII"))
+    w32of(out2, 16L); w2("ftyp"); w2("mp42"); w32of(out2, 0L)
+    w32of(out2, 0L); w2("moov") // to-EOF moov
+    w32of(out2, 1L); w2("udta"); w64of(out2, 24L); w64of(out2, 0L) // largesize child
+    val mvhdAt = good.length - 108
+    out2.write(good, mvhdAt, 108)
+    val m2 = Mp4Header.parse(out2.toByteArray).get
+    assert(m2.brand == "mp42" && m2.timescale == 600L && m2.duration == 1200L)
   }
 
   test("truncated moov (declared size past the buffer) yields None") {
