@@ -398,6 +398,24 @@ class AnnJoinSpec extends SparkSpec {
     }
   }
 
+  test("BroadcastL2DistSqExpr interpreted eval matches the sequential double fold") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val q = Array(1.5f, -2.25f, 3.125f)
+    val v = Array(0.5f, 0.75f, -1.5f)
+    val map = new java.util.HashMap[java.lang.Long, Array[Float]]()
+    map.put(42L, q)
+    val bc = spark.sparkContext.broadcast(map)
+    def mk(id: Long, vec: Array[Float]) = graft.functions.BroadcastL2DistSqExpr(
+      Literal(id, LongType), Literal(ArrayData.toArrayData(vec), ArrayType(FloatType)), bc)
+    var want = 0.0
+    q.indices.foreach { i => val d = q(i).toDouble - v(i).toDouble; want += d * d }
+    assert(mk(42L, v).eval(null) == want) // the exact graft_l2sq fold
+    assert(mk(7L, v).eval(null) == null) // probe id absent from the map
+    assert(mk(42L, v.take(2)).eval(null) == null) // dimension mismatch
+  }
+
   test("a query with no reachable cells simply yields no rows") {
     val slim = built
     val e = Tables(spark, sf, "embeddings")
