@@ -94,6 +94,12 @@ object Mp4Header {
             // the enclosing moov extent — a declared payload crossing
             // either boundary is malformed, not a neighbor's bytes.
             val boxEnd = math.min(j + cs, end)
+            // The FullBox version+flags (4 bytes at +8) must fit BEFORE the
+            // version byte is read: an mvhd whose 8-byte header is the last
+            // thing in the buffer (or in a to-EOF moov) would otherwise
+            // read one past the end — an uncaught AIOOBE from untrusted
+            // bytes, not the contracted None (ADVICE r10 #1).
+            if (j + 12 > boxEnd) return None
             val version = u8(b, jat + 8)
             // v0: version/flags 4B, creation 4B, modification 4B,
             //     timescale @+20 (4B), duration @+24 (4B).

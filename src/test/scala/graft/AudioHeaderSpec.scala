@@ -229,6 +229,38 @@ class AudioHeaderSpec extends AnyFunSuite {
     assert(timed(Mp4Header.parse(good.take(good.length - 90))).isEmpty)
   }
 
+  test("mvhd header as the FINAL 8 buffer bytes yields None, not AIOOBE") {
+    // ADVICE r10 #1: the version byte sits at +8 of the child header; an
+    // mvhd whose 8-byte header ends exactly at the buffer end (j+8 == end
+    // == b.length) used to read b(b.length) before any bounds check —
+    // an uncaught ArrayIndexOutOfBoundsException from untrusted bytes,
+    // violating the must-return-None contract for crafted input.
+    def w32of(out: java.io.ByteArrayOutputStream, v: Long): Unit =
+      (3 to 0 by -1).foreach(k => out.write(((v >> (8 * k)) & 0xff).toInt))
+    // (a) moov declaring exactly one 8-byte child, buffer ends there
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    w32of(out, 16L); w("ftyp"); w("isom"); w32of(out, 0L)
+    w32of(out, 16L); w("moov")
+    w32of(out, 8L); w("mvhd") // size-8 child header IS the last 8 bytes
+    assert(timed(Mp4Header.parse(out.toByteArray)).isEmpty)
+    // (b) to-EOF moov (size 0) whose last 8 bytes are size=8,'mvhd'
+    val out2 = new java.io.ByteArrayOutputStream()
+    def w2(s: String): Unit = out2.write(s.getBytes("US-ASCII"))
+    w32of(out2, 16L); w2("ftyp"); w2("mp42"); w32of(out2, 0L)
+    w32of(out2, 0L); w2("moov")
+    w32of(out2, 8L); w2("mvhd")
+    assert(timed(Mp4Header.parse(out2.toByteArray)).isEmpty)
+    // (c) same, but the child is to-EOF (size 0) with only the 8-byte
+    // header left — boxEnd == end == b.length, still no room for ver/flags
+    val out3 = new java.io.ByteArrayOutputStream()
+    def w3(s: String): Unit = out3.write(s.getBytes("US-ASCII"))
+    w32of(out3, 16L); w3("ftyp"); w3("isom"); w32of(out3, 0L)
+    w32of(out3, 0L); w3("moov")
+    w32of(out3, 0L); w3("mvhd")
+    assert(timed(Mp4Header.parse(out3.toByteArray)).isEmpty)
+  }
+
   test("mvhd whose declared extent crosses the moov boundary is refused") {
     // moov declares room for the child header only; the mvhd box claims a
     // full v0 payload that would read past the moov extent into whatever
