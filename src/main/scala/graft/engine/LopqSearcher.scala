@@ -404,7 +404,13 @@ object LopqSearcher {
     * TakeOrderedAndProject prefixes).
     *
     * `queries` is cached for the plan's lifetime (O(batch) rows: raw +
-    * projected vector + visited cells per query). */
+    * projected vector + visited cells per query).
+    *
+    * CONTRACT: `qIdCol` values must be unique within the batch — results
+    * are keyed by q_id and the per-query top-k windows partition on it, so
+    * duplicate ids would merge two probes' candidate pools into one
+    * ranking. The broadcast-probe-matrix exact stage asserts this where
+    * detection is free; dedupe probes upstream if the source can repeat. */
   def annJoin(index: LopqSlimIndex, queries: DataFrame, qIdCol: String,
       qVecCol: String, vectors: DataFrame, idCol: String, vecCol: String,
       quota: Int, k: Int, rerankK: Int): DataFrame = {
@@ -565,8 +571,11 @@ object LopqSearcher {
       .get(AnnJoinMaxLookupIdsConf, DefaultAnnJoinMaxLookupIds.toString).toLong
     val maxBcastCand = spark.conf
       .get(AnnJoinBroadcastCandMaxRowsConf, DefaultAnnJoinBroadcastCandMaxRows.toString).toLong
-    // the count-job (cheap — qcells is cached) is only paid when the table
-    // is lookup-threshold; scan-mode plans keep their fixed job count
+    // the count-job (cheap — qcells is cached) is only paid when a gate
+    // actually needs the exact probe count: the lookup-threshold rerank
+    // regimes below, or an exact-stage screen that the driver-known upper
+    // bound could not settle. Scan-mode plans with small batches keep
+    // their fixed job count (ADVICE r10 #3).
     lazy val candBound = qcells.count() * rerankK
     def noteRerank(mode: String): Unit = {
       note(spark, "rerankMode", mode)
@@ -613,20 +622,44 @@ object LopqSearcher {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
-    val qvecMaxBytes = spark.conf
+    // The probe matrix is COLLECTED to the driver before broadcasting, so
+    // it rides the task-result budget: clamp the conf bound to HALF the
+    // session's spark.driver.maxResultSize (ADVICE r10 #2 — the 1 GB conf
+    // default EQUALS Spark's maxResultSize default, so a matrix that
+    // passed the gate could abort the whole job on the collect; the
+    // clamped gate falls back to the q_id join instead, which completes).
+    val qvecConfBytes = spark.conf
       .get(AnnJoinBroadcastQueryVecsMaxBytesConf, DefaultAnnJoinBroadcastQueryVecsMaxBytes.toString).toLong
+    val maxResultBytes = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val qvecMaxBytes =
+      if (maxResultBytes > 0L) math.min(qvecConfBytes, maxResultBytes / 2)
+      else qvecConfBytes // maxResultSize=0 disables the Spark-side cap
     val fatFloor = spark.conf
       .get(AnnJoinExactFatShuffleFloorConf, DefaultAnnJoinExactFatShuffleFloor.toString).toLong
     // trigger on EITHER huge-batch signal: the candidate set is past the
     // broadcast bound (many pairs), or the pairs are few but WIDE enough
     // that dragging their vectors through a q_id shuffle dwarfs the probe
-    // matrix (the 4096-d deployment shape)
-    val exactViaBroadcast = qIdIntegral && {
-      val dim = qcells.select(size(col("q_vec"))).take(1)
-        .headOption.map(_.getInt(0)).getOrElse(0)
-      val probeMatrixBytes = candBound / rerankK * (4L * dim + 64L)
+    // matrix (the 4096-d deployment shape).
+    // Raw probe dimensionality is DRIVER-KNOWN — the PCA front's input
+    // width, or the model width without one — so no take(1) probe job
+    // (ADVICE r10 #3; walkU would have refused mismatched probes anyway).
+    val dim = index.pca.map(_.mu.length).getOrElse(index.slim.halfDim * 2)
+    // Cheap screen before forcing the count job: every counted (query,
+    // cell) pair comes from a probe visiting ≥ 1 cell, so nProbes ≤ nPairs
+    // and candBound ≤ nPairs·rerankK. When even that upper bound clears
+    // neither trigger, the gate cannot fire and small scan-mode batches
+    // keep their fixed job count; when it might, the count is one job on
+    // the cached qcells (and shared with the lookup-regime candBound).
+    val candUb = nPairs * rerankK
+    val mayTrigger = qIdIntegral && dim > 0 &&
+      (candUb > maxBcastCand || candUb * (4L * dim + 24L) > fatFloor)
+    val exactViaBroadcast = mayTrigger && {
+      // serialized collect rows are fatter than their raw floats — count
+      // Row framing + boxing at ~96 B/row, not 64 (ADVICE r10 #2)
+      val probeMatrixBytes = candBound / rerankK * (4L * dim + 96L)
       val pairVecBytes = candBound * (4L * dim + 24L)
-      dim > 0 && probeMatrixBytes <= qvecMaxBytes &&
+      probeMatrixBytes <= qvecMaxBytes &&
         (candBound > maxBcastCand ||
           pairVecBytes > math.max(probeMatrixBytes, fatFloor))
     }
@@ -634,8 +667,16 @@ object LopqSearcher {
       if (exactViaBroadcast) {
         note(spark, "exactShape", "broadcastQvec")
         val qmap = new java.util.HashMap[java.lang.Long, Array[Float]]()
-        qcells.select(col("q_id").cast("long"), col("q_vec")).collect()
-          .foreach(r => qmap.put(r.getLong(0), r.getSeq[Float](1).toArray))
+        val qrows = qcells.select(col("q_id").cast("long"), col("q_vec")).collect()
+        qrows.foreach(r => qmap.put(r.getLong(0), r.getSeq[Float](1).toArray))
+        // q_id must be unique per batch (the annJoin contract): a repeated
+        // id would silently collapse to the last-collected vector here,
+        // while the q_id-join regime would instead mix both probes'
+        // candidates inside one window partition — neither is the caller's
+        // intent, so fail fast where detection is free (ADVICE r10 #4).
+        require(qmap.size == qrows.length,
+          s"annJoin requires unique q_id values per batch: ${qrows.length} " +
+            s"probe rows collapse to ${qmap.size} distinct ids")
         val bc = spark.sparkContext.broadcast(qmap)
         import org.apache.spark.sql.graft.GraftBridge
         rerankJoined.withColumn("exact_dist",
