@@ -10,7 +10,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   * release-shape query's latency actually go?
   * Usage: runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
-  *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]]
+  *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -108,7 +108,8 @@ object ProbeRelease {
     * probe set are brute-forced and the recall of the bounded batch
     * output against them is printed. */
   private def probeDedup(shapeArg: Option[String], nProbesArg: Option[Int],
-      quota: Int, rerankK: Int, jitterEps: Option[Double]): Unit = {
+      quota: Int, rerankK: Int, jitterEps: Option[Double],
+      chunkRows: Option[Long]): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
@@ -143,7 +144,11 @@ object ProbeRelease {
     val nProbes = nProbesArg.getOrElse(s.n.toInt)
     println(s"[probe-release] dedup ${s.name} nProbes=$nProbes quota=$quota " +
       s"rerankK=$rerankK k=$k" +
-      jitterEps.map(e => s" jitterEps=$e").getOrElse(""))
+      jitterEps.map(e => s" jitterEps=$e").getOrElse("") +
+      chunkRows.map(r => s" chunked(rows=${if (r > 0) r.toString else "auto"})")
+        .getOrElse(""))
+    chunkRows.filter(_ > 0).foreach(r =>
+      spark.conf.set(LopqSearcher.AnnJoinChunkRowsConf, r.toString))
     // Two probe modes, two questions:
     //   - SELF (default): probes ARE corpus rows → recall measures the
     //     in-cluster kNN ranking of the bounded prefix — the hard ANN
@@ -169,9 +174,34 @@ object ProbeRelease {
     }
     // ask for k+1 so self (dist 0, rank 1) does not crowd out a true
     // neighbor; the dedup read drops self and re-ranks
-    def run() = LopqSearcher.annJoin(idx, probes, "q_id", "q_vec",
-      vectors, "vec_id", "embedding", quota, k + 1, rerankK)
     val out = s"${graft.ops.EngineOps.indexRoot}/${s.name}_dedup_probe"
+    // one pass of the probe join: one-shot annJoin by default; the CHUNKED
+    // driver loop when `chunk[:rows]` was given — each chunk's regime is
+    // printed from the engine's own gate notes, the witness that every
+    // chunk ran the broadcastQvec exact stage instead of the fat-shuffle
+    // fallback (VERDICT r11 next-round #1)
+    def runPass(write: Boolean): Unit = {
+      def sinkOf(df: org.apache.spark.sql.DataFrame, c: Int): Unit =
+        if (write) df.write.mode(if (c == 0) "overwrite" else "append").parquet(out)
+        else df.write.format("noop").mode("overwrite").save()
+      chunkRows match {
+        case None =>
+          sinkOf(LopqSearcher.annJoin(idx, probes, "q_id", "q_vec",
+            vectors, "vec_id", "embedding", quota, k + 1, rerankK), 0)
+        case Some(_) =>
+          val n = LopqSearcher.annJoinChunked(idx, probes, "q_id", "q_vec",
+            vectors, "vec_id", "embedding", quota, k + 1, rerankK) { (df, c) =>
+            sinkOf(df, c)
+            val notes = LopqSearcher.lastPlanNotes(spark)
+            println(s"[probe-release]   chunk $c " +
+              s"exactShape=${notes.getOrElse("exactShape", "?")} " +
+              s"rerankMode=${notes.getOrElse("rerankMode", "?")} " +
+              s"shipMode=${notes.getOrElse("shipMode", "?")}")
+          }
+          println(s"[probe-release]   chunks=$n chunkRows=" +
+            LopqSearcher.lastPlanNotes(spark).getOrElse("chunkRows", "?"))
+      }
+    }
     // full-corpus runs are minutes per pass — 2 passes (cold, warm+write);
     // dev-scale runs keep the 3-pass cold/warm/warm-write split
     val nPasses = if (nProbes > 100000) 2 else 3
@@ -181,8 +211,7 @@ object ProbeRelease {
       // final pass persists the result for the recall check (parquet write
       // of O(nProbes·k) small rows — labeled, so the cold/warm noop passes
       // stay comparable)
-      if (pass < nPasses) run().write.format("noop").mode("overwrite").save()
-      else run().write.mode("overwrite").parquet(out)
+      runPass(write = pass == nPasses)
       val sec = (System.nanoTime() - t0) / 1e9
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => cachedBefore(id) }
@@ -252,12 +281,18 @@ object ProbeRelease {
         case "jitter" => 0.1
         case a => a.stripPrefix("jitter:").toDouble
       }
-      val (shapeArg, numArgs) = rest3.partition(a => a == "v2" || a == "v3" || a == "v4")
+      val (chunkArgs, rest4) = rest3.partition(_.startsWith("chunk"))
+      val chunkRows = chunkArgs.headOption.map {
+        case "chunk" => 0L // auto-size from the broadcast-matrix bound
+        case a => a.stripPrefix("chunk:").toLong
+      }
+      val (shapeArg, numArgs) = rest4.partition(a => a == "v2" || a == "v3" || a == "v4")
       val nums = numArgs.map(_.toInt)
       probeDedup(shapeArg.headOption, nums.headOption,
         quota = nums.lift(1).getOrElse(1000),
         rerankK = nums.lift(2).getOrElse(32),
-        jitterEps = jitterEps)
+        jitterEps = jitterEps,
+        chunkRows = chunkRows)
       return
     }
     if (args.headOption.contains("annjoin")) {

@@ -416,6 +416,140 @@ class AnnJoinSpec extends SparkSpec {
     assert(mk(42L, v.take(2)).eval(null) == null) // dimension mismatch
   }
 
+  /** r12 (VERDICT r11 next-round #1): the chunked driver loop must give
+    * the SAME answer as the one-shot join — per-query results are
+    * independent of batch composition, so the concatenation of chunk
+    * results is bit-identical. The production shape this exists for (a
+    * probe set whose one-shot matrix can never broadcast) is exercised at
+    * magnitude by `ProbeRelease dedup ... chunk`; this row pins the
+    * equivalence. */
+  test("chunked driver ≡ the one-shot join, bit-identical across chunk boundaries") {
+    val base = joinResults(7)
+    val e = Tables(spark, sf, "embeddings")
+    val queries = e.where(col("vec_id") < 7)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    spark.conf.set(LopqSearcher.AnnJoinChunkRowsConf, "3")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double, Double)]
+    try {
+      val n = LopqSearcher.annJoinChunked(built, queries, "q_id", "embedding",
+        e, "vec_id", "embedding", Quota, TopK, RerankK) { (df, _) =>
+        buf ++= df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      }
+      assert(n === 3, "7 probes at chunkRows=3 should make 3 chunks")
+      val notes = LopqSearcher.lastPlanNotes(spark)
+      assert(notes("chunks") === "3" && notes("chunkRows") === "3")
+      assert(buf.sortBy(t => (t._1, t._2)).toSeq === base)
+    } finally spark.conf.unset(LopqSearcher.AnnJoinChunkRowsConf)
+  }
+
+  /** r12 (VERDICT r11 "What's wrong #1a"): the broadcast-probe-matrix gate
+    * is clamped to HALF the driver's maxResultSize because the matrix is
+    * collected before it broadcasts. Shrinking the LIVE enforcement knob
+    * (via the package bridge — Spark re-reads it per stage) below the
+    * matrix estimate must flip the exact stage to the q_id join, which
+    * both matches bit-for-bit AND completes under the shrunken budget;
+    * the broadcast plan's collect would have aborted the job here. */
+  test("exact-stage matrix gate clamps to the live driver maxResultSize; fallback bit-identical") {
+    import org.apache.spark.graft.TestSparkConf
+    val e = Tables(spark, sf, "embeddings")
+    val nProbes = 400
+    val queries = e.where(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    def run(): Seq[(Long, Long, Long, Double, Double)] = {
+      // k=1 keeps the final collect tiny — the point of the shrunken
+      // budget is to catch the MATRIX collect, not the result fetch
+      val df = LopqSearcher.annJoin(built, queries, "q_id", "embedding",
+        e, "vec_id", "embedding", Quota, k = 1, rerankK = RerankK)
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    }
+    val sc = spark.sparkContext
+    val saved = TestSparkConf.get(sc, "spark.driver.maxResultSize")
+    // the wide-pair trigger makes the gate live at this small shape (the
+    // same forcing the regime-notes row uses for the 4096-d deployment
+    // shape). The OTHER broadcasts are forced to their huge-batch SMJ
+    // side for both runs — at true deployment scale neither the fan-out
+    // query side nor the probe join would broadcast either, and each
+    // BroadcastExchange's internal collect rides the same task-result
+    // budget this test is about to shrink.
+    spark.conf.set(LopqSearcher.AnnJoinExactFatShuffleFloorConf, "0")
+    spark.conf.set(LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf, "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val base = run()
+      assert(LopqSearcher.lastPlanNotes(spark)("exactShape") === "broadcastQvec")
+      // 400 probes × (4·64 + 96) B ≈ 137 KiB of collected matrix; a 200k
+      // maxResultSize clamps the gate to 100 KiB — closed — while every
+      // remaining stage's task results stay far below 200 KiB
+      TestSparkConf.set(sc, "spark.driver.maxResultSize", "200k")
+      assert(run() === base)
+      val notes = LopqSearcher.lastPlanNotes(spark)
+      assert(notes("exactShape") === "qidJoin",
+        s"clamped gate did not fall back: $notes")
+      assert(notes("qvecMaxBytes").toLong === 200L * 1024 / 2)
+    } finally {
+      saved match {
+        case Some(v) => TestSparkConf.set(sc, "spark.driver.maxResultSize", v)
+        case None => TestSparkConf.remove(sc, "spark.driver.maxResultSize")
+      }
+      spark.conf.unset(LopqSearcher.AnnJoinExactFatShuffleFloorConf)
+      spark.conf.unset(LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  /** r12 (VERDICT r11 "What's wrong #1b" + #2): a repeated q_id must fail
+    * fast with the contract message in EVERY regime that can detect it —
+    * at the broadcast-matrix shape AND in the q_id-join regimes that pay a
+    * count job (where r11 still silently merged two probes' candidate
+    * pools into one ranking). Both failures happen at plan-BUILD time,
+    * before any action on the result. */
+  test("duplicate q_id fails fast in the broadcast AND the counted q_id-join regimes") {
+    val e = Tables(spark, sf, "embeddings")
+    val q = e.where(col("vec_id") < 7)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val dup = q.union(q.where(col("q_id") === 3))
+    def buildJoin(): Unit =
+      LopqSearcher.annJoin(built, dup, "q_id", "embedding",
+        e, "vec_id", "embedding", Quota, TopK, RerankK)
+    // broadcastQvec-forcing shape (wide-pair trigger)
+    spark.conf.set(LopqSearcher.AnnJoinExactFatShuffleFloorConf, "0")
+    try {
+      val ex = intercept[IllegalArgumentException](buildJoin())
+      assert(ex.getMessage.contains("unique q_id"), ex.getMessage)
+      assert(ex.getMessage.contains("8 probe rows") &&
+        ex.getMessage.contains("7 distinct ids"), ex.getMessage)
+    } finally spark.conf.unset(LopqSearcher.AnnJoinExactFatShuffleFloorConf)
+    // lookup rerank regime: the count job is already paid, uniqueness is
+    // asserted in the same aggregation
+    spark.conf.set(RerankShape.ThresholdConf, "0")
+    try {
+      val ex = intercept[IllegalArgumentException](buildJoin())
+      assert(ex.getMessage.contains("unique q_id"), ex.getMessage)
+    } finally spark.conf.unset(RerankShape.ThresholdConf)
+  }
+
+  /** r12 (ADVICE r11 #2): the size gates compare PRODUCTS of quantities
+    * that can each be huge — a wrapping overflow would read as "tiny
+    * payload" and disable a gate exactly at the scale where it matters. */
+  test("size-gate products saturate at Long.MaxValue instead of wrapping") {
+    import graft.engine.LopqSearcher.satMul
+    assert(satMul(123L, 456L) === 123L * 456L)
+    assert(satMul(0L, Long.MaxValue) === 0L)
+    assert(satMul(Long.MaxValue, 1L) === Long.MaxValue)
+    assert(satMul(Long.MaxValue / 2, 3L) === Long.MaxValue)
+    // the ADVICE shape: candUb · (4·dim + 24) at extreme candUb — the
+    // mathematical product overflows Long (the raw multiply wraps to an
+    // arbitrary small value, silently disabling the gate); the saturated
+    // one reads as huge, keeping the gate on
+    val candUb = Long.MaxValue / 100
+    assert(BigInt(candUb) * BigInt(4L * 4096 + 24) > BigInt(Long.MaxValue))
+    assert(candUb * (4L * 4096 + 24) !== Long.MaxValue) // wrapped, not saturated
+    assert(satMul(candUb, 4L * 4096 + 24) === Long.MaxValue)
+  }
+
   test("a query with no reachable cells simply yields no rows") {
     val slim = built
     val e = Tables(spark, sf, "embeddings")
