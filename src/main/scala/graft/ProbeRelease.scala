@@ -314,6 +314,7 @@ object ProbeRelease {
     }
     val s = args.headOption.getOrElse("v3") match {
       case "v2" => ReleaseShape.V2
+      case "v4" => ReleaseShape.V4
       case _ => ReleaseShape.V3
     }
     val qid = args.drop(1).headOption.map(_.toLong).getOrElse(997L)

@@ -149,6 +149,28 @@ object EngineOps {
   private def dedupRerankK(corpusRows: Long): Int =
     math.max(128, corpusRows.min(Int.MaxValue).toInt)
 
+  /** Shared tail of the q73/q93 dedup passes: candidate `(q_id, id)` rows
+    * from an ANN join → canonical `(id_a < id_b)` pairs → cosine-verified
+    * against the raw vectors at [[VectorQueries.NearDupSimThreshold]]. */
+  private def verifiedDedupPairs(e: DataFrame, ann: DataFrame): DataFrame = {
+    val cand = ann
+      .where(col("id") =!= col("q_id"))
+      .select(least(col("q_id"), col("id")).as("id_a"),
+        greatest(col("q_id"), col("id")).as("id_b"))
+      .distinct()
+    val en = e.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    val a = en.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = en.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
+    val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
+    cand.join(a, "id_a").join(b, "id_b")
+      .where(sim >= VectorQueries.NearDupSimThreshold)
+      .select(col("id_a"), col("id_b"), round(sim, 6).as("cos_sim"))
+      .orderBy("id_a", "id_b")
+  }
+
   private def joinQueryVectors(s: SparkSession, d: String): Array[(Long, Array[Float])] =
     t(s, d, "embeddings").where(col("vec_id") < NumJoinQueries)
       .select("vec_id", "embedding").collect()
@@ -558,24 +580,43 @@ object EngineOps {
         val slim = slimIndex(s, d)
         val e = t(s, d, "embeddings")
         val queries = e.select(col("vec_id").as("q_id"), col("embedding"))
-        val cand = LopqSearcher.annJoin(slim, queries, "q_id", "embedding",
+        verifiedDedupPairs(e,
+          LopqSearcher.annJoin(slim, queries, "q_id", "embedding",
             e, "vec_id", "embedding", DedupQuota, DedupK,
-            dedupRerankK(slim.cellCounts.total))
-          .where(col("id") =!= col("q_id"))
-          .select(least(col("q_id"), col("id")).as("id_a"),
-            greatest(col("q_id"), col("id")).as("id_b"))
-          .distinct()
-        val en = e.select(col("vec_id"), col("embedding"),
-          l2Norm(col("embedding")).as("nrm"))
-        val a = en.select(col("vec_id").as("id_a"), col("embedding").as("va"),
-          col("nrm").as("na"))
-        val b = en.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
-          col("nrm").as("nb"))
-        val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
-        cand.join(a, "id_a").join(b, "id_b")
-          .where(sim >= VectorQueries.NearDupSimThreshold)
-          .select(col("id_a"), col("id_b"), round(sim, 6).as("cos_sim"))
-          .orderBy("id_a", "id_b")
+            dedupRerankK(slim.cellCounts.total)))
+      },
+      Some(VectorQueries.nearDupPairsOracleSql),
+      dependsOnIndex = true),
+
+    // CHUNKED twin of the q73 dedup pass: the SAME probe set routed
+    // through [[LopqSearcher.annJoinChunked]] — the production driver loop
+    // for probe sets whose one-shot matrix can never broadcast (the
+    // 2M × 4096-d deployment self-dedup) — with `chunkRows` forced small
+    // so the sf-scale gate genuinely crosses chunk boundaries (500 probes
+    // at 128/chunk = 4 chunks at sf0.01). Per-query results are
+    // independent of batch composition, so the union of per-chunk results
+    // must hash-match the SAME exact all-pairs oracle as the one-shot
+    // pass; this makes chunked ≡ one-shot driver-verified every round, not
+    // only ScalaTest-pinned.
+    QueryDef(
+      "q93_anndedup_chunked",
+      (s, d) => {
+        ensureOracle(s, d)
+        index(s, d) // build/persist before loading slim
+        val slim = slimIndex(s, d)
+        val e = t(s, d, "embeddings")
+        val queries = e.select(col("vec_id").as("q_id"), col("embedding"))
+        val chunks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        val saved = s.conf.getOption(LopqSearcher.AnnJoinChunkRowsConf)
+        s.conf.set(LopqSearcher.AnnJoinChunkRowsConf, "128")
+        try LopqSearcher.annJoinChunked(slim, queries, "q_id", "embedding",
+          e, "vec_id", "embedding", DedupQuota, DedupK,
+          dedupRerankK(slim.cellCounts.total)) { (df, _) => chunks += df }
+        finally saved match {
+          case Some(v) => s.conf.set(LopqSearcher.AnnJoinChunkRowsConf, v)
+          case None => s.conf.unset(LopqSearcher.AnnJoinChunkRowsConf)
+        }
+        verifiedDedupPairs(e, chunks.reduce(_.unionAll(_)))
       },
       Some(VectorQueries.nearDupPairsOracleSql),
       dependsOnIndex = true),
