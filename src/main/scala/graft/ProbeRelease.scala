@@ -8,7 +8,8 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
 /** Dev tool: per-stage wall-clock of one slim release query (cell walk,
   * slice fetch, ADC-table build, approx scan, rerank) — where does a
   * release-shape query's latency actually go?
-  * Usage: runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
+  * Usage: runMain graft.ProbeRelease rerank [v4|wide|ann_v4] [passes]
+  *        runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
   *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
   *
@@ -84,6 +85,61 @@ object ProbeRelease {
         println(f"[probe-release] annjoin ${s.name} n=$n%-6d pass $pass " +
           f"${sec}%7.2f s total  ${sec * 1000 / n}%7.2f ms/query")
       }
+    }
+    spark.stop()
+  }
+
+  /** Machine-level read-bytes counter: Σ sectors_read × 512 over whole
+    * block devices in /proc/diskstats (partition rows, which would double
+    * count, end in a digit and are skipped). Deltas of this around a
+    * timed pass attribute its wall-clock to physical disk reads. */
+  private def diskReadBytes(): Long =
+    scala.util.Try {
+      scala.io.Source.fromFile("/proc/diskstats").getLines()
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length > 5 && f(2).matches("[a-z]+") &&
+          !f(2).startsWith("loop") && !f(2).startsWith("ram"))
+        .map(f => f(5).toLong * 512L)
+        .sum
+    }.getOrElse(-1L)
+
+  /** I/O-attributed probe of the big-table release rows (VERDICT r11
+    * next-round #4): the rows that drifted r10→r11 (`release_rerank_v4`,
+    * `release_rerank_wide`, `release_ann_v4`) are exactly the rows whose
+    * rerank reads the ≥16 GB staged feature tables — tables too big to
+    * stay fully page-cached on this machine — so each pass prints the
+    * machine read-bytes delta next to its wall-clock. If a pass whose
+    * bytes collapse to ~0 (pre-primed cache) also collapses to the r10
+    * medians, the drift is PAGE-CACHE STATE, not a plan regression.
+    * Runs the bench row's exact shape: 5 serial queries (qid = q·997),
+    * each fully materialized through a noop write. */
+  private def probeRerank(which: String, passes: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val searchFor: Long => org.apache.spark.sql.DataFrame = which match {
+      case "wide" => qid => ReleaseShape.rerankWide(spark, qid)
+      case "ann_v4" =>
+        val idx = LopqIndexStore.loadSlim(spark, ReleaseShape.V4.dir).get
+        qid => ReleaseShape.searchSlim(spark, ReleaseShape.V4, idx, qid)
+      case _ => qid => ReleaseShape.rerankV4(spark, qid)
+    }
+    println(s"[probe-release] rerank $which passes=$passes (5 serial queries/pass)")
+    (1 to passes).foreach { pass =>
+      val b0 = diskReadBytes()
+      val t0 = System.nanoTime()
+      (0 until 5).foreach { q =>
+        searchFor(q.toLong * 997L).write.format("noop").mode("overwrite").save()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mb = (diskReadBytes() - b0) / 1e6
+      println(f"[probe-release] rerank $which pass $pass  ${sec}%6.2f s   " +
+        f"disk-read ${mb}%8.1f MB")
     }
     spark.stop()
   }
@@ -267,6 +323,12 @@ object ProbeRelease {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
+    if (args.headOption.contains("rerank")) {
+      val which = args.lift(1).getOrElse("v4")
+      val passes = args.lift(2).map(_.toInt).getOrElse(3)
+      probeRerank(which, passes)
+      return
+    }
     if (args.headOption.contains("dedup")) {
       val rest = args.drop(1)
       val (confArgs, rest2) = rest.partition(_.startsWith("conf:"))

@@ -155,8 +155,21 @@ object ReleaseShape {
     }
   }
 
+  /** The staged rerank table's DataFrame, cached per (session, dir): a
+    * fresh `spark.read.parquet` re-lists the directory and re-resolves
+    * the schema from a footer on every call, and the serve paths call
+    * this once per QUERY — measurable constant overhead at the v4/wide
+    * magnitude (257 files). Safe to memoize: a staged vectors dir is
+    * written at most once per session ([[stageVectorsFor]] skips existing
+    * dirs) and always before its first read. Weak keys let closed test
+    * sessions unpin their entries. */
+  private val vecRelations =
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
   def vectors(spark: SparkSession, indexDir: String): DataFrame =
-    spark.read.parquet(s"$indexDir/vectors")
+    vecRelations.synchronized {
+      vecRelations.computeIfAbsent(spark, _ => new java.util.HashMap())
+        .computeIfAbsent(indexDir, d => spark.read.parquet(s"$d/vectors"))
+    }
 
   /** Load the persisted index for `s`, or train+build it once (PCA front →
     * LOPQ in PCA space → bucketed codes layout). The build is the OFFLINE
