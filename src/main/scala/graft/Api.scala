@@ -151,4 +151,35 @@ final class GraftApi(spark: SparkSession, sfDir: String,
   /** Reload the persisted index (codes appended since the manifest
     * high-watermark become visible). Ref `api/api.py:307-384`. */
   def refresh(): Unit = EngineOps.refreshIndex(spark, sfDir)
+
+  /** Corpus SELF-dedup as a one-call facade (the reference runs the same
+    * pass id-batched client-side, `updater/extraction_checker.py:225-258`):
+    * every corpus vector probes the persisted index through the CHUNKED
+    * batched ANN join ([[graft.engine.LopqSearcher.annJoinChunked]]), each
+    * chunk's candidates are cosine-verified against the raw vectors, and
+    * `outDir` receives one parquet append per chunk — so the in-flight
+    * footprint is ONE chunk's pairs regardless of corpus size, and every
+    * chunk runs the broadcast-probe exact stage instead of the fat-row
+    * shuffle a one-shot over-bound batch would fall into (the 2M × 4096-d
+    * deployment shape; see PROBES.md r12). Returns the deduplicated
+    * canonical pair set `(id_a < id_b, cos_sim)` read back from `outDir`
+    * (a pair found from both endpoints in different chunks appears once).
+    *
+    * Defaults are the PRODUCTION bounds (bounded pool + bounded prefix —
+    * recall measured in PROBES.md), not q73's exactness gate; pass
+    * `quota`/`rerankK` up to the corpus size to reproduce the oracle. */
+  def dedupCorpus(outDir: String, quota: Int = 1000, k: Int = 10,
+      rerankK: Int = 128,
+      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold): DataFrame = {
+    EngineOps.index(spark, sfDir) // ensure built + persisted
+    val slim = EngineOps.slimIndex(spark, sfDir)
+    val e = vectors
+    val queries = e.select(col("vec_id").as("q_id"), col("embedding"))
+    graft.engine.LopqSearcher.annJoinChunked(slim, queries, "q_id", "embedding",
+        e, "vec_id", "embedding", quota, k, rerankK) { (df, c) =>
+      EngineOps.verifiedDedupPairs(e, df, simThreshold)
+        .write.mode(if (c == 0) "overwrite" else "append").parquet(outDir)
+    }
+    spark.read.parquet(outDir).distinct().orderBy("id_a", "id_b")
+  }
 }

@@ -144,15 +144,18 @@ object EngineOps {
     * models (V≫8) and real quotas shrink candidates-per-probe, and q35
     * measures the recall of bounded ADC prefixes where they are the
     * right trade. */
-  private val DedupQuota = 1000000
-  private val DedupK = 64
-  private def dedupRerankK(corpusRows: Long): Int =
+  private[graft] val DedupQuota = 1000000
+  private[graft] val DedupK = 64
+  private[graft] def dedupRerankK(corpusRows: Long): Int =
     math.max(128, corpusRows.min(Int.MaxValue).toInt)
 
-  /** Shared tail of the q73/q93 dedup passes: candidate `(q_id, id)` rows
-    * from an ANN join → canonical `(id_a < id_b)` pairs → cosine-verified
-    * against the raw vectors at [[VectorQueries.NearDupSimThreshold]]. */
-  private def verifiedDedupPairs(e: DataFrame, ann: DataFrame): DataFrame = {
+  /** Shared tail of the q73/q93 dedup passes and [[graft.GraftApi]]'s
+    * `dedupCorpus` facade: candidate `(q_id, id)` rows from an ANN join →
+    * canonical `(id_a < id_b)` pairs → cosine-verified against the raw
+    * vectors at `simThreshold` (default
+    * [[VectorQueries.NearDupSimThreshold]]). */
+  private[graft] def verifiedDedupPairs(e: DataFrame, ann: DataFrame,
+      simThreshold: Double = VectorQueries.NearDupSimThreshold): DataFrame = {
     val cand = ann
       .where(col("id") =!= col("q_id"))
       .select(least(col("q_id"), col("id")).as("id_a"),
@@ -166,7 +169,7 @@ object EngineOps {
       col("nrm").as("nb"))
     val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
     cand.join(a, "id_a").join(b, "id_b")
-      .where(sim >= VectorQueries.NearDupSimThreshold)
+      .where(sim >= simThreshold)
       .select(col("id_a"), col("id_b"), round(sim, 6).as("cos_sim"))
       .orderBy("id_a", "id_b")
   }
@@ -364,6 +367,26 @@ object EngineOps {
       oracleStash("q44_cell_histogram") =
         s"""SELECT (coarse0 * $v + coarse1)::BIGINT AS cell_id, count(*) AS cnt
            |FROM read_parquet('$codesGlob') GROUP BY 1 ORDER BY cell_id""".stripMargin
+
+      // q94: within-cell near-dup pairs — the persisted codes ARE the
+      // cluster assignment, so the oracle is plain SQL over them + the
+      // same cosine/threshold as the q32 all-pairs oracle
+      val cosPair = {
+        def dot(a: String, b: String) = s"list_dot_product($a, $b)"
+        s"${dot("ea.v", "eb.v")} / (sqrt(${dot("ea.v", "ea.v")}) * sqrt(${dot("eb.v", "eb.v")}))"
+      }
+      oracleStash("q94_semdedup_cells") =
+        s"""WITH codes AS (
+           |  SELECT id, (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+           |SELECT ca.id AS id_a, cb.id AS id_b, ca.cell_id::BIGINT AS cell_id,
+           |       round($cosPair, 6) AS cos_sim
+           |FROM codes ca JOIN codes cb ON ca.cell_id = cb.cell_id AND ca.id < cb.id
+           |JOIN e ea ON ea.vec_id = ca.id
+           |JOIN e eb ON eb.vec_id = cb.id
+           |WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}
+           |ORDER BY id_a, id_b""".stripMargin
 
       val dsq = l2sqSql("p.subvec", "c.centroid")
       oracleStash("q45_subq_distortion") =
@@ -619,6 +642,54 @@ object EngineOps {
         verifiedDedupPairs(e, chunks.reduce(_.unionAll(_)))
       },
       Some(VectorQueries.nearDupPairsOracleSql),
+      dependsOnIndex = true),
+
+    // SEMANTIC-dedup, cluster-bucketed (the SemDeDup shape, Abbas et al.
+    // 2023, arXiv:2303.09540: k-means-partition the embedding space, then
+    // search near-duplicates only WITHIN a cluster): the persisted LOPQ
+    // coarse quantizer IS the trained clusterer and the persisted codes
+    // ARE the assignment — so the operator is one bucketed self-join of
+    // the codes on cell_id, cosine-verified against the raw vectors. A
+    // third physical path for the embedding near-dup family: q32 proves
+    // exact all-pairs (guarded), q33 bounds pairs by LSH collision, q94
+    // bounds them by the trained partition — at 100 TB the within-cell
+    // pair count is Σ|cell|², driven to O(n·avg_cell) by the quantizer
+    // the index already maintains, and the codes layout is already
+    // bucketed on the join key so the self-join needs no extra shuffle.
+    // Recall difference vs q32 is PRINCIPLED (only same-cell pairs are
+    // candidates — SemDeDup's trade by design), but the gate is exact:
+    // the oracle recomputes the same semantics from the dumped codes.
+    QueryDef(
+      "q94_semdedup_cells",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val cells = h.codes.select(col("id"),
+          (col("coarse0") * h.model.v + col("coarse1")).cast("long").as("cell_id"))
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+        // attach each vector ONCE to its cell-keyed row, self-join on the
+        // cell, and compute the cosine inside that join so only SKINNY
+        // (id_a, id_b, cell_id, cos_sim) rows survive it — joining skinny
+        // pairs back to the vectors per endpoint instead would shuffle
+        // pair-count rows each dragging a raw vector (4096-d at
+        // deployment width), the exact fat-row shape the annJoin rerank
+        // comment warns about
+        val m = cells.join(e, cells("id") === e("vec_id"))
+          .select(col("cell_id"), col("id"), col("embedding"), col("nrm"))
+        val a = m.select(col("cell_id"), col("id").as("id_a"),
+          col("embedding").as("va"), col("nrm").as("na"))
+        val b = m.select(col("cell_id"), col("id").as("id_b"),
+          col("embedding").as("vb"), col("nrm").as("nb"))
+        val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
+        a.join(b, Seq("cell_id"))
+          .where(col("id_a") < col("id_b") &&
+            sim >= VectorQueries.NearDupSimThreshold)
+          .select(col("id_a"), col("id_b"), col("cell_id"),
+            round(sim, 6).as("cos_sim"))
+          .orderBy("id_a", "id_b")
+      },
+      stashed("q94_semdedup_cells"),
       dependsOnIndex = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle

@@ -36,7 +36,7 @@ object VectorQueries {
        |WHERE ${cosSql("a.v", "b.v")} >= $NearDupSim
        |ORDER BY id_a, id_b""".stripMargin
 
-  private[ops] val NearDupSimThreshold: Double = NearDupSim
+  private[graft] val NearDupSimThreshold: Double = NearDupSim
   private val NumTables = 4  // LSH: L hash tables ...
   private val BitsPerTable = 4 // ... of k sign bits each
 

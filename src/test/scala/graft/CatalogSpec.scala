@@ -51,6 +51,26 @@ class CatalogSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  /** SemDeDup's recall trade is PRINCIPLED: q94 must return exactly the
+    * q32 exact near-dup pairs whose endpoints the trained coarse
+    * quantizer assigned to the same cell — no more (precision: the
+    * cosine gate is identical) and no fewer (the within-cell sweep is
+    * all-pairs). Recomputed here from the persisted codes independently
+    * of both query plans. */
+  test("q94 semdedup ≡ q32 exact pairs restricted to same-cell endpoints") {
+    val h = graft.ops.EngineOps.index(spark, sf)
+    val v = h.model.v
+    val cell = h.codes.select("id", "coarse0", "coarse1").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("coarse0").toLong * v + r.getAs[Int]("coarse1"))).toMap
+    val exact = SparkEntry.queries("q32_embed_neardup")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.filter { case (a, b) => cell(a) == cell(b) }
+    val got = SparkEntry.queries("q94_semdedup_cells")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got === want)
+  }
+
   test("q31 brute-force kNN distances are nonnegative and ranked") {
     val rows = SparkEntry.queries("q31_knn_brute")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
