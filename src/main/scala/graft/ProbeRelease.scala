@@ -12,6 +12,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   *        runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
   *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
+  *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -321,8 +322,59 @@ object ProbeRelease {
     spark.stop()
   }
 
+  /** SemDeDup at release magnitude: the q94 operator
+    * ([[graft.ops.VectorQueries.semDedupPairs]]) over a release shape's
+    * persisted codes + staged vector table — the witness that the
+    * within-cell sweep's scale levers (skinny-codes multi-member prune
+    * before any vector moves, cosine computed inside the cell self-join)
+    * hold where the vector table is GBs, not test rows. Prints per-pass
+    * wall-clock, the multi-member-cell row count (what fraction of the
+    * corpus attached a vector at all), and the emitted pair count. */
+  private def probeSemDedup(shapeArg: Option[String], thresholdArg: Option[Double]): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = shapeArg match {
+      case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
+      case _ => ReleaseShape.V2
+    }
+    // release vectors are synthetic-isotropic (nothing crosses the
+    // near-dup 0.4 default) — probe at a threshold the shape's cluster
+    // siblings actually reach so the sweep emits real pairs
+    val th = thresholdArg.getOrElse(0.0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val idx = LopqIndexStore.loadSlim(spark, s.dir).get
+    val vectors = ReleaseShape.vectors(spark, s.dir)
+    val cells = idx.codes.select(col("id"), col("cell_id").cast("long").as("cell_id"))
+    val multiRows = cells.groupBy("cell_id").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).agg(sum(col("n")), count(lit(1))).head()
+    println(s"[probe-release] semdedup ${s.name} threshold=$th " +
+      s"multiCellRows=${multiRows.getLong(0)} multiCells=${multiRows.getLong(1)}")
+    (1 to 3).foreach { pass =>
+      val t0 = System.nanoTime()
+      val nPairs = graft.ops.VectorQueries
+        .semDedupPairs(cells, vectors, "vec_id", "embedding", th)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-release] semdedup pass $pass  $sec%8.2f s  pairs=$nPairs")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
+    if (args.headOption.contains("semdedup")) {
+      val rest = args.drop(1)
+      val (shapeArg, nums) = rest.partition(a => a == "v2" || a == "v3" || a == "v4")
+      probeSemDedup(shapeArg.headOption, nums.headOption.map(_.toDouble))
+      return
+    }
     if (args.headOption.contains("rerank")) {
       val which = args.lift(1).getOrElse("v4")
       val passes = args.lift(2).map(_.toInt).getOrElse(3)

@@ -388,6 +388,34 @@ object EngineOps {
            |WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}
            |ORDER BY id_a, id_b""".stripMargin
 
+      // q95: the SemDeDup MATERIALIZATION — q94's pair semantics, then
+      // recursive-CTE reachability (q63's oracle pattern) to drop every
+      // non-minimum component member, surviving rows content-gated by
+      // their norm
+      oracleStash("q95_semdedup_corpus") =
+        s"""WITH RECURSIVE codes AS (
+           |  SELECT id, (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT ca.id AS id_a, cb.id AS id_b
+           |  FROM codes ca JOIN codes cb ON ca.cell_id = cb.cell_id AND ca.id < cb.id
+           |  JOIN e ea ON ea.vec_id = ca.id
+           |  JOIN e eb ON eb.vec_id = cb.id
+           |  WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}),
+           |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |        UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT a, a FROM und
+           |  UNION
+           |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id),
+           |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r))
+           |SELECT em.vec_id, em.label::BIGINT AS label,
+           |       round(sqrt(list_dot_product(e.v, e.v)), 6) AS norm
+           |FROM embeddings em JOIN e ON e.vec_id = em.vec_id
+           |WHERE em.vec_id NOT IN (SELECT id FROM losers)
+           |ORDER BY em.vec_id""".stripMargin
+
       val dsq = l2sqSql("p.subvec", "c.centroid")
       oracleStash("q45_subq_distortion") =
         s"""WITH p AS (SELECT * FROM read_parquet('$odir/proj/*.parquet')),
@@ -666,30 +694,38 @@ object EngineOps {
         val h = index(s, d)
         val cells = h.codes.select(col("id"),
           (col("coarse0") * h.model.v + col("coarse1")).cast("long").as("cell_id"))
-        val e = t(s, d, "embeddings")
-          .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
-        // attach each vector ONCE to its cell-keyed row, self-join on the
-        // cell, and compute the cosine inside that join so only SKINNY
-        // (id_a, id_b, cell_id, cos_sim) rows survive it — joining skinny
-        // pairs back to the vectors per endpoint instead would shuffle
-        // pair-count rows each dragging a raw vector (4096-d at
-        // deployment width), the exact fat-row shape the annJoin rerank
-        // comment warns about
-        val m = cells.join(e, cells("id") === e("vec_id"))
-          .select(col("cell_id"), col("id"), col("embedding"), col("nrm"))
-        val a = m.select(col("cell_id"), col("id").as("id_a"),
-          col("embedding").as("va"), col("nrm").as("na"))
-        val b = m.select(col("cell_id"), col("id").as("id_b"),
-          col("embedding").as("vb"), col("nrm").as("nb"))
-        val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
-        a.join(b, Seq("cell_id"))
-          .where(col("id_a") < col("id_b") &&
-            sim >= VectorQueries.NearDupSimThreshold)
-          .select(col("id_a"), col("id_b"), col("cell_id"),
-            round(sim, 6).as("cos_sim"))
+        VectorQueries.semDedupPairs(cells, t(s, d, "embeddings"),
+            "vec_id", "embedding")
           .orderBy("id_a", "id_b")
       },
       stashed("q94_semdedup_cells"),
+      dependsOnIndex = true),
+
+    // The SemDeDup MATERIALIZATION (the Abbas et al. pipeline's end
+    // product, the semantic twin of q72's LSH-based corpus dedup): q94's
+    // within-cell pairs → min-label connected components (TextOps's CC,
+    // shared with q63/q72) → anti-join the non-canonical members out and
+    // emit the cleaned embedding corpus, content-gated by each survivor's
+    // norm. The loser set is orders of magnitude smaller than the corpus,
+    // so the anti-join broadcasts at 100 TB.
+    QueryDef(
+      "q95_semdedup_corpus",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val cells = h.codes.select(col("id"),
+          (col("coarse0") * h.model.v + col("coarse1")).cast("long").as("cell_id"))
+        val e = t(s, d, "embeddings")
+        val edges = VectorQueries.semDedupPairs(cells, e, "vec_id", "embedding")
+          .select("id_a", "id_b").localCheckpoint()
+        val losers = TextOps.minLabelComponents(edges)
+          .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
+        e.join(losers, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("label").cast("long").as("label"),
+            round(l2Norm(col("embedding")), 6).as("norm"))
+          .orderBy("vec_id")
+      },
+      stashed("q95_semdedup_corpus"),
       dependsOnIndex = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle

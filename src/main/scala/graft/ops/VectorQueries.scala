@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -37,6 +37,41 @@ object VectorQueries {
        |ORDER BY id_a, id_b""".stripMargin
 
   private[graft] val NearDupSimThreshold: Double = NearDupSim
+
+  /** SemDeDup-shape near-dup pair hunt (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with a trained
+    * clusterer, then sweep all pairs WITHIN each cluster only. `cells` is
+    * the skinny assignment `(id, cell_id)` — for a LOPQ-indexed corpus the
+    * persisted codes already are one (q94 feeds them straight in);
+    * `vectors` holds `(idCol, vecCol)`.
+    *
+    * Scale shape: candidate pairs exist only in cells with ≥ 2 members,
+    * and that membership test needs nothing but the skinny assignment —
+    * so the cells are counted FIRST and vectors attach only to
+    * multi-member cells' rows (at the 2M × 4096-d deployment width the
+    * singleton-cell majority of the ~32 GB vector table never enters a
+    * shuffle). Each surviving vector ships once per side of the
+    * cell-keyed self-join and the cosine is computed inside that join, so
+    * only skinny `(id_a, id_b, cell_id, cos_sim)` rows leave it — never a
+    * pair row dragging a raw vector. */
+  def semDedupPairs(cells: DataFrame, vectors: DataFrame, idCol: String,
+      vecCol: String, simThreshold: Double = NearDupSimThreshold): DataFrame = {
+    val asg = cells.select(col("id"), col("cell_id"))
+    val multi = asg.groupBy("cell_id").agg(count(lit(1)).as("_n"))
+      .where(col("_n") >= 2).select("cell_id")
+    val e = vectors.select(col(idCol).as("id"), col(vecCol).as("_v"),
+      l2Norm(col(vecCol)).as("_nrm"))
+    val m = asg.join(multi, "cell_id").join(e, "id")
+    val a = m.select(col("cell_id"), col("id").as("id_a"),
+      col("_v").as("va"), col("_nrm").as("na"))
+    val b = m.select(col("cell_id"), col("id").as("id_b"),
+      col("_v").as("vb"), col("_nrm").as("nb"))
+    val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
+    a.join(b, Seq("cell_id"))
+      .where(col("id_a") < col("id_b") && sim >= simThreshold)
+      .select(col("id_a"), col("id_b"), col("cell_id"),
+        round(sim, 6).as("cos_sim"))
+  }
   private val NumTables = 4  // LSH: L hash tables ...
   private val BitsPerTable = 4 // ... of k sign bits each
 

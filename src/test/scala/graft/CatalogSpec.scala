@@ -71,6 +71,33 @@ class CatalogSpec extends SparkSpec {
     assert(got === want)
   }
 
+  /** q95's survivor set is exactly the corpus minus q94's non-canonical
+    * component members: recompute the components from q94's pairs with a
+    * driver-side union-find (independent of TextOps's min-label CC) and
+    * check each component keeps precisely its minimum id. */
+  test("q95 keeps exactly one canonical survivor per q94 pair component") {
+    val pairs = SparkEntry.queries("q94_semdedup_cells")(spark, sf)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val root = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = root.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); root(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val losers = members.groupBy(find).values
+      .flatMap(g => g.filterNot(_ == g.min)).toSet
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = SparkEntry.queries("q95_semdedup_corpus")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === (all -- losers))
+    assert(losers.nonEmpty, "fixture must exercise at least one dup drop")
+  }
+
   test("q31 brute-force kNN distances are nonnegative and ranked") {
     val rows = SparkEntry.queries("q31_knn_brute")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
