@@ -204,4 +204,27 @@ class PlanSpec extends SparkSpec {
     // PartitionFilters (directory pruning), not a post-scan Filter
     assert(p.contains("PartitionFilters: [cell_id"))
   }
+
+  test("q94 semdedup prunes singleton cells on the skinny codes before vectors attach") {
+    val df = SparkEntry.queries("q94_semdedup_cells")(spark, sf)
+    df.collect() // finalize AQE so the real join strategies are visible
+    val p = df.queryExecution.executedPlan.toString
+    // the multi-member-cell screen is a count aggregate over (id, cell_id)
+    // rows alone — it must exist (partial+final HashAggregate) and gate at 2,
+    // so at deployment width the singleton-cell majority of the vector
+    // table never enters the cell self-join's shuffle
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "multi-member screen lost its aggregate")
+    assert(p.contains(">= 2)"), "membership gate (n >= 2) missing")
+  }
+
+  test("q95 removes semdedup losers via a broadcast anti-join (corpus never shuffles)") {
+    val df = SparkEntry.queries("q95_semdedup_corpus")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the loser set is orders of magnitude smaller than the corpus: the
+    // final cleanup must broadcast it, never shuffle the embeddings table
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "loser anti-join must broadcast")
+  }
 }
