@@ -53,25 +53,56 @@ object VectorQueries {
     * shuffle). Each surviving vector ships once per side of the
     * cell-keyed self-join and the cosine is computed inside that join, so
     * only skinny `(id_a, id_b, cell_id, cos_sim)` rows leave it — never a
-    * pair row dragging a raw vector. */
+    * pair row dragging a raw vector.
+    *
+    * Skew shape: within-cell work is quadratic, so one giant cell would
+    * otherwise land its whole |cell|² sweep in a single join task (AQE's
+    * skew split spreads the probes but still buffers the full matching
+    * cell per task). Members of a cell with more than
+    * `spark.graft.semdedup.cellBlockRows` (default 4096) rows are
+    * hash-assigned to ⌈n/B⌉ blocks and the sweep runs per block PAIR
+    * (i ≤ j) — each unordered pair lands in exactly one block pair, task
+    * memory is bounded by 2B vectors, and the quadratic work spreads over
+    * ⌈n/B⌉² tasks. Cells at or under the block size keep ⌈n/B⌉ = 1, where
+    * the decomposition degenerates to the plain cell self-join (one key,
+    * no extra fan-out). */
   def semDedupPairs(cells: DataFrame, vectors: DataFrame, idCol: String,
       vecCol: String, simThreshold: Double = NearDupSimThreshold): DataFrame = {
     val asg = cells.select(col("id"), col("cell_id"))
+    val blockRows = cells.sparkSession.conf
+      .get(SemDedupCellBlockRowsConf, "4096").toInt
+    require(blockRows >= 1, s"$SemDedupCellBlockRowsConf must be >= 1")
     val multi = asg.groupBy("cell_id").agg(count(lit(1)).as("_n"))
-      .where(col("_n") >= 2).select("cell_id")
+      .where(col("_n") >= 2)
+      .select(col("cell_id"),
+        ((col("_n") + (blockRows - 1)) / blockRows).cast("int").as("_nblk"))
     val e = vectors.select(col(idCol).as("id"), col(vecCol).as("_v"),
       l2Norm(col(vecCol)).as("_nrm"))
     val m = asg.join(multi, "cell_id").join(e, "id")
-    val a = m.select(col("cell_id"), col("id").as("id_a"),
-      col("_v").as("va"), col("_nrm").as("na"))
-    val b = m.select(col("cell_id"), col("id").as("id_b"),
-      col("_v").as("vb"), col("_nrm").as("nb"))
+      .withColumn("_blk", pmod(hash(col("id")), col("_nblk")))
+    // triangular block decomposition: A carries its own block as i and
+    // fans out over j ∈ [i, nblk); B carries its block as j and fans out
+    // over i ∈ [0, j] — block pair (i, j) sees exactly block i's rows on
+    // the A side and block j's on the B side
+    val a = m.select(col("cell_id"), col("_blk").as("_i"),
+      explode(sequence(col("_blk"), col("_nblk") - 1)).as("_j"),
+      col("id").as("id_a"), col("_v").as("va"), col("_nrm").as("na"))
+    val b = m.select(col("cell_id"),
+      explode(sequence(lit(0), col("_blk"))).as("_i"), col("_blk").as("_j"),
+      col("id").as("id_b"), col("_v").as("vb"), col("_nrm").as("nb"))
     val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
-    a.join(b, Seq("cell_id"))
-      .where(col("id_a") < col("id_b") && sim >= simThreshold)
-      .select(col("id_a"), col("id_b"), col("cell_id"),
-        round(sim, 6).as("cos_sim"))
+    // same-block pairs dedup by id order; cross-block pairs are already
+    // unique per block pair but arrive in block order, not id order
+    a.join(b, Seq("cell_id", "_i", "_j"))
+      .where((col("_i") < col("_j") || col("id_a") < col("id_b")) &&
+        sim >= simThreshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("cell_id"), round(sim, 6).as("cos_sim"))
   }
+
+  /** Block size for [[semDedupPairs]]' skewed-cell decomposition. */
+  val SemDedupCellBlockRowsConf = "spark.graft.semdedup.cellBlockRows"
   private val NumTables = 4  // LSH: L hash tables ...
   private val BitsPerTable = 4 // ... of k sign bits each
 

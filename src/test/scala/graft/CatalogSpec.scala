@@ -71,6 +71,29 @@ class CatalogSpec extends SparkSpec {
     assert(got === want)
   }
 
+  /** The skewed-cell triangular block decomposition must be invisible in
+    * the results: forcing every fixture cell over the block bound
+    * (blockRows=1 → every multi-member cell splits into n single-row
+    * blocks, so every emitted pair crosses a block boundary) has to
+    * reproduce the plain sweep's pair set, cosines included. */
+  test("semDedupPairs blocked ≡ plain at a forced 1-row cell block size") {
+    val key = graft.ops.VectorQueries.SemDedupCellBlockRowsConf
+    val h = graft.ops.EngineOps.index(spark, sf)
+    val cells = h.codes.select(col("id"),
+      (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run(): Set[(Long, Long, Long, Double)] =
+      graft.ops.VectorQueries.semDedupPairs(cells, emb, "vec_id", "embedding")
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("cell_id"), r.getAs[Double]("cos_sim"))).toSet
+    val plain = run()
+    spark.conf.set(key, "1")
+    try {
+      val blocked = run()
+      assert(blocked === plain)
+    } finally spark.conf.unset(key)
+  }
+
   /** q95's survivor set is exactly the corpus minus q94's non-canonical
     * component members: recompute the components from q94's pairs with a
     * driver-side union-find (independent of TextOps's min-label CC) and
