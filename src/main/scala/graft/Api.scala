@@ -182,4 +182,30 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     }
     spark.read.parquet(outDir).distinct().orderBy("id_a", "id_b")
   }
+
+  /** SEMANTIC corpus self-dedup as a one-call facade (SemDeDup, Abbas et
+    * al. 2023): the persisted LOPQ coarse cells partition the embedding
+    * space, near-dup pairs are swept within each cell only
+    * ([[graft.ops.VectorQueries.semDedupPairs]] — skinny-codes
+    * multi-member prune, skew-proof block pairs), components collapse to
+    * their minimum member, and the cleaned corpus comes back minus the
+    * non-canonical members (the q95 semantics; survivors keep every
+    * original column). Unlike [[dedupCorpus]] this pays no per-probe ANN
+    * search — the index's own cell assignment IS the candidate
+    * generator — so it is the cheap first pass of a dedup pipeline, with
+    * the ANN-join pass as the cross-cell follow-up. */
+  def semDedupCorpus(
+      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold)
+      : DataFrame = {
+    val h = EngineOps.index(spark, sfDir)
+    val cells = h.codes.select(col("id"),
+      (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
+    val e = vectors
+    val edges = graft.ops.VectorQueries
+      .semDedupPairs(cells, e, "vec_id", "embedding", simThreshold)
+      .select("id_a", "id_b").localCheckpoint()
+    val losers = graft.ops.TextOps.minLabelComponents(edges)
+      .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
+    e.join(losers, Seq("vec_id"), "left_anti")
+  }
 }

@@ -156,7 +156,7 @@ object TextOps {
     * this is the standard large/small-star CC schedule on a pair graph
     * orders of magnitude smaller than the corpus. Returns `(id, comp)` with
     * `comp` = the component's minimum member id. */
-  private[ops] def minLabelComponents(edges: org.apache.spark.sql.DataFrame)
+  private[graft] def minLabelComponents(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val und = edges.unionAll(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))

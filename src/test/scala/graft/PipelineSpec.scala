@@ -162,4 +162,16 @@ class PipelineSpec extends SparkSpec {
       case None => spark.conf.unset(LopqSearcher.AnnJoinChunkRowsConf)
     }
   }
+
+  /** The semantic-dedup facade must return exactly q95's survivor rows
+    * (every original embeddings column, non-canonical members gone). */
+  test("GraftApi semDedupCorpus survivors match the q95 gate") {
+    val got = new GraftApi(spark, sf).semDedupCorpus()
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val want = SparkEntry.queries("q95_semdedup_corpus")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    val all = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    assert(got.size < all.toInt, "facade must actually drop duplicates")
+  }
 }
