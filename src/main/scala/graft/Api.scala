@@ -208,4 +208,38 @@ final class GraftApi(spark: SparkSession, sfDir: String,
       .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
     e.join(losers, Seq("vec_id"), "left_anti")
   }
+
+  /** [[semDedupCorpus]] with the sweep CHUNKED by cell group
+    * ([[graft.ops.VectorQueries.semDedupPairsChunked]]) — the
+    * scratch-bounded production driver for a corpus whose one-shot
+    * within-cell sweep out-shuffles the available spill space (the
+    * 2M × 4096-d deployment width measured in PROBES.md r12). Each
+    * chunk's pairs append to `outDir` (in-flight footprint = one cell
+    * group), then components collapse and losers anti-join out exactly
+    * as in the one-shot facade. `nChunks = 0` sizes chunks from
+    * driver-known quantities (corpus row count × model width vs the
+    * [[graft.ops.VectorQueries.SemDedupChunkShuffleMaxBytesConf]]
+    * scratch bound). Chunk composition cannot change the pair set (cells
+    * are whole within a chunk), so the result equals [[semDedupCorpus]]'s
+    * row-for-row. */
+  def semDedupCorpusChunked(outDir: String,
+      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
+      nChunks: Int = 0): DataFrame = {
+    val h = EngineOps.index(spark, sfDir)
+    val cells = h.codes.select(col("id"),
+      (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
+    val e = vectors
+    val n = if (nChunks > 0) nChunks
+      else graft.ops.VectorQueries.semDedupChunkCount(
+        e.count(), h.model.dim, spark)
+    graft.ops.VectorQueries.semDedupPairsChunked(cells, e, "vec_id",
+        "embedding", simThreshold, n) { (df, c) =>
+      df.select("id_a", "id_b")
+        .write.mode(if (c == 0) "overwrite" else "append").parquet(outDir)
+    }
+    val edges = spark.read.parquet(outDir)
+    val losers = graft.ops.TextOps.minLabelComponents(edges)
+      .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
+    e.join(losers, Seq("vec_id"), "left_anti")
+  }
 }

@@ -12,7 +12,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   *        runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
   *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
-  *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold]
+  *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -329,8 +329,27 @@ object ProbeRelease {
     * before any vector moves, cosine computed inside the cell self-join)
     * hold where the vector table is GBs, not test rows. Prints per-pass
     * wall-clock, the multi-member-cell row count (what fraction of the
-    * corpus attached a vector at all), and the emitted pair count. */
-  private def probeSemDedup(shapeArg: Option[String], thresholdArg: Option[Double]): Unit = {
+    * corpus attached a vector at all), and the emitted pair count.
+    *
+    * `sample:<mod>` sweeps only members with `id % mod == 0`, filtering
+    * BOTH the skinny assignment and the vector table — the local witness
+    * for shapes whose FULL sweep out-shuffles a single machine's scratch
+    * (v4: the id-attach join alone shuffle-writes the 32 GB vector
+    * table; cell-level sampling cannot reach that side, id-level
+    * sampling drops (mod−1)/mod of it before the shuffle). The plan
+    * shape is the production one; per-cell membership shrinks ~mod, so
+    * pair counts scale ~1/mod² and wall-clock is a same-plan lower
+    * bound, not a linear extrapolation.
+    *
+    * `chunk[:n]` routes the sweep through
+    * [[graft.ops.VectorQueries.semDedupPairsChunked]] — the
+    * scratch-bounded driver loop (n = 0 or omitted sizes chunks from the
+    * member count and the shape's raw width). ONE timed pass, per-chunk
+    * lines + the total: this is the endurance run that makes the FULL v4
+    * sweep complete on this machine's ~27 GB scratch, where the one-shot
+    * plan dies mid-shuffle. */
+  private def probeSemDedup(shapeArg: Option[String], thresholdArg: Option[Double],
+      sampleMod: Option[Long], chunkArg: Option[Int]): Unit = {
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
       case Some("v3") => ReleaseShape.V3
@@ -351,18 +370,43 @@ object ProbeRelease {
     graft.functions.GraftFunctions.register(spark)
     val idx = LopqIndexStore.loadSlim(spark, s.dir).get
     val vectors = ReleaseShape.vectors(spark, s.dir)
-    val cells = idx.codes.select(col("id"), col("cell_id").cast("long").as("cell_id"))
+    val all = idx.codes.select(col("id"), col("cell_id").cast("long").as("cell_id"))
+    val (cells, vecs) = sampleMod match {
+      case Some(m) => (all.where(pmod(col("id"), lit(m)) === 0),
+        vectors.where(pmod(col("vec_id"), lit(m)) === 0))
+      case None => (all, vectors)
+    }
     val multiRows = cells.groupBy("cell_id").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2).agg(sum(col("n")), count(lit(1))).head()
     println(s"[probe-release] semdedup ${s.name} threshold=$th " +
+      sampleMod.map(m => s"sampleMod=$m ").getOrElse("") +
       s"multiCellRows=${multiRows.getLong(0)} multiCells=${multiRows.getLong(1)}")
-    (1 to 3).foreach { pass =>
-      val t0 = System.nanoTime()
-      val nPairs = graft.ops.VectorQueries
-        .semDedupPairs(cells, vectors, "vec_id", "embedding", th)
-        .count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe-release] semdedup pass $pass  $sec%8.2f s  pairs=$nPairs")
+    chunkArg match {
+      case Some(n0) =>
+        val n = if (n0 > 0) n0 else graft.ops.VectorQueries
+          .semDedupChunkCount(multiRows.getLong(0), s.rawDim, spark)
+        println(s"[probe-release] semdedup chunked nChunks=$n rawDim=${s.rawDim}")
+        val t0 = System.nanoTime()
+        var total = 0L
+        graft.ops.VectorQueries.semDedupPairsChunked(cells, vecs,
+            "vec_id", "embedding", th, n) { (df, c) =>
+          val tc = System.nanoTime()
+          val p = df.count()
+          total += p
+          println(f"[probe-release] semdedup chunk $c%3d  " +
+            f"${(System.nanoTime() - tc) / 1e9}%8.2f s  pairs=$p")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe-release] semdedup chunked TOTAL  $sec%8.2f s  pairs=$total")
+      case None =>
+        (1 to 3).foreach { pass =>
+          val t0 = System.nanoTime()
+          val nPairs = graft.ops.VectorQueries
+            .semDedupPairs(cells, vecs, "vec_id", "embedding", th)
+            .count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[probe-release] semdedup pass $pass  $sec%8.2f s  pairs=$nPairs")
+        }
     }
     spark.stop()
   }
@@ -371,8 +415,13 @@ object ProbeRelease {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
     if (args.headOption.contains("semdedup")) {
       val rest = args.drop(1)
-      val (shapeArg, nums) = rest.partition(a => a == "v2" || a == "v3" || a == "v4")
-      probeSemDedup(shapeArg.headOption, nums.headOption.map(_.toDouble))
+      val (sampleArgs, rest1) = rest.partition(_.startsWith("sample:"))
+      val (chunkArgs, rest2) = rest1.partition(_.startsWith("chunk"))
+      val (shapeArg, nums) = rest2.partition(a => a == "v2" || a == "v3" || a == "v4")
+      probeSemDedup(shapeArg.headOption, nums.headOption.map(_.toDouble),
+        sampleArgs.headOption.map(_.stripPrefix("sample:").toLong),
+        chunkArgs.headOption.map(a =>
+          if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0))
       return
     }
     if (args.headOption.contains("rerank")) {

@@ -728,6 +728,30 @@ object EngineOps {
       stashed("q95_semdedup_corpus"),
       dependsOnIndex = true),
 
+    // CHUNKED twin of the q94 sweep (the q93 pattern, applied to the
+    // SemDeDup pass): the SAME codes + vectors routed through
+    // [[VectorQueries.semDedupPairsChunked]] with the chunk count forced
+    // past 1, so the cell-group decomposition and the skinny-broadcast
+    // id-attach genuinely execute at sf scale. Cells are whole within a
+    // chunk, so the union of chunk results must hash-match q94's oracle —
+    // chunked ≡ one-shot is driver-verified every round, not only
+    // ScalaTest-pinned.
+    QueryDef(
+      "q96_semdedup_chunked",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val cells = h.codes.select(col("id"),
+          (col("coarse0") * h.model.v + col("coarse1")).cast("long").as("cell_id"))
+        val chunks = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        VectorQueries.semDedupPairsChunked(cells, t(s, d, "embeddings"),
+          "vec_id", "embedding", VectorQueries.NearDupSimThreshold,
+          nChunks = 4) { (df, _) => chunks += df }
+        chunks.reduce(_.unionAll(_)).orderBy("id_a", "id_b")
+      },
+      stashed("q94_semdedup_cells"),
+      dependsOnIndex = true),
+
     // §2.4 recall@k eval vs the in-plan brute-force oracle
     // (ref get_recall, lopq/lopq/eval.py:92-142).
     QueryDef(

@@ -69,17 +69,49 @@ object VectorQueries {
   def semDedupPairs(cells: DataFrame, vectors: DataFrame, idCol: String,
       vecCol: String, simThreshold: Double = NearDupSimThreshold): DataFrame = {
     val asg = cells.select(col("id"), col("cell_id"))
-    val blockRows = cells.sparkSession.conf
+    val multi = multiCellBlocks(asg, cellBlockRows(cells))
+    val m = attachBlockedVectors(asg.join(multi, "cell_id"), vectors,
+      idCol, vecCol, broadcastAsg = false)
+    sweepBlockPairs(m, simThreshold)
+  }
+
+  private def cellBlockRows(df: DataFrame): Int = {
+    val blockRows = df.sparkSession.conf
       .get(SemDedupCellBlockRowsConf, "4096").toInt
     require(blockRows >= 1, s"$SemDedupCellBlockRowsConf must be >= 1")
-    val multi = asg.groupBy("cell_id").agg(count(lit(1)).as("_n"))
+    blockRows
+  }
+
+  /** Multi-member cells of a skinny `(id, cell_id)` assignment with their
+    * block count `⌈n/blockRows⌉` — the candidate-cell set both sweep
+    * drivers start from. */
+  private def multiCellBlocks(asg: DataFrame, blockRows: Int): DataFrame =
+    asg.groupBy("cell_id").agg(count(lit(1)).as("_n"))
       .where(col("_n") >= 2)
       .select(col("cell_id"),
         ((col("_n") + (blockRows - 1)) / blockRows).cast("int").as("_nblk"))
+
+  /** Attach each surviving member's vector + norm and its block id.
+    * `broadcastAsg` flips which side of the id join ships: the one-shot
+    * sweep shuffles both sides (asgMulti is corpus-sized there), while the
+    * chunked driver broadcasts its chunk's SKINNY slice so the fat vector
+    * table is scanned and filtered map-side — never shuffle-written just
+    * to learn its cell (at the 2M × 4096-d deployment width that id-attach
+    * shuffle alone is the whole 32 GB table). */
+  private def attachBlockedVectors(asgMulti: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, broadcastAsg: Boolean): DataFrame = {
     val e = vectors.select(col(idCol).as("id"), col(vecCol).as("_v"),
       l2Norm(col(vecCol)).as("_nrm"))
-    val m = asg.join(multi, "cell_id").join(e, "id")
-      .withColumn("_blk", pmod(hash(col("id")), col("_nblk")))
+    val joined =
+      if (broadcastAsg) e.join(broadcast(asgMulti), "id")
+      else asgMulti.join(e, "id")
+    joined.withColumn("_blk", pmod(hash(col("id")), col("_nblk")))
+  }
+
+  /** The within-cell pair sweep over attached members
+    * `(cell_id, _nblk, _blk, id, _v, _nrm)` — shared verbatim by the
+    * one-shot and chunked drivers, so their pair semantics cannot drift. */
+  private def sweepBlockPairs(m: DataFrame, simThreshold: Double): DataFrame = {
     // triangular block decomposition: A carries its own block as i and
     // fans out over j ∈ [i, nblk); B carries its block as j and fans out
     // over i ∈ [0, j] — block pair (i, j) sees exactly block i's rows on
@@ -101,8 +133,93 @@ object VectorQueries {
         col("cell_id"), round(sim, 6).as("cos_sim"))
   }
 
+  /** Driver loop over CELL-GROUP chunks of [[semDedupPairs]] — the
+    * scratch-bounded production plan for a corpus whose one-shot sweep
+    * out-shuffles the cluster's (or, measured here, one machine's)
+    * shuffle scratch. At the 2M × 4096-d deployment width the one-shot
+    * plan shuffles the 32 GB vector table once for the id-attach and
+    * ~once per self-join side ≈ 96 GB of concurrent shuffle files; cells
+    * are hash-assigned to `nChunks` groups and each group sweeps alone,
+    * so the concurrent footprint is one group's slice. Two plan changes
+    * vs the one-shot, neither touching pair semantics:
+    *
+    *   - the chunk's SKINNY assignment broadcasts into the id join
+    *     ([[attachBlockedVectors]] `broadcastAsg=true`), so the vector
+    *     table is scanned per chunk but never shuffle-written for the
+    *     attach — per-chunk shuffle is the self-join of the slice only;
+    *   - every cell's members land in ONE chunk (chunk key = cell hash),
+    *     so the triangular block decomposition inside a chunk is
+    *     byte-identical to the one-shot sweep's and the concatenation of
+    *     chunk results IS the one-shot result (spec-pinned).
+    *
+    * Size chunks with [[semDedupChunkCount]] (driver-known member count ×
+    * width vs the scratch bound, skinny-broadcast row cap folded in).
+    * `sink` materializes each chunk (parquet append, count, …); shuffle
+    * files of a finished chunk are dropped when their dependency is GC'd,
+    * and the loop nudges the JVM after each sink so consecutive chunks
+    * don't stack their slices on scratch (Spark's own periodic-GC cleaner
+    * fires on a 30 min cadence — longer than a whole chunk). Returns
+    * `nChunks`. */
+  def semDedupPairsChunked(cells: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String, simThreshold: Double, nChunks: Int)
+      (sink: (DataFrame, Int) => Unit): Int = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    if (nChunks == 1) {
+      sink(semDedupPairs(cells, vectors, idCol, vecCol, simThreshold), 0)
+      return 1
+    }
+    val asg = cells.select(col("id"), col("cell_id"))
+    val blockRows = cellBlockRows(cells)
+    (0 until nChunks).foreach { c =>
+      // the multi-cell agg reruns per chunk: it is a skinny-table scan
+      // (O(corpus) longs), noise next to the chunk's quadratic sweep, and
+      // recomputing beats holding a cached plan across the whole loop
+      val asgC = asg.join(multiCellBlocks(asg, blockRows), "cell_id")
+        .where(pmod(hash(col("cell_id")), lit(nChunks)) === c)
+      val m = attachBlockedVectors(asgC, vectors, idCol, vecCol,
+        broadcastAsg = true)
+      sink(sweepBlockPairs(m, simThreshold), c)
+      System.gc() // drop the finished chunk's shuffle files (see Scaladoc)
+    }
+    nChunks
+  }
+
+  /** Chunk count for [[semDedupPairsChunked]]: enough chunks that one
+    * chunk's self-join shuffle (members/nChunks × row width × both sides
+    * with explode headroom, ×3) fits [[SemDedupChunkShuffleMaxBytesConf]],
+    * AND one chunk's skinny broadcast stays under
+    * [[SemDedupBroadcastAsgMaxRowsConf]] rows. Both inputs are
+    * driver-known (`memberRows` from the skinny multi-cell count the
+    * caller already pays, `dim` from the model/shape) — no plan-stats
+    * guessing (the r9 byte-stats lesson). */
+  def semDedupChunkCount(memberRows: Long, dim: Int,
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val maxBytes = spark.conf.get(SemDedupChunkShuffleMaxBytesConf,
+      DefaultSemDedupChunkShuffleMaxBytes.toString).toLong
+    val maxAsgRows = spark.conf.get(SemDedupBroadcastAsgMaxRowsConf,
+      DefaultSemDedupBroadcastAsgMaxRows.toString).toLong
+    require(maxBytes > 0 && maxAsgRows > 0, "semdedup chunk bounds must be > 0")
+    val sliceBytes = graft.engine.LopqSearcher.satMul(memberRows, (4L * dim + 48L) * 3L)
+    val byBytes = (sliceBytes + maxBytes - 1) / maxBytes
+    val byAsg = (memberRows + maxAsgRows - 1) / maxAsgRows
+    math.max(1L, math.max(byBytes, byAsg)).min(1 << 20).toInt
+  }
+
   /** Block size for [[semDedupPairs]]' skewed-cell decomposition. */
   val SemDedupCellBlockRowsConf = "spark.graft.semdedup.cellBlockRows"
+
+  /** Conf: target bound on ONE chunk's shuffled bytes in
+    * [[semDedupPairsChunked]] — size to the cluster's (machine's) shuffle
+    * scratch, not its memory. */
+  val SemDedupChunkShuffleMaxBytesConf = "spark.graft.semdedup.chunkShuffleMaxBytes"
+  val DefaultSemDedupChunkShuffleMaxBytes: Long = 8L << 30
+
+  /** Conf: cap on the rows of one chunk's broadcast skinny assignment —
+    * matters at NARROW widths, where the byte bound alone would allow a
+    * chunk whose member count (≈ bytes/width) is itself too many rows to
+    * broadcast (26M at 64-d × 8 GB). */
+  val SemDedupBroadcastAsgMaxRowsConf = "spark.graft.semdedup.broadcastAsgMaxRows"
+  val DefaultSemDedupBroadcastAsgMaxRows: Long = 8L << 20
   private val NumTables = 4  // LSH: L hash tables ...
   private val BitsPerTable = 4 // ... of k sign bits each
 

@@ -227,4 +227,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       "loser anti-join must broadcast")
   }
+
+  test("q96 chunked semdedup equals the one-shot sweep and broadcasts the id-attach") {
+    val one = SparkEntry.queries("q94_semdedup_cells")(spark, sf).collect()
+    val chunked = SparkEntry.queries("q96_semdedup_chunked")(spark, sf).collect()
+    // cells are whole within a chunk, so the concatenation of chunk
+    // results must BE the one-shot sweep — same pairs, same rounding
+    assert(chunked.toSeq == one.toSeq,
+      "chunk concatenation must equal the one-shot sweep")
+    // per-chunk plan: the chunk's SKINNY assignment broadcasts into the
+    // id join, so the fat vector table is filtered map-side and never
+    // shuffle-written just to learn its cell — the v4 one-shot sweep's
+    // measured scale-killer (PROBES.md r12)
+    val h = EngineOps.index(spark, sf)
+    val cells = h.codes.select(col("id"),
+      (col("coarse0") * h.model.v + col("coarse1")).cast("long").as("cell_id"))
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.ops.VectorQueries.semDedupPairsChunked(cells,
+        spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding",
+        graft.ops.VectorQueries.NearDupSimThreshold, 3) { (df, _) =>
+      df.collect()
+      plans += df.queryExecution.executedPlan.toString
+    }
+    assert(plans.size == 3)
+    assert(plans.forall(_.contains("BroadcastHashJoin")),
+      "chunk id-attach must broadcast the skinny side")
+  }
 }
