@@ -242,4 +242,39 @@ final class GraftApi(spark: SparkSession, sfDir: String,
       .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
     e.join(losers, Seq("vec_id"), "left_anti")
   }
+
+  /** INGEST SCREENING — the nightly-ingest semantic-dedup check as one
+    * call (ref `updater/extraction_checker.py:225-258`'s
+    * check-new-against-indexed loop): a NEW batch `(idCol, vecCol)` is
+    * encoded with the persisted model (same coarse cells as the index's
+    * own codes — [[graft.engine.LopqSearcher.encode]] is deterministic)
+    * and swept against the indexed corpus within the cells the batch
+    * touches only ([[graft.ops.VectorQueries.semDedupPairsIncremental]]).
+    * Returns every (batch × corpus) and (batch × batch) same-cell pair at
+    * `simThreshold` — which new vectors near-duplicate something already
+    * present — WITHOUT re-sweeping corpus × corpus and without a
+    * per-probe ANN search.
+    *
+    * Work is O(|batch| · avg_cell · D): the corpus contributes one skinny
+    * codes scan plus a map-side-filtered single pass of its vector table
+    * (nothing corpus-sized shuffles). Contract: batch ids are disjoint
+    * from corpus ids, batch vectors live in the model's input space, and
+    * the batch is bounded (its touched-member slice must broadcast). The
+    * typical follow-up is to drop the flagged batch rows, then
+    * [[graft.engine.LopqIndexStore.appendUpdate]] the survivors. */
+  def semDedupIncrement(batch: DataFrame, idCol: String, vecCol: String,
+      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold)
+      : DataFrame = {
+    val h = EngineOps.index(spark, sfDir)
+    def toCell(c: DataFrame) = c.select(col("id"),
+      (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
+    val corpusCells = toCell(h.codes)
+    val batchCells =
+      toCell(graft.engine.LopqSearcher.encode(batch, idCol, vecCol, h.model))
+    graft.ops.VectorQueries.semDedupPairsIncremental(
+      corpusCells, batchCells,
+      vectors.select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
+      batch.select(idCol, vecCol),
+      idCol, vecCol, simThreshold)
+  }
 }

@@ -12,7 +12,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   *        runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
   *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
-  *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]]
+  *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]] [incr:mod]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -347,9 +347,16 @@ object ProbeRelease {
     * member count and the shape's raw width). ONE timed pass, per-chunk
     * lines + the total: this is the endurance run that makes the FULL v4
     * sweep complete on this machine's ~27 GB scratch, where the one-shot
-    * plan dies mid-shuffle. */
+    * plan dies mid-shuffle.
+    *
+    * `incr:<mod>` probes the INCREMENTAL pass
+    * ([[graft.ops.VectorQueries.semDedupPairsIncremental]]) at release
+    * magnitude: ids with `id % mod == 0` play the new batch, the rest the
+    * indexed corpus — the nightly-ingest shape, whose cost should track
+    * the BATCH (touched cells × membership), not the corpus. */
   private def probeSemDedup(shapeArg: Option[String], thresholdArg: Option[Double],
-      sampleMod: Option[Long], chunkArg: Option[Int]): Unit = {
+      sampleMod: Option[Long], chunkArg: Option[Int],
+      incrMod: Option[Long]): Unit = {
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
       case Some("v3") => ReleaseShape.V3
@@ -398,15 +405,33 @@ object ProbeRelease {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         println(f"[probe-release] semdedup chunked TOTAL  $sec%8.2f s  pairs=$total")
-      case None =>
-        (1 to 3).foreach { pass =>
-          val t0 = System.nanoTime()
-          val nPairs = graft.ops.VectorQueries
-            .semDedupPairs(cells, vecs, "vec_id", "embedding", th)
-            .count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          println(f"[probe-release] semdedup pass $pass  $sec%8.2f s  pairs=$nPairs")
-        }
+      case None => incrMod match {
+        case Some(m) =>
+          val isNew = pmod(col("id"), lit(m)) === 0
+          val isNewV = pmod(col("vec_id"), lit(m)) === 0
+          val nb = cells.where(isNew).count()
+          println(s"[probe-release] semdedup incremental batchMod=$m batchRows=$nb")
+          (1 to 3).foreach { pass =>
+            val t0 = System.nanoTime()
+            val nPairs = graft.ops.VectorQueries.semDedupPairsIncremental(
+                cells.where(!isNew), cells.where(isNew),
+                vecs.where(!isNewV), vecs.where(isNewV),
+                "vec_id", "embedding", th)
+              .count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[probe-release] semdedup incr pass $pass  $sec%8.2f s  " +
+              f"pairs=$nPairs  ${sec * 1000.0 / nb}%.3f ms/batch-row")
+          }
+        case None =>
+          (1 to 3).foreach { pass =>
+            val t0 = System.nanoTime()
+            val nPairs = graft.ops.VectorQueries
+              .semDedupPairs(cells, vecs, "vec_id", "embedding", th)
+              .count()
+            val sec = (System.nanoTime() - t0) / 1e9
+            println(f"[probe-release] semdedup pass $pass  $sec%8.2f s  pairs=$nPairs")
+          }
+      }
     }
     spark.stop()
   }
@@ -417,11 +442,13 @@ object ProbeRelease {
       val rest = args.drop(1)
       val (sampleArgs, rest1) = rest.partition(_.startsWith("sample:"))
       val (chunkArgs, rest2) = rest1.partition(_.startsWith("chunk"))
-      val (shapeArg, nums) = rest2.partition(a => a == "v2" || a == "v3" || a == "v4")
+      val (incrArgs, rest3) = rest2.partition(_.startsWith("incr:"))
+      val (shapeArg, nums) = rest3.partition(a => a == "v2" || a == "v3" || a == "v4")
       probeSemDedup(shapeArg.headOption, nums.headOption.map(_.toDouble),
         sampleArgs.headOption.map(_.stripPrefix("sample:").toLong),
         chunkArgs.headOption.map(a =>
-          if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0))
+          if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0),
+        incrArgs.headOption.map(_.stripPrefix("incr:").toLong))
       return
     }
     if (args.headOption.contains("rerank")) {

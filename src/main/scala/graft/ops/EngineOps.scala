@@ -388,6 +388,23 @@ object EngineOps {
            |WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}
            |ORDER BY id_a, id_b""".stripMargin
 
+      // q97: the INCREMENTAL pass — the q94 semantics restricted to
+      // pairs with at least one side in the "new batch" (even ids play
+      // the batch); plain SQL over the same dumped codes
+      oracleStash("q97_semdedup_incremental") =
+        s"""WITH codes AS (
+           |  SELECT id, (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+           |SELECT ca.id AS id_a, cb.id AS id_b, ca.cell_id::BIGINT AS cell_id,
+           |       round($cosPair, 6) AS cos_sim
+           |FROM codes ca JOIN codes cb ON ca.cell_id = cb.cell_id AND ca.id < cb.id
+           |  AND (ca.id % 2 = 0 OR cb.id % 2 = 0)
+           |JOIN e ea ON ea.vec_id = ca.id
+           |JOIN e eb ON eb.vec_id = cb.id
+           |WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}
+           |ORDER BY id_a, id_b""".stripMargin
+
       // q95: the SemDeDup MATERIALIZATION — q94's pair semantics, then
       // recursive-CTE reachability (q63's oracle pattern) to drop every
       // non-minimum component member, surviving rows content-gated by
@@ -750,6 +767,33 @@ object EngineOps {
         chunks.reduce(_.unionAll(_)).orderBy("id_a", "id_b")
       },
       stashed("q94_semdedup_cells"),
+      dependsOnIndex = true),
+
+    // The INCREMENTAL SemDeDup pass (ref extraction_checker.py:225-258's
+    // check-new-against-indexed loop, at cell granularity): even ids play
+    // the nightly batch, odd ids the indexed corpus, and the operator
+    // emits every same-cell near-dup pair TOUCHING the batch — without
+    // re-sweeping corpus × corpus and with the fat corpus vector table
+    // scanned map-side behind a broadcast of the O(batch · avg_cell)
+    // touched-member slice (PlanSpec-pinned). The oracle is the q94 SQL
+    // plus the batch-side predicate.
+    QueryDef(
+      "q97_semdedup_incremental",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val cells = h.codes.select(col("id"),
+          (col("coarse0") * h.model.v + col("coarse1")).cast("long").as("cell_id"))
+        val e = t(s, d, "embeddings")
+        val isNew = pmod(col("id"), lit(2)) === 0
+        VectorQueries.semDedupPairsIncremental(
+            cells.where(!isNew), cells.where(isNew),
+            e.where(pmod(col("vec_id"), lit(2)) =!= 0),
+            e.where(pmod(col("vec_id"), lit(2)) === 0),
+            "vec_id", "embedding")
+          .orderBy("id_a", "id_b")
+      },
+      stashed("q97_semdedup_incremental"),
       dependsOnIndex = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle

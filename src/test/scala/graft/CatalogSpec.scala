@@ -94,6 +94,33 @@ class CatalogSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  /** Same invariant for the incremental pass's RECTANGULAR blocking: at
+    * blockRows=1 every batch row fans over n single-row B blocks, so
+    * every (batch × corpus) and (batch × batch) pair crosses the block
+    * machinery — the pair set and cosines must not move. */
+  test("semDedupPairsIncremental blocked ≡ plain at a forced 1-row block size") {
+    val key = graft.ops.VectorQueries.SemDedupCellBlockRowsConf
+    val h = graft.ops.EngineOps.index(spark, sf)
+    val cells = h.codes.select(col("id"),
+      (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val isNew = pmod(col("id"), lit(2)) === 0
+    def run(): Set[(Long, Long, Long, Double)] =
+      graft.ops.VectorQueries.semDedupPairsIncremental(
+          cells.where(!isNew), cells.where(isNew),
+          emb.where(pmod(col("vec_id"), lit(2)) =!= 0),
+          emb.where(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding")
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("cell_id"), r.getAs[Double]("cos_sim"))).toSet
+    val plain = run()
+    spark.conf.set(key, "1")
+    try {
+      val blocked = run()
+      assert(blocked === plain)
+    } finally spark.conf.unset(key)
+  }
+
   /** q95's survivor set is exactly the corpus minus q94's non-canonical
     * component members: recompute the components from q94's pairs with a
     * driver-side union-find (independent of TextOps's min-label CC) and

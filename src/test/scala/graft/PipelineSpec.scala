@@ -174,4 +174,33 @@ class PipelineSpec extends SparkSpec {
     val all = spark.read.parquet(s"$sf/embeddings.parquet").count()
     assert(got.size < all.toInt, "facade must actually drop duplicates")
   }
+
+  /** Ingest screening: a batch of EXACT copies of corpus vectors under
+    * fresh ids must each be flagged against its source — encode is
+    * deterministic, so a copy lands in its source's cell and pairs at
+    * cos = 1.0. Ids the batch doesn't duplicate must not be flagged
+    * against each other unless they near-duplicate within the batch's
+    * touched cells (subset check against the full sweep's semantics). */
+  test("GraftApi semDedupIncrement flags planted exact copies against their sources") {
+    val offset = 10000000L
+    val batch = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    val srcIds = batch.select(col("vec_id") - offset).collect().map(_.getLong(0)).toSet
+    assert(srcIds.nonEmpty)
+    val pairs = new GraftApi(spark, sf)
+      .semDedupIncrement(batch, "vec_id", "embedding")
+      .collect()
+    // every planted copy pairs with its own source at cosine 1
+    val got = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+      r.getAs[Double]("cos_sim")))
+    srcIds.foreach { s =>
+      assert(got.exists(p => p._1 == s && p._2 == s + offset && p._3 == 1.0),
+        s"planted copy of $s not flagged")
+    }
+    // and nothing pairs corpus-with-corpus: one side of every pair is new
+    got.foreach { case (a, b, _) =>
+      assert(a >= offset || b >= offset, s"corpus-only pair ($a,$b) leaked in")
+    }
+  }
 }

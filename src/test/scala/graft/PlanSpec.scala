@@ -253,4 +253,21 @@ class PlanSpec extends SparkSpec {
     assert(plans.forall(_.contains("BroadcastHashJoin")),
       "chunk id-attach must broadcast the skinny side")
   }
+
+  test("q97 incremental semdedup = the batch-touching subset; corpus scans stay map-side") {
+    // pair semantics: the incremental pass must emit EXACTLY the one-shot
+    // sweep's pairs that touch the batch (even ids), no more, no less
+    val one = SparkEntry.queries("q94_semdedup_cells")(spark, sf).collect()
+      .filter(r => r.getLong(0) % 2 == 0 || r.getLong(1) % 2 == 0)
+    val df = SparkEntry.queries("q97_semdedup_incremental")(spark, sf)
+    val inc = df.collect()
+    assert(inc.toSeq == one.toSeq,
+      "incremental pairs must equal the one-shot sweep's batch-touching subset")
+    // plan: both corpus-side scans (skinny assignment, fat vectors) are
+    // pruned behind broadcasts of O(batch)-derived sides — the corpus
+    // never shuffles to learn which members the batch touches
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "touched-cell prune and vector attach must both broadcast")
+  }
 }
