@@ -277,4 +277,18 @@ final class GraftApi(spark: SparkSession, sfDir: String,
       batch.select(idCol, vecCol),
       idCol, vecCol, simThreshold)
   }
+
+  /** [[semDedupIncrement]] resolved to the rows a screened ingest would
+    * KEEP: the batch minus everything the conservative-prefix rule drops
+    * (a row whose content near-duplicates any indexed row, or any
+    * smaller-id row of its own batch — [[graft.ops.VectorQueries
+    * .screenSurvivors]]). Pure — nothing is appended; hand the result to
+    * [[graft.ops.IngestOps.screenAndAppend]] (or run the whole cycle
+    * through it / [[graft.streaming.ScreenedIngest]]) to mutate an index
+    * you own. */
+  def screenBatch(batch: DataFrame, idCol: String, vecCol: String,
+      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold)
+      : DataFrame =
+    graft.ops.VectorQueries.screenSurvivors(batch, idCol,
+      semDedupIncrement(batch, idCol, vecCol, simThreshold))
 }

@@ -820,7 +820,7 @@ object LopqIndexStore {
     * timestamp-prefixed, hence lexicographically monotone). Both sides are
     * [[normalizeUpdateId]]-normalized so a pre-%019d tip keeps accepting
     * new-format ids. */
-  private def isApplied(spark: SparkSession, dir: String, updateId: String): Boolean =
+  private[graft] def isApplied(spark: SparkSession, dir: String, updateId: String): Boolean =
     readTip(spark, dir).exists(t => normalizeUpdateId(updateId) <= normalizeUpdateId(t))
 
   /** The visited/touched-cell predicate in the layout the index uses:
@@ -939,6 +939,29 @@ object LopqIndexStore {
     * [[slimEncode]] instead of a full-model broadcast. */
   val SlimEncodeBytesConf = "spark.graft.append.slimEncodeBytes"
   val DefaultSlimEncodeBytes: Long = 64L << 20
+
+  /** Coarse-only CELL assignment of a batch with this dir's persisted
+    * model — the ingest screen's candidate generator (the same quantizer
+    * decision as a full encode, with no fine codes and no rotation
+    * slices): the broadcast is O(V·D/2) floats at any model width, and a
+    * PCA-fronted index projects first, matching the append path.
+    * [[SlimLopqModel.predictCoarse]] is spec-pinned bit-identical to the
+    * classic encode's coarse stage, so a screened batch lands in exactly
+    * the cells [[appendUpdate]] will store it under. */
+  def assignCells(spark: SparkSession, dir: String, df: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val (slim, pca) = cachedSlimModel(spark, dir)
+    val slimB = spark.sparkContext.broadcast(slim)
+    val pcaB = spark.sparkContext.broadcast(pca)
+    val u = udf { (v: Seq[Float]) =>
+      val x0 = v.toArray
+      val x = pcaB.value.map(_(x0)).getOrElse(x0)
+      val m = slimB.value
+      val (c0, c1) = m.predictCoarse(x)
+      c0.toLong * m.v + c1
+    }
+    df.select(col(idCol).as("id"), u(col(vecCol)).as("cell_id"))
+  }
 
   /** Encode one update batch WITHOUT the rotation tensor: coarse codes from
     * the slim broadcast (O(V·D/2)), then fine codes with only the batch's

@@ -405,6 +405,78 @@ object EngineOps {
            |WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}
            |ORDER BY id_a, id_b""".stripMargin
 
+      // q98: the full nightly-ingest LOOP — seed an index with the odd-id
+      // half, screen the even-id batch (q97's pair semantics against the
+      // seeded corpus only), drop flagged rows by the conservative-prefix
+      // rule (drop a batch row whose content near-dups any corpus row or
+      // any smaller-id batch row — VectorQueries.screenSurvivors), append
+      // the survivors. Final codes = odd codes ∪ surviving even codes;
+      // encode is deterministic and per-row, so every code comes from the
+      // one-shot dump.
+      oracleStash("q98_ingest_screened_index") =
+        s"""WITH codes AS (
+           |  SELECT id, coarse0, coarse1, fine,
+           |         (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT ca.id AS id_a, cb.id AS id_b
+           |  FROM codes ca JOIN codes cb ON ca.cell_id = cb.cell_id AND ca.id < cb.id
+           |    AND (ca.id % 2 = 0 OR cb.id % 2 = 0)
+           |  JOIN e ea ON ea.vec_id = ca.id
+           |  JOIN e eb ON eb.vec_id = cb.id
+           |  WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}),
+           |drops AS (
+           |  SELECT id_b AS id FROM pairs WHERE id_b % 2 = 0
+           |  UNION
+           |  SELECT id_a FROM pairs WHERE id_a % 2 = 0 AND id_b % 2 = 1)
+           |SELECT id, coarse0::BIGINT AS coarse0, coarse1::BIGINT AS coarse1,
+           |       array_to_string(fine, ',') AS fine_str, cell_id::BIGINT AS cell_id
+           |FROM codes
+           |WHERE id % 2 = 1 OR id NOT IN (SELECT id FROM drops)
+           |ORDER BY id""".stripMargin
+
+      // q99: the STREAMING screened ingest — q98's cycle as two real
+      // micro-batches (evens below/above the midpoint), each screened
+      // against the index state ITS predecessor left: micro-batch 2's
+      // corpus is the seed PLUS batch 1's SURVIVORS only (a dropped
+      // batch-1 row was never stored, so it can't flag a batch-2 row) —
+      // the order-dependent semantics the one-shot q98 rule can't see.
+      val halfN = t(s, d, "embeddings").count() / 2
+      oracleStash("q99_stream_screened_ingest") =
+        s"""WITH codes AS (
+           |  SELECT id, coarse0, coarse1, fine,
+           |         (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |p AS (
+           |  SELECT ca.id AS id_a, cb.id AS id_b
+           |  FROM codes ca JOIN codes cb ON ca.cell_id = cb.cell_id AND ca.id < cb.id
+           |  JOIN e ea ON ea.vec_id = ca.id
+           |  JOIN e eb ON eb.vec_id = cb.id
+           |  WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}),
+           |pp AS (SELECT id_a AS x, id_b AS y FROM p
+           |       UNION ALL SELECT id_b, id_a FROM p),
+           |d1 AS (SELECT DISTINCT x AS id FROM pp
+           |       WHERE x % 2 = 0 AND x < $halfN
+           |         AND (y % 2 = 1 OR (y % 2 = 0 AND y < $halfN AND y < x))),
+           |s1 AS (SELECT vec_id AS id FROM embeddings
+           |       WHERE vec_id % 2 = 0 AND vec_id < $halfN
+           |         AND vec_id NOT IN (SELECT id FROM d1)),
+           |d2 AS (SELECT DISTINCT x AS id FROM pp
+           |       WHERE x % 2 = 0 AND x >= $halfN
+           |         AND (y % 2 = 1 OR y IN (SELECT id FROM s1)
+           |              OR (y % 2 = 0 AND y >= $halfN AND y < x))),
+           |s2 AS (SELECT vec_id AS id FROM embeddings
+           |       WHERE vec_id % 2 = 0 AND vec_id >= $halfN
+           |         AND vec_id NOT IN (SELECT id FROM d2))
+           |SELECT id, coarse0::BIGINT AS coarse0, coarse1::BIGINT AS coarse1,
+           |       array_to_string(fine, ',') AS fine_str, cell_id::BIGINT AS cell_id
+           |FROM codes
+           |WHERE id % 2 = 1 OR id IN (SELECT id FROM s1)
+           |   OR id IN (SELECT id FROM s2)
+           |ORDER BY id""".stripMargin
+
       // q95: the SemDeDup MATERIALIZATION — q94's pair semantics, then
       // recursive-CTE reachability (q63's oracle pattern) to drop every
       // non-minimum component member, surviving rows content-gated by
@@ -794,6 +866,106 @@ object EngineOps {
           .orderBy("id_a", "id_b")
       },
       stashed("q97_semdedup_incremental"),
+      dependsOnIndex = true),
+
+    // The full nightly-ingest LOOP, end to end (ref the extraction_checker
+    // check → skip → updater store cycle, extraction_checker.py:225-258 +
+    // searcher_lopqhbase.py:600-617): seed a fresh index with the odd-id
+    // half, SCREEN the even-id batch against it (q97's incremental pass),
+    // drop flagged rows by the conservative-prefix rule
+    // (VectorQueries.screenSurvivors), append the survivors, replay the
+    // update (must no-op). The final codes table is the oracle's subject —
+    // it must hold every odd id plus exactly the surviving evens, with the
+    // codes the one-shot encode produced (encode is deterministic).
+    QueryDef(
+      "q98_ingest_screened_index",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val ingDir = indexDir(d) + "_ingest"
+        deleteDir(s, ingDir)
+        LopqIndexStore.initEmpty(s, ingDir, h.model, None, P, h.model.dim)
+        val e = t(s, d, "embeddings")
+        val isNew = pmod(col("vec_id"), lit(2)) === 0
+        val corpus = e.where(!isNew).select("vec_id", "embedding")
+        val batch = e.where(isNew).select("vec_id", "embedding")
+        assert(LopqIndexStore.appendUpdate(s, ingDir, corpus,
+          "vec_id", "embedding", "ingest_2026-08-15_000000"))
+        // the whole screened cycle through the production facade: screen
+        // against the SEEDED index's own live codes, drop, append
+        val r = IngestOps.screenAndAppend(s, ingDir, corpus, batch,
+          "vec_id", "embedding", "ingest_2026-08-15_000001")
+        assert(r.applied && r.batchRows > 0 && r.appended <= r.batchRows)
+        // at-least-once replay of the screened update — watermark no-op
+        assert(!IngestOps.screenAndAppend(s, ingDir, corpus, batch,
+          "vec_id", "embedding", "ingest_2026-08-15_000001").applied)
+        LopqIndexStore.readCodes(s, ingDir)
+          .select(col("id"), col("coarse0").cast("long").as("coarse0"),
+            col("coarse1").cast("long").as("coarse1"),
+            concat_ws(",", col("fine").cast("array<string>")).as("fine_str"),
+            col("cell_id").cast("long").as("cell_id"))
+          .orderBy("id")
+      },
+      stashed("q98_ingest_screened_index"),
+      dependsOnIndex = true),
+
+    // The STREAMING screened ingest (graft.streaming.ScreenedIngest):
+    // the q98 cycle as two REAL micro-batches drained sequentially over
+    // one checkpoint, so micro-batch 2 is screened against the seed plus
+    // batch 1's SURVIVORS only (its vectors come from the side-store the
+    // stream itself maintains), then a fresh-checkpoint replay of both
+    // files that the watermark must refuse BEFORE any screen work (a
+    // replayed screen would see the batch's own rows indexed and flag
+    // everything — the isApplied-first guard is gated here).
+    QueryDef(
+      "q99_stream_screened_ingest",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val sDir = indexDir(d) + "_screened"
+        val staged = sDir + "_src"
+        val ckpt = sDir + "/_ckpt"
+        deleteDir(s, sDir); deleteDir(s, staged)
+        LopqIndexStore.initEmpty(s, sDir, h.model, None, P, h.model.dim)
+        val e = t(s, d, "embeddings").select("vec_id", "embedding")
+        val isNew = pmod(col("vec_id"), lit(2)) === 0
+        val corpus = e.where(!isNew)
+        // seed = the pre-existing indexed corpus: codes AND the vector
+        // side-store the screen verifies cosines against
+        IngestOps.writeVectors(s, sDir, corpus, "vec_id", "embedding",
+          "seed_0000000000000000000")
+        assert(LopqIndexStore.appendUpdate(s, sDir, corpus,
+          "vec_id", "embedding", "seed_0000000000000000000"))
+        val halfN = e.count() / 2
+        val newRows = e.where(isNew)
+        def drain(cp: String): Unit = {
+          val src = s.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1).parquet(staged)
+          graft.streaming.ScreenedIngest
+            .maintain(s, sDir, src, "vec_id", "embedding", cp)
+            .awaitTermination()
+        }
+        // stage → drain one file at a time, so micro-batch order is the
+        // order the oracle models (file-source ordering is not a contract)
+        newRows.where(col("vec_id") < halfN).repartition(1)
+          .write.mode(SaveMode.Append).parquet(staged)
+        drain(ckpt)
+        newRows.where(col("vec_id") >= halfN).repartition(1)
+          .write.mode(SaveMode.Append).parquet(staged)
+        drain(ckpt)
+        // fresh checkpoint re-reads BOTH files; ids 0/1 ≤ watermark → no-op
+        drain(ckpt + "_replay")
+        assert(LopqIndexStore.watermark(s, sDir)
+          .contains(f"stream_${1L}%019d"),
+          "expected exactly two applied screened stream updates")
+        LopqIndexStore.readCodes(s, sDir)
+          .select(col("id"), col("coarse0").cast("long").as("coarse0"),
+            col("coarse1").cast("long").as("coarse1"),
+            concat_ws(",", col("fine").cast("array<string>")).as("fine_str"),
+            col("cell_id").cast("long").as("cell_id"))
+          .orderBy("id")
+      },
+      stashed("q99_stream_screened_ingest"),
       dependsOnIndex = true),
 
     // §2.4 recall@k eval vs the in-plan brute-force oracle

@@ -279,6 +279,39 @@ object VectorQueries {
         col("cell_id"), round(sim, 6).as("cos_sim"))
   }
 
+  /** Survivor set of an ingest screen — the CONSERVATIVE-PREFIX keep rule
+    * applied to [[semDedupPairsIncremental]]'s flagged pairs (ref
+    * `updater/extraction_checker.py:225-258`, which marks content as
+    * processed whether or not it is stored): a batch row is DROPPED when
+    * its content near-duplicates anything observed before it — any indexed
+    * corpus row (already stored, either id order), or any batch row with a
+    * smaller id (observed earlier in the same increment, whether or not
+    * that row itself survives — its content was seen). The rule is
+    * deterministic, order-free to evaluate (no sequential scan, no
+    * reachability recursion — contrast [[semDedupPairs]]' component
+    * collapse for OFFLINE dedup, where the canonical member must exist in
+    * the output), and non-recursive SQL for the oracle.
+    *
+    * Scale shape: `pairs` and the batch id set are O(batch)-bounded, so
+    * every join here broadcasts; the batch passes through one anti-join.
+    * Pairs must be id-normalized (`id_a < id_b`), as
+    * [[semDedupPairsIncremental]] emits them. */
+  def screenSurvivors(batch: DataFrame, idCol: String,
+      pairs: DataFrame): DataFrame = {
+    val bids = batch.select(col(idCol).as("_bid"))
+    // batch row with ANY smaller-id partner (corpus or batch): drop
+    val dSmaller = pairs.join(broadcast(bids), col("id_b") === col("_bid"))
+      .select(col("id_b").as(idCol))
+    // batch row whose LARGER partner is corpus (already indexed): drop too
+    val dCorpusLarger = pairs
+      .join(broadcast(bids), col("id_a") === col("_bid"))
+      .join(broadcast(bids.withColumnRenamed("_bid", "_bid2")),
+        col("id_b") === col("_bid2"), "left_anti")
+      .select(col("id_a").as(idCol))
+    batch.join(broadcast(dSmaller.union(dCorpusLarger).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
   /** Block size for [[semDedupPairs]]' skewed-cell decomposition. */
   val SemDedupCellBlockRowsConf = "spark.graft.semdedup.cellBlockRows"
 

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.engine.LopqIndexStore
+import graft.ops.{IngestOps, VectorQueries}
+
+/** [[IndexMaintenance]] with the ingest SCREEN in the loop — the streaming
+  * form of the reference's full update cycle (ingest → check against
+  * what's indexed → store only the new content: `kafka_ingester.py`
+  * feeding `extraction_checker.py:225-258`, whose survivors the updater
+  * stores). Each micro-batch is screened against the index's CURRENT
+  * state — codes for candidate cells, the [[IngestOps.vectorStore]]
+  * side-store for the cosines — so a near-duplicate arriving hours after
+  * its original, in a different micro-batch, is still dropped.
+  *
+  * Idempotence is three-layered, all at-least-once safe:
+  *   - the update id derives from the micro-batch id; a checkpoint replay
+  *     is refused by the watermark BEFORE any screen work runs (the
+  *     replayed screen would otherwise see the batch's own rows already
+  *     indexed and flag everything — the skip is correctness, not just
+  *     thrift);
+  *   - the vector side-store writes one directory per update id with
+  *     overwrite, so a crash between the vector write and the codes
+  *     append replays cleanly (orphaned vector rows never join — the
+  *     screen attaches vectors through the codes table's cells);
+  *   - the codes append itself anti-joins replayed ids per touched cell.
+  *
+  * Commit order per batch: vectors first (idempotent overwrite), codes
+  * append second (commits the watermark) — a crash between them leaves a
+  * re-runnable batch, never a codes row whose vector is missing (which
+  * would silently under-screen every later batch that touches its cell). */
+object ScreenedIngest {
+
+  /** Start the screened maintenance query. `source` must be a STREAMING
+    * DataFrame carrying `idCol` and `vecCol`; ids must be globally unique
+    * across the stream's lifetime (content hashes, like the reference's
+    * sha1s). */
+  def maintain(spark: SparkSession, indexDir: String, source: DataFrame,
+      idCol: String, vecCol: String, checkpoint: String,
+      simThreshold: Double = VectorQueries.NearDupSimThreshold,
+      updatePrefix: String = "stream",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        val uid = f"${updatePrefix}_$batchId%019d"
+        if (!LopqIndexStore.isApplied(spark, indexDir, uid)) {
+          import org.apache.spark.sql.functions.col
+          val b = df.select(col(idCol), col(vecCol))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val corpusCells = LopqIndexStore.readCodes(spark, indexDir)
+              .select(col("id"), col("cell_id").cast("long").as("cell_id"))
+            val batchCells =
+              LopqIndexStore.assignCells(spark, indexDir, b, idCol, vecCol)
+            val pairs = VectorQueries.semDedupPairsIncremental(
+              corpusCells, batchCells,
+              IngestOps.vectorStore(spark, indexDir, idCol, vecCol),
+              b, idCol, vecCol, simThreshold)
+            val survivors = VectorQueries.screenSurvivors(b, idCol, pairs)
+            IngestOps.writeVectors(spark, indexDir, survivors, idCol, vecCol, uid)
+            // append reads BACK the committed vector rows, so the codes
+            // table and the side-store can never disagree on a survivor
+            val stored = spark.read
+              .parquet(s"${IngestOps.vectorsDir(indexDir)}/$uid")
+              .select(col("id").as(idCol), col("vec").as(vecCol))
+            LopqIndexStore.appendUpdate(spark, indexDir, stored,
+              idCol, vecCol, uid)
+          } finally { b.unpersist(); () }
+        }
+        ()
+      }
+      .trigger(trigger)
+      .start()
+}

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{LopqIndexStore, LopqSearcher}
+import graft.ops.{EngineOps, IngestOps}
+
+/** The screened-ingest loop around [[graft.streaming.ScreenedIngest]] /
+  * [[graft.ops.IngestOps]] — planted-adversary rows the organic q98/q99
+  * gates can't guarantee: an exact duplicate arriving micro-batches after
+  * its original, and an orphaned vector-side-store directory left by a
+  * crash between the vector write and the codes append. */
+class IngestSpec extends SparkSpec {
+
+  private val root = "/tmp/graft-test-ingest"
+
+  private def del(path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    ()
+  }
+
+  test("assignCells matches the classic encode's cell assignment bit-identically") {
+    val h = EngineOps.index(spark, sf)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val slim = LopqIndexStore
+      .assignCells(spark, EngineOps.indexDir(sf), e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val classic = LopqSearcher.encode(e, "vec_id", "embedding", h.model)
+      .select(col("id"), col("cell_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slim === classic)
+  }
+
+  test("a later micro-batch's exact duplicates are dropped; an orphaned vector dir is inert") {
+    val h = EngineOps.index(spark, sf)
+    val dir = s"$root/idx"; val staged = s"$root/src"; val ckpt = s"$root/ckpt"
+    del(root)
+    // fresh index carrying the trained release model, zero codes
+    LopqIndexStore.cloneEmpty(spark, EngineOps.indexDir(sf), dir)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seed = e.where(col("vec_id") % 3 === 0)
+    IngestOps.writeVectors(spark, dir, seed, "vec_id", "embedding",
+      "seed_0000000000000000000")
+    assert(LopqIndexStore.appendUpdate(spark, dir, seed, "vec_id", "embedding",
+      "seed_0000000000000000000"))
+
+    def drainOne(file: org.apache.spark.sql.DataFrame): Unit = {
+      file.repartition(1).write.mode("append").parquet(staged)
+      val src = spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      graft.streaming.ScreenedIngest
+        .maintain(spark, dir, src, "vec_id", "embedding", ckpt)
+        .awaitTermination()
+    }
+
+    drainOne(e.where(col("vec_id") % 3 === 1)) // micro-batch 0: organic rows
+    val after1 = LopqIndexStore.readCodes(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b1Survivor = after1.filter(_ % 3 == 1).min
+
+    // crash artifact: a vector dir whose codes append never committed —
+    // its ids exist nowhere in the codes table, so the screen's cells
+    // join must never see them
+    IngestOps.writeVectors(spark, dir,
+      seed.limit(2).select((col("vec_id") + 900000000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", "orphan_never_committed")
+
+    // micro-batch 1: ONLY exact copies (fresh ids) of a batch-0 survivor
+    // and of a seed row — both must be flagged against the STORED vectors
+    // and dropped, so the codes table must not grow at all
+    val copies = e.where(col("vec_id") === b1Survivor || col("vec_id") === 0L)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    assert(copies.count() == 2)
+    drainOne(copies)
+
+    val after2 = LopqIndexStore.readCodes(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(after2 === after1, "duplicate-only micro-batch must add nothing")
+    assert(after2.forall(_ < 900000000L), "orphaned vector ids must never surface")
+    assert(LopqIndexStore.watermark(spark, dir).contains(f"stream_${1L}%019d"),
+      "the duplicate-only batch still advances the watermark (it WAS processed)")
+    del(root)
+  }
+
+  test("GraftApi.screenBatch keeps nothing from an all-copies batch") {
+    val offset = 30000000L
+    val batch = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    val kept = new GraftApi(spark, sf)
+      .screenBatch(batch, "vec_id", "embedding")
+    assert(kept.count() == 0,
+      "every planted copy pairs its own source at cos=1 and must be dropped")
+  }
+}
