@@ -13,6 +13,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
   *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
   *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]] [incr:mod]
+  *        runMain graft.ProbeRelease ingest [v2|v3|v4] [batchRows]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -354,6 +355,89 @@ object ProbeRelease {
     * magnitude: ids with `id % mod == 0` play the new batch, the rest the
     * indexed corpus — the nightly-ingest shape, whose cost should track
     * the BATCH (touched cells × membership), not the corpus. */
+  /** INGEST-CYCLE probe at release magnitude: one nightly batch through
+    * [[graft.ops.IngestOps.screenAndAppend]] against a pristine CLONE of
+    * the chosen release index (codes + model + manifest copied — ~620 MB
+    * at v4; the 31 GB staged vector table is read IN PLACE as the feature
+    * store, never copied or mutated). Each pass re-clones so every
+    * measurement is the clean nightly shape: screen (q97's incremental
+    * sweep), conservative-prefix drop, O(batch) watermarked append.
+    *
+    * The batch is half JITTERED corpus copies (cos ≈ 0.9997 vs their
+    * sources — must flag at the 0.4 default, since nothing organic in the
+    * isotropic release corpus crosses it) and half PURE-NOISE novels
+    * (cos ≈ 0 vs everything — must survive), so flagged/appended have
+    * expected values (≈nJit / =nNovel) the printout makes checkable. */
+  private def probeIngest(shapeArg: Option[String], nBatchArg: Option[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = shapeArg match {
+      case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
+      case _ => ReleaseShape.V2
+    }
+    val nBatch = nBatchArg.getOrElse(2000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val srcDir = s.dir
+    val cloneDir = srcDir + "_ingest_probe"
+    val corpusVectors = ReleaseShape.vectors(spark, srcDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    def reclone(): Double = {
+      val t0 = System.nanoTime()
+      val dst = new org.apache.hadoop.fs.Path(cloneDir)
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.mkdirs(dst)
+      Seq("model", "meta.json", "model.pb", "codes", "cell_counts",
+          "manifest", "tip").foreach { name =>
+        val sp = new org.apache.hadoop.fs.Path(s"$srcDir/$name")
+        if (fs.exists(sp))
+          org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs,
+            new org.apache.hadoop.fs.Path(s"$cloneDir/$name"), false, conf)
+      }
+      LopqIndexStore.evictModel(cloneDir)
+      (System.nanoTime() - t0) / 1e9
+    }
+    import spark.implicits._
+    val nJit = nBatch / 2
+    val n = s.n
+    val rawDim = s.rawDim
+    def batchFor(pass: Int): org.apache.spark.sql.DataFrame =
+      spark.range(0, nBatch, 1, 32).map { i =>
+        val id = n + pass.toLong * 10000000L + i
+        val vec =
+          if (i < nJit) {
+            val v = ReleaseShape.rowVecFor(s, i * 97L % n)
+            val r = new java.util.Random(31L + id)
+            v.map(x => x + 0.001f * r.nextGaussian().toFloat)
+          } else {
+            val r = new java.util.Random(77L + id)
+            Array.fill(rawDim)(r.nextGaussian().toFloat)
+          }
+        (id, vec.toSeq)
+      }.toDF("vec_id", "embedding")
+    println(s"[probe-release] ingest ${s.name} batchRows=$nBatch " +
+      s"(jittered=$nJit novel=${nBatch - nJit})")
+    (1 to 3).foreach { pass =>
+      val cs = reclone()
+      val t0 = System.nanoTime()
+      val r = graft.ops.IngestOps.screenAndAppend(spark, cloneDir,
+        corpusVectors, batchFor(pass), "vec_id", "embedding",
+        f"ingest_$pass%019d")
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-release] ingest pass $pass  $sec%8.2f s (+ clone $cs%5.1f s)  " +
+        f"flagged=${r.flaggedPairs} appended=${r.appended}/${r.batchRows}  " +
+        f"${sec * 1000.0 / nBatch}%.2f ms/batch-row")
+    }
+    spark.stop()
+  }
+
   private def probeSemDedup(shapeArg: Option[String], thresholdArg: Option[Double],
       sampleMod: Option[Long], chunkArg: Option[Int],
       incrMod: Option[Long]): Unit = {
@@ -449,6 +533,12 @@ object ProbeRelease {
         chunkArgs.headOption.map(a =>
           if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0),
         incrArgs.headOption.map(_.stripPrefix("incr:").toLong))
+      return
+    }
+    if (args.headOption.contains("ingest")) {
+      val rest = args.drop(1)
+      val (shapeArg, nums) = rest.partition(a => a == "v2" || a == "v3" || a == "v4")
+      probeIngest(shapeArg.headOption, nums.headOption.map(_.toInt))
       return
     }
     if (args.headOption.contains("rerank")) {

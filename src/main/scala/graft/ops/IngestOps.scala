@@ -91,9 +91,14 @@ object IngestOps {
       idCol: String, vecCol: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(vectorsDir(dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val any = fs.exists(p) && fs.listStatus(p).nonEmpty
+    // explicit per-update paths, not a "/*" glob: Spark's FileStreamSink
+    // probe stat()s the literal glob string and logs a spurious
+    // FileNotFoundException trace on every resolution
+    val parts =
+      if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString)
+      else Array.empty[String]
     val raw =
-      if (any) spark.read.parquet(s"${vectorsDir(dir)}/*")
+      if (parts.nonEmpty) spark.read.parquet(parts.toIndexedSeq: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id", LongType),
           StructField("vec", ArrayType(FloatType)))))
