@@ -610,6 +610,15 @@ object LopqIndexStore {
   private def compactingPath(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/codes_delta_compacting")
 
+  /** Whether the store holds ANY codes yet (base, un-promoted delta, or a
+    * staged promotion) — a screened ingest's first-ever batch has no
+    * corpus to scan and must not call [[readCodes]]. */
+  def hasCodes(spark: SparkSession, dir: String): Boolean = {
+    val fs = deltaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes")) ||
+      fs.exists(deltaPath(dir)) || fs.exists(compactingPath(dir))
+  }
+
   /** The full codes table: bucketed base ∪ un-promoted delta appends, after
     * finishing any interrupted promotion. This is THE reader — the raw
     * `codes` path alone misses delta rows. */
@@ -895,11 +904,8 @@ object LopqIndexStore {
     try {
       // the batch's touched cells: O(batch) distinct values, driver-bounded
       val touched = encoded.select("cell_id").distinct().as[Int].collect().toSeq.sorted
-      val fs = deltaPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val anyCodes = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/codes")) ||
-        fs.exists(deltaPath(dir)) || fs.exists(compactingPath(dir))
       val deduped =
-        if (anyCodes)
+        if (hasCodes(spark, dir))
           encoded.join(indexedIdsInCells(spark, dir, touched), Seq("id"), "left_anti")
         else encoded
       val batchCounts = deduped.groupBy("cell_id").agg(count(lit(1)).as("cnt"))

@@ -46,8 +46,7 @@ object IngestOps {
     val b = batch.select(col(idCol), col(vecCol))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val corpusCells = LopqIndexStore.readCodes(spark, dir)
-        .select(col("id"), col("cell_id").cast("long").as("cell_id"))
+      val corpusCells = indexedCells(spark, dir)
       val batchCells = LopqIndexStore.assignCells(spark, dir, b, idCol, vecCol)
       val pairs = VectorQueries.semDedupPairsIncremental(
           corpusCells, batchCells, corpusVectors, b, idCol, vecCol, simThreshold)
@@ -65,6 +64,16 @@ object IngestOps {
       } finally { pairs.unpersist(); () }
     } finally { b.unpersist(); () }
   }
+
+  /** `(id, cell_id)` of everything indexed — empty (not an error) for a
+    * store no batch has reached yet, so the first-ever screened batch
+    * still gets its WITHIN-batch dedup. */
+  private[graft] def indexedCells(spark: SparkSession, dir: String): DataFrame =
+    if (LopqIndexStore.hasCodes(spark, dir))
+      LopqIndexStore.readCodes(spark, dir)
+        .select(col("id"), col("cell_id").cast("long").as("cell_id"))
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("cell_id", LongType))))
 
   // ------------------------------------------------- vector side-store
 
@@ -86,22 +95,103 @@ object IngestOps {
   /** Every stored vector, shaped `(idCol, vecCol)` for the screen. Rows
     * whose update never committed its codes append are harmless: the
     * screen attaches vectors through the CELLS the codes table knows, so
-    * an orphaned vector row simply never joins. */
+    * an orphaned vector row simply never joins. Reads the compacted base
+    * (preferring a not-yet-promoted `_base_next`, which is a superset of
+    * `_base` by construction) plus every un-folded update directory; an
+    * overlap left by a crash mid-[[compactVectors]] can only duplicate
+    * bit-identical `(id, vec)` rows, which the screen's join tolerates
+    * and the next compaction's dedup removes. */
   def vectorStore(spark: SparkSession, dir: String,
       idCol: String, vecCol: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(vectorsDir(dir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // explicit per-update paths, not a "/*" glob: Spark's FileStreamSink
-    // probe stat()s the literal glob string and logs a spurious
+    val fs = new org.apache.hadoop.fs.Path(vectorsDir(dir))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // explicit paths, not a "/*" glob: Spark's FileStreamSink probe
+    // stat()s the literal glob string and logs a spurious
     // FileNotFoundException trace on every resolution
-    val parts =
-      if (fs.exists(p)) fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString)
-      else Array.empty[String]
+    val all = updateDirs(spark, dir).map(_.toString) ++ baseToRead(fs, dir)
     val raw =
-      if (parts.nonEmpty) spark.read.parquet(parts.toIndexedSeq: _*)
+      if (all.nonEmpty) spark.read.parquet(all: _*)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id", LongType),
           StructField("vec", ArrayType(FloatType)))))
     raw.select(col("id").as(idCol), col("vec").as(vecCol))
+  }
+
+  // ------------------------------------------- side-store compaction
+
+  /** A screened stream writes one directory per update id — at
+    * micro-batch cadence that is an unbounded small-directory pile (the
+    * same LSM pressure the codes table's delta promote answers): every
+    * screen re-lists and re-opens O(updates-ever) parquet roots. Past
+    * this many un-folded update dirs, [[graft.streaming.ScreenedIngest]]
+    * folds them into one compacted base after the batch commits. */
+  val CompactVectorsAtConf = "spark.graft.vectors.compactAt"
+  val DefaultCompactVectorsAt = 64
+
+  private def basePath(dir: String) = s"${vectorsDir(dir)}/_base"
+  private def baseNextPath(dir: String) = s"${vectorsDir(dir)}/_base_next"
+
+  /** Un-folded per-update directories (underscore names are the base /
+    * promotion artifacts, never update ids). */
+  private def updateDirs(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val p = new org.apache.hadoop.fs.Path(vectorsDir(dir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+  }
+
+  private def baseToRead(fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] = {
+    val next = new org.apache.hadoop.fs.Path(baseNextPath(dir))
+    val base = new org.apache.hadoop.fs.Path(basePath(dir))
+    if (fs.exists(next)) Seq(next.toString)
+    else if (fs.exists(base)) Seq(base.toString)
+    else Seq.empty
+  }
+
+  /** Fold every update directory (plus the current base) into ONE
+    * compacted base — the side-store's delta promote. Crash-safe, single
+    * writer, every window re-runnable:
+    *
+    *   1. finish any interrupted promotion (`_base_next` → `_base`);
+    *   2. write `_base_next` = dedup(base ∪ deltas) — the dedup is what
+    *      lets any replayed overlap self-heal (vectors are content-keyed
+    *      and immutable, so duplicates are bit-identical);
+    *   3. delete the folded delta dirs (a crash here leaves them readable
+    *      ALONGSIDE `_base_next`, which [[vectorStore]] prefers — only
+    *      harmless duplicates);
+    *   4. promote.
+    *
+    * The dedup shuffle is the point of the OFFLINE job — the serve-path
+    * read stays a plain multi-root scan with no shuffle. */
+  def compactVectors(spark: SparkSession, dir: String): Unit = {
+    val vroot = new org.apache.hadoop.fs.Path(vectorsDir(dir))
+    val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vroot)) return
+    val next = new org.apache.hadoop.fs.Path(baseNextPath(dir))
+    val base = new org.apache.hadoop.fs.Path(basePath(dir))
+    def promote(): Unit = {
+      if (fs.exists(base)) fs.delete(base, true)
+      fs.rename(next, base)
+      ()
+    }
+    if (fs.exists(next)) promote()
+    val deltas = updateDirs(spark, dir)
+    if (deltas.isEmpty) return
+    val srcs = deltas.map(_.toString) ++
+      (if (fs.exists(base)) Seq(base.toString) else Seq.empty)
+    spark.read.parquet(srcs: _*).dropDuplicates("id")
+      .write.mode(SaveMode.Overwrite).parquet(next.toString)
+    deltas.foreach(p => fs.delete(p, true))
+    promote()
+  }
+
+  /** Compact when the un-folded update-dir count reaches the conf bound. */
+  def maybeCompactVectors(spark: SparkSession, dir: String): Unit = {
+    val at = spark.conf
+      .get(CompactVectorsAtConf, DefaultCompactVectorsAt.toString).toInt
+    if (updateDirs(spark, dir).size >= at) compactVectors(spark, dir)
   }
 }

@@ -51,8 +51,7 @@ object ScreenedIngest {
           val b = df.select(col(idCol), col(vecCol))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
-            val corpusCells = LopqIndexStore.readCodes(spark, indexDir)
-              .select(col("id"), col("cell_id").cast("long").as("cell_id"))
+            val corpusCells = IngestOps.indexedCells(spark, indexDir)
             val batchCells =
               LopqIndexStore.assignCells(spark, indexDir, b, idCol, vecCol)
             val pairs = VectorQueries.semDedupPairsIncremental(
@@ -68,6 +67,10 @@ object ScreenedIngest {
               .select(col("id").as(idCol), col("vec").as(vecCol))
             LopqIndexStore.appendUpdate(spark, indexDir, stored,
               idCol, vecCol, uid)
+            // fold the per-update vector dirs once enough pile up (the
+            // side-store's LSM promote) — AFTER the batch commits, so a
+            // crash mid-compaction never loses an uncommitted update
+            IngestOps.maybeCompactVectors(spark, indexDir)
           } finally { b.unpersist(); () }
         }
         ()

@@ -86,6 +86,82 @@ class IngestSpec extends SparkSpec {
     del(root)
   }
 
+  test("side-store compaction folds update dirs into one base; a crash window self-heals") {
+    val dir = s"$root/cmp"
+    del(dir)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    (0 until 5).foreach { i =>
+      IngestOps.writeVectors(spark, dir, e.where(col("vec_id") % 5 === i),
+        "vec_id", "embedding", f"stream_$i%019d")
+    }
+    def ids(): Seq[Long] = IngestOps
+      .vectorStore(spark, dir, "vec_id", "embedding")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val before = ids().sorted
+    assert(before.nonEmpty && before.distinct == before)
+    IngestOps.compactVectors(spark, dir)
+    assert(ids().sorted == before, "compaction must not change the store's content")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vroot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    def entries() = fs.listStatus(vroot).map(_.getPath.getName).sorted.toSeq
+    assert(entries() == Seq("_base"), s"expected one folded base, got ${entries()}")
+
+    // crash window: a finished `_base_next` whose promotion never ran,
+    // PLUS a delta overlapping the base — the read must see everything
+    // (duplicates tolerated), the next compaction must heal to one base
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/vectors/_base"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/vectors/_base_next"),
+      false, spark.sparkContext.hadoopConfiguration)
+    IngestOps.writeVectors(spark, dir, e.where(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", f"stream_${5}%019d")
+    assert(ids().distinct.sorted == before, "overlap window must lose nothing")
+    IngestOps.compactVectors(spark, dir)
+    assert(ids().sorted == before, "healed store must hold each id exactly once")
+    assert(entries() == Seq("_base"))
+    del(dir)
+  }
+
+  test("a screened stream screens later batches against the COMPACTED side-store") {
+    spark.conf.set(graft.ops.IngestOps.CompactVectorsAtConf, "1")
+    try {
+      val dir = s"$root/cmpstream"; val staged = s"$root/cmpstream_src"
+      val ckpt = s"$root/cmpstream_ckpt"
+      del(dir); del(staged); del(ckpt)
+      LopqIndexStore.cloneEmpty(spark, EngineOps.indexDir(sf), dir)
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select("vec_id", "embedding")
+      def drainOne(file: org.apache.spark.sql.DataFrame): Unit = {
+        file.repartition(1).write.mode("append").parquet(staged)
+        val src = spark.readStream.schema(e.schema)
+          .option("maxFilesPerTrigger", 1).parquet(staged)
+        graft.streaming.ScreenedIngest
+          .maintain(spark, dir, src, "vec_id", "embedding", ckpt)
+          .awaitTermination()
+      }
+      drainOne(e.where(col("vec_id") % 3 === 0)) // batch 0, folded after commit
+      val after0 = LopqIndexStore.readCodes(spark, dir)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val survivor = after0.min
+      // batch 1: one exact copy of a batch-0 survivor — its vector now
+      // lives ONLY in the compacted base (compactAt=1 folded batch 0's
+      // update dir), so the drop proves the screen reads the base
+      drainOne(e.where(col("vec_id") === survivor)
+        .select((col("vec_id") + 40000000L).as("vec_id"), col("embedding")))
+      val after1 = LopqIndexStore.readCodes(spark, dir)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(after1 === after0, "the copy must be flagged against the compacted base")
+      // every indexed id has a stored vector, none duplicated
+      val stored = IngestOps.vectorStore(spark, dir, "vec_id", "embedding")
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(stored.distinct.sorted == stored.sorted)
+      assert(after1.subsetOf(stored.toSet))
+      del(dir); del(staged); del(ckpt)
+    } finally spark.conf.unset(graft.ops.IngestOps.CompactVectorsAtConf)
+  }
+
   test("GraftApi.screenBatch keeps nothing from an all-copies batch") {
     val offset = 30000000L
     val batch = spark.read.parquet(s"$sf/embeddings.parquet")
