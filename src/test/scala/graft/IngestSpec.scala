@@ -162,6 +162,49 @@ class IngestSpec extends SparkSpec {
     } finally spark.conf.unset(graft.ops.IngestOps.CompactVectorsAtConf)
   }
 
+  /** Property check of the conservative-prefix rule itself, decoupled
+    * from vectors: random pair graphs over random batch/corpus id splits,
+    * compared against a literal Scala restatement of the rule. Invariants
+    * additionally asserted: no survivor pairs the corpus, and no two
+    * survivors pair each other (the batch that ships is pairwise clean). */
+  test("screenSurvivors matches the brute-force rule on 100 random pair graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 100).foreach { trial =>
+      val nIds = 2 + rnd.nextInt(30)
+      val ids = (0L until nIds.toLong).toSeq
+      val batchIds = ids.filter(_ => rnd.nextBoolean()).toSet
+      val pairs = (for {
+        a <- ids; b <- ids if a < b
+        if rnd.nextDouble() < 0.25
+        if batchIds.contains(a) || batchIds.contains(b) // incremental shape
+      } yield (a, b)).toSeq
+      val expected = batchIds.filter { b =>
+        !pairs.exists { case (x, y) =>
+          (y == b && (x < b)) ||                         // any smaller partner
+          (x == b && !batchIds.contains(y))              // larger corpus partner
+        }
+      }
+      val batchDf = batchIds.toSeq.toDF("id")
+      val pairsDf = pairs.toDF("id_a", "id_b")
+      val got = graft.ops.VectorQueries.screenSurvivors(batchDf, "id", pairsDf)
+        .collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"trial $trial: ids=$nIds batch=$batchIds pairs=$pairs")
+      // shipped batch is pairwise clean and corpus-clean
+      got.foreach { s =>
+        pairs.foreach { case (a, b) =>
+          val partner = if (a == s) Some(b) else if (b == s) Some(a) else None
+          partner.foreach { p =>
+            assert(batchIds.contains(p) || !got.contains(s),
+              s"trial $trial: survivor $s pairs corpus row $p")
+            assert(!(got.contains(p) && got.contains(s)),
+              s"trial $trial: survivors $s and $p pair each other")
+          }
+        }
+      }
+    }
+  }
+
   test("GraftApi.screenBatch keeps nothing from an all-copies batch") {
     val offset = 30000000L
     val batch = spark.read.parquet(s"$sf/embeddings.parquet")
