@@ -13,7 +13,8 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
   *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
   *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]] [incr:mod]
-  *        runMain graft.ProbeRelease ingest [v2|v3|v4] [batchRows]
+  *        runMain graft.ProbeRelease ingest [v2|v3|v4] [batchRows] [sweep:t1,t2,...]
+  *        runMain graft.ProbeRelease stream [v2|v3|v4] [nBatches] [batchRows] [compactAt]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -368,7 +369,8 @@ object ProbeRelease {
     * isotropic release corpus crosses it) and half PURE-NOISE novels
     * (cos ≈ 0 vs everything — must survive), so flagged/appended have
     * expected values (≈nJit / =nNovel) the printout makes checkable. */
-  private def probeIngest(shapeArg: Option[String], nBatchArg: Option[Int]): Unit = {
+  private def probeIngest(shapeArg: Option[String], nBatchArg: Option[Int],
+      sweepArg: Option[Seq[Double]] = None): Unit = {
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
       case Some("v3") => ReleaseShape.V3
@@ -424,17 +426,211 @@ object ProbeRelease {
       }.toDF("vec_id", "embedding")
     println(s"[probe-release] ingest ${s.name} batchRows=$nBatch " +
       s"(jittered=$nJit novel=${nBatch - nJit})")
-    (1 to 3).foreach { pass =>
-      val cs = reclone()
-      val t0 = System.nanoTime()
-      val r = graft.ops.IngestOps.screenAndAppend(spark, cloneDir,
-        corpusVectors, batchFor(pass), "vec_id", "embedding",
-        f"ingest_$pass%019d")
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[probe-release] ingest pass $pass  $sec%8.2f s (+ clone $cs%5.1f s)  " +
-        f"flagged=${r.flaggedPairs} appended=${r.appended}/${r.batchRows}  " +
-        f"${sec * 1000.0 / nBatch}%.2f ms/batch-row")
+    sweepArg match {
+      case Some(thresholds) =>
+        // threshold sweep: same batch (pass 1) screened at each threshold
+        // against a fresh clone — DECISION quality (jittered leaks, novel
+        // false-drops) and flagged-pair VOLUME vs the cosine cut, the
+        // production-guidance curve for the screen's one tunable
+        println("[probe-release] ingest sweep: threshold | flaggedPairs | " +
+          "jitteredLeaked (expect 0) | novelsDropped (expect 0) | warm s")
+        thresholds.foreach { th =>
+          reclone()
+          // pass 1 untimed (page-cache population), pass 2 timed — the
+          // cycle is deterministic, so decisions are checked on pass 2
+          graft.ops.IngestOps.screenAndAppend(spark, cloneDir,
+            corpusVectors, batchFor(1), "vec_id", "embedding",
+            f"ingest_$th%.3f_warm", simThreshold = th)
+          reclone()
+          val t0 = System.nanoTime()
+          val r = graft.ops.IngestOps.screenAndAppend(spark, cloneDir,
+            corpusVectors, batchFor(1), "vec_id", "embedding",
+            f"ingest_$th%.3f", simThreshold = th)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val base = n + 1L * 10000000L
+          val appended = LopqIndexStore.readCodes(spark, cloneDir)
+            .select("id").where(col("id") >= n)
+            .collect().map(_.getLong(0)).toSet
+          val jitLeaked = (0L until nJit.toLong).count(i => appended(base + i))
+          val novDropped = (nJit.toLong until nBatch.toLong)
+            .count(i => !appended(base + i))
+          println(f"[probe-release] ingest sweep th=$th%5.3f  " +
+            f"flagged=${r.flaggedPairs}%9d  jitteredLeaked=$jitLeaked%4d  " +
+            f"novelsDropped=$novDropped%4d  $sec%7.2f s")
+        }
+      case None =>
+        (1 to 3).foreach { pass =>
+          val cs = reclone()
+          val t0 = System.nanoTime()
+          val r = graft.ops.IngestOps.screenAndAppend(spark, cloneDir,
+            corpusVectors, batchFor(pass), "vec_id", "embedding",
+            f"ingest_$pass%019d")
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[probe-release] ingest pass $pass  $sec%8.2f s (+ clone $cs%5.1f s)  " +
+            f"flagged=${r.flaggedPairs} appended=${r.appended}/${r.batchRows}  " +
+            f"${sec * 1000.0 / nBatch}%.2f ms/batch-row")
+        }
     }
+    spark.stop()
+  }
+
+  /** Streaming screened-ingest CADENCE probe — [[graft.streaming.ScreenedIngest]]
+    * driven for `nBatches` real micro-batches against a CLONE of the
+    * release index, per-trigger wall-clock from the streaming listener and
+    * the side-store's un-folded update-dir count after every batch. The
+    * q99 gate proves the cycle's SEMANTICS at test scale; this shows the
+    * CADENCE holds at release magnitude: per-batch cost stays flat as the
+    * store grows (nothing O(updates-ever) in the loop), the LSM promote
+    * fires at `compactAt` and resets the dir count, and the FINAL batch —
+    * near-copies of batch 0's survivors — is dropped against vectors that
+    * by then live only in the compacted base (the hours-later-duplicate
+    * case, ref `extraction_checker.py:225-258`, at magnitude).
+    * Usage: runMain graft.ProbeRelease stream [v2|v3|v4] [nBatches] [batchRows] [compactAt] */
+  private def probeStreamIngest(shapeArg: Option[String], nBatchesArg: Option[Int],
+      rowsArg: Option[Int], compactAtArg: Option[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = shapeArg match {
+      case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
+      case _ => ReleaseShape.V2
+    }
+    val nBatches = nBatchesArg.getOrElse(16)
+    val batchRows = rowsArg.getOrElse(1000)
+    val compactAt = compactAtArg.getOrElse(6)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    spark.conf.set(graft.ops.IngestOps.CompactVectorsAtConf, compactAt.toString)
+    val srcDir = s.dir
+    val cloneDir = srcDir + "_stream_probe"
+    val stagedDir = srcDir + "_stream_probe_src"
+    val ckpt = cloneDir + "/_ckpt"
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
+    Seq(cloneDir, stagedDir).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    var t0 = System.nanoTime()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(cloneDir))
+    Seq("model", "meta.json", "model.pb", "codes", "cell_counts",
+        "manifest", "tip").foreach { name =>
+      val sp = new org.apache.hadoop.fs.Path(s"$srcDir/$name")
+      if (fs.exists(sp))
+        org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs,
+          new org.apache.hadoop.fs.Path(s"$cloneDir/$name"), false, conf)
+    }
+    LopqIndexStore.evictModel(cloneDir)
+    // seed the side-store: the index's corpus vectors as one update dir —
+    // the feature cache the screen verifies cosines against (the clone
+    // must NOT reuse the source's staged flat table: the side-store reads
+    // per-update SUBDIRS, a release `vectors` dir is flat part-files)
+    graft.ops.IngestOps.writeVectors(spark, cloneDir,
+      ReleaseShape.vectors(spark, srcDir), "vec_id", "embedding",
+      "seed_0000000000000000000")
+    println(f"[probe-release] stream ${s.name} clone+seed ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      s"nBatches=$nBatches batchRows=$batchRows compactAt=$compactAt")
+
+    val n = s.n
+    val rawDim = s.rawDim
+    val nJit = batchRows / 2
+    // batch b: half jittered corpus copies (must drop), half pure-noise
+    // novels (must survive) — EXCEPT the last batch, which is near-copies
+    // of batch 0's NOVEL survivors: by then their vectors have been folded
+    // into the compacted base, so surviving this batch would mean the
+    // promote lost rows
+    def novelVec(id: Long): Array[Float] = {
+      val r = new java.util.Random(77L + id)
+      Array.fill(rawDim)(r.nextGaussian().toFloat)
+    }
+    def idOf(b: Int, i: Long): Long = n + (b + 1).toLong * 10000000L + i
+    import spark.implicits._
+    def batchDf(b: Int): org.apache.spark.sql.DataFrame =
+      spark.range(0, batchRows, 1, 8).map { i =>
+        val id = idOf(b, i)
+        val vec =
+          if (b == nBatches - 1 && nBatches > 1) {
+            // near-copy of batch 0's i-th NOVEL row (ids nJit..batchRows)
+            val src = novelVec(idOf(0, nJit + (i % (batchRows - nJit))))
+            val r = new java.util.Random(13L + id)
+            src.map(x => x + 0.0005f * r.nextGaussian().toFloat)
+          } else if (i < nJit) {
+            val v = ReleaseShape.rowVecFor(s, (b.toLong * batchRows + i) * 97L % n)
+            val r = new java.util.Random(31L + id)
+            v.map(x => x + 0.001f * r.nextGaussian().toFloat)
+          } else novelVec(id)
+        (id, vec.toSeq)
+      }.toDF("vec_id", "embedding")
+    t0 = System.nanoTime()
+    (0 until nBatches).foreach { b =>
+      batchDf(b).repartition(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(stagedDir)
+    }
+    println(f"[probe-release] stream staged $nBatches batch files in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    def sideDirs(): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$cloneDir/vectors")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(st =>
+        st.isDirectory && !st.getPath.getName.startsWith("_"))
+    }
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue()).getOrElse(-1L)
+          println(f"[probe-release] stream batch ${p.batchId}%3d  ${ms / 1000.0}%8.2f s  " +
+            f"rows=${p.numInputRows}%5d  sideDirs=${sideDirs()}%3d")
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    t0 = System.nanoTime()
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", 1).parquet(stagedDir)
+    graft.streaming.ScreenedIngest
+      .maintain(spark, cloneDir, src, "vec_id", "embedding", ckpt)
+      .awaitTermination()
+    val total = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
+
+    // survivors audit, straight off the clone's codes: per batch, jittered
+    // leaks (expect 0), novels kept (expect all but the last batch's,
+    // which must be dropped against the compacted base)
+    val appended = LopqIndexStore.readCodes(spark, cloneDir)
+      .select("id").where(col("id") >= n)
+      .collect().map(_.getLong(0)).toSet
+    (0 until nBatches).foreach { b =>
+      val ids = (0L until batchRows.toLong).map(idOf(b, _))
+      val jitLeaked =
+        if (b == nBatches - 1 && nBatches > 1) -1L
+        else ids.take(nJit).count(appended).toLong
+      val novKept =
+        if (b == nBatches - 1 && nBatches > 1) ids.count(appended).toLong
+        else ids.drop(nJit).count(appended).toLong
+      val tag = if (b == nBatches - 1 && nBatches > 1) "copies-of-batch0 kept" else "novels kept"
+      println(f"[probe-release] stream audit batch $b%3d  jitteredLeaked=$jitLeaked%3d  $tag=$novKept")
+    }
+    println(f"[probe-release] stream TOTAL $total%8.2f s for $nBatches batches " +
+      f"(${total / nBatches}%.2f s/batch amortized)  finalSideDirs=${sideDirs()}  " +
+      s"tip=${LopqIndexStore.watermark(spark, cloneDir).getOrElse("-")}")
     spark.stop()
   }
 
@@ -537,8 +733,17 @@ object ProbeRelease {
     }
     if (args.headOption.contains("ingest")) {
       val rest = args.drop(1)
+      val (sweepArgs, rest1) = rest.partition(_.startsWith("sweep:"))
+      val (shapeArg, nums) = rest1.partition(a => a == "v2" || a == "v3" || a == "v4")
+      probeIngest(shapeArg.headOption, nums.headOption.map(_.toInt),
+        sweepArgs.headOption.map(_.stripPrefix("sweep:").split(",").toSeq.map(_.toDouble)))
+      return
+    }
+    if (args.headOption.contains("stream")) {
+      val rest = args.drop(1)
       val (shapeArg, nums) = rest.partition(a => a == "v2" || a == "v3" || a == "v4")
-      probeIngest(shapeArg.headOption, nums.headOption.map(_.toInt))
+      val ints = nums.map(_.toInt)
+      probeStreamIngest(shapeArg.headOption, ints.lift(0), ints.lift(1), ints.lift(2))
       return
     }
     if (args.headOption.contains("rerank")) {

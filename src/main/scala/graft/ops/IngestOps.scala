@@ -143,10 +143,17 @@ object IngestOps {
       .map(_.getPath)
   }
 
+  /** A `_base_next` directory counts only when its fold FINISHED — the
+    * committer's `_SUCCESS` marker. A crash mid-write leaves a partial
+    * directory: reading it would silently miss rows the old `_base` holds
+    * (they live in no delta dir — earlier compactions folded them), and
+    * promoting it would DELETE those rows permanently. */
+  private def nextComplete(fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(s"${baseNextPath(dir)}/_SUCCESS"))
+
   private def baseToRead(fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] = {
-    val next = new org.apache.hadoop.fs.Path(baseNextPath(dir))
     val base = new org.apache.hadoop.fs.Path(basePath(dir))
-    if (fs.exists(next)) Seq(next.toString)
+    if (nextComplete(fs, dir)) Seq(baseNextPath(dir))
     else if (fs.exists(base)) Seq(base.toString)
     else Seq.empty
   }
@@ -155,7 +162,12 @@ object IngestOps {
     * compacted base — the side-store's delta promote. Crash-safe, single
     * writer, every window re-runnable:
     *
-    *   1. finish any interrupted promotion (`_base_next` → `_base`);
+    *   1. finish any interrupted promotion (`_base_next` → `_base`) — but
+    *      ONLY a fold that committed (`_SUCCESS` present): a partial
+    *      `_base_next` left by a crash mid-write is DELETED and refolded
+    *      instead, because promoting it would replace `_base` with a
+    *      subset and lose every previously-folded row for good (the
+    *      deltas that held them are gone since that earlier fold);
     *   2. write `_base_next` = dedup(base ∪ deltas) — the dedup is what
     *      lets any replayed overlap self-heal (vectors are content-keyed
     *      and immutable, so duplicates are bit-identical);
@@ -177,7 +189,10 @@ object IngestOps {
       fs.rename(next, base)
       ()
     }
-    if (fs.exists(next)) promote()
+    if (fs.exists(next)) {
+      if (nextComplete(fs, dir)) promote()
+      else { fs.delete(next, true); () } // partial fold: refold from base+deltas
+    }
     val deltas = updateDirs(spark, dir)
     if (deltas.isEmpty) return
     val srcs = deltas.map(_.toString) ++

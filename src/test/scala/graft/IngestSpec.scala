@@ -121,6 +121,27 @@ class IngestSpec extends SparkSpec {
     IngestOps.compactVectors(spark, dir)
     assert(ids().sorted == before, "healed store must hold each id exactly once")
     assert(entries() == Seq("_base"))
+
+    // crash window 2: a PARTIAL `_base_next` — the fold died mid-write, so
+    // no `_SUCCESS` and only a subset of the rows. Reading must IGNORE it
+    // (the complete `_base` + surviving deltas hold everything; preferring
+    // the partial would silently drop rows), and the next compaction must
+    // refold from scratch instead of promoting it — promotion would
+    // replace `_base` with the subset and lose the missing rows for good,
+    // since the deltas that held them were deleted by the earlier fold.
+    IngestOps.writeVectors(spark, dir, e.where(col("vec_id") % 5 === 1),
+      "vec_id", "embedding", f"stream_${6}%019d")
+    val partial = e.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    partial.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/vectors/_base_next")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/vectors/_base_next/_SUCCESS"), false)
+    assert(ids().distinct.sorted == before,
+      "a partial _base_next must be invisible to readers")
+    IngestOps.compactVectors(spark, dir)
+    assert(ids().sorted == before,
+      "healing a partial fold must refold, not promote the subset")
+    assert(entries() == Seq("_base"))
     del(dir)
   }
 
