@@ -121,6 +121,69 @@ class CatalogSpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  /** Randomized brute-force model check for the whole semdedup family:
+    * tiny random corpora with FEW cells (so multi-member cells and
+    * within-cell collisions are dense), random thresholds, and a random
+    * block size each trial — the full sweep must emit exactly the
+    * same-cell pairs at or above the threshold, and the incremental pass
+    * exactly the subset with ≥ 1 batch endpoint. Deterministic seed, so
+    * a float-vs-double boundary flip cannot flake (and with gaussian
+    * data a sim landing within 1e-7 of the threshold has ~zero mass). */
+  test("semdedup family matches a brute-force model on random corpora") {
+    graft.functions.GraftFunctions.register(spark)
+    val key = graft.ops.VectorQueries.SemDedupCellBlockRowsConf
+    val rnd = new scala.util.Random(4242L)
+    import spark.implicits._
+    try (1 to 5).foreach { trial =>
+      val n = 40 + rnd.nextInt(60)
+      val dim = 4 + rnd.nextInt(5)
+      val nCells = 1 + rnd.nextInt(6)
+      val th = 0.3 + rnd.nextDouble() * 0.5
+      spark.conf.set(key, (1 + rnd.nextInt(8)).toString)
+      val rows = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(nCells).toLong,
+          Array.fill(dim)(rnd.nextGaussian().toFloat))
+      }
+      val cells = rows.map { case (id, c, _) => (id, c) }.toDF("id", "cell_id")
+      val vecs = rows.map { case (id, _, v) => (id, v.toSeq) }
+        .toDF("vec_id", "embedding")
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val brute = (for {
+        (ia, ca, va) <- rows; (ib, cb, vb) <- rows
+        if ia < ib && ca == cb && cos(va, vb) >= th
+      } yield (ia, ib)).toSet
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+      val full = graft.ops.VectorQueries.semDedupPairs(
+        cells, vecs, "vec_id", "embedding", th)
+      assert(pairsOf(full) === brute, s"full sweep, trial $trial")
+      // cosines agree with the double model to rounding
+      full.collect().foreach { r =>
+        val (a, b) = (r.getAs[Long]("id_a").toInt, r.getAs[Long]("id_b").toInt)
+        assert(math.abs(r.getAs[Double]("cos_sim") - cos(rows(a)._3, rows(b)._3)) < 1e-5)
+      }
+      val isBatch: Long => Boolean = _ % 3 == 0
+      val incr = graft.ops.VectorQueries.semDedupPairsIncremental(
+        cells.where(pmod(col("id"), lit(3)) =!= 0),
+        cells.where(pmod(col("id"), lit(3)) === 0),
+        vecs.where(pmod(col("vec_id"), lit(3)) =!= 0),
+        vecs.where(pmod(col("vec_id"), lit(3)) === 0),
+        "vec_id", "embedding", th)
+      val bruteIncr = brute.filter { case (a, b) => isBatch(a) || isBatch(b) }
+      assert(pairsOf(incr) === bruteIncr, s"incremental, trial $trial")
+    } finally spark.conf.unset(key)
+  }
+
   /** q95's survivor set is exactly the corpus minus q94's non-canonical
     * component members: recompute the components from q94's pairs with a
     * driver-side union-find (independent of TextOps's min-label CC) and
