@@ -291,4 +291,28 @@ final class GraftApi(spark: SparkSession, sfDir: String,
       : DataFrame =
     graft.ops.VectorQueries.screenSurvivors(batch, idCol,
       semDedupIncrement(batch, idCol, vecCol, simThreshold))
+
+  /** Cluster-BALANCED deterministic sample over the indexed corpus — a
+    * per-cell quota drawn in md5-hash order with the persisted coarse
+    * cells as strata ([[graft.ops.VectorQueries.clusterBalancedSample]]),
+    * the diversity-sampling step of a cluster-curated pipeline
+    * (reproducible, RNG-free; re-running with a larger quota EXTENDS the
+    * sample — earlier draws keep their ranks). Returns
+    * `(cell_id, id, rk ≤ quota)`. */
+  def clusterSample(quota: Int): DataFrame = {
+    val h = EngineOps.index(spark, sfDir)
+    val cells = h.codes.select(col("id"),
+      col("cell_id").cast("long").as("cell_id"))
+    graft.ops.VectorQueries.clusterBalancedSample(cells, quota)
+  }
+
+  /** PROTOTYPICALITY pruning over the indexed corpus (SSL-prototypes,
+    * Sorscher et al. 2022): every vector scored by residual norm in the
+    * model's locally-projected space and ranked within its coarse cell —
+    * `keep` marks the hardest `keepFrac` of each cell
+    * ([[graft.ops.VectorQueries.protoPrune]]). Filter on `keep` to
+    * materialize the pruned corpus. */
+  def protoPrune(keepFrac: Double): DataFrame =
+    graft.ops.VectorQueries.protoPrune(vectors, "vec_id", "embedding",
+      EngineOps.index(spark, sfDir).model, keepFrac)
 }

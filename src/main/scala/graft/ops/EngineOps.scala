@@ -146,6 +146,12 @@ object EngineOps {
     * right trade. */
   private[graft] val DedupQuota = 1000000
   private[graft] val DedupK = 64
+
+  /** q100/q101 curation constants: per-cell sample quota (small vs the
+    * test corpus' ~8–30 members/cell so the cutoff pre-filter genuinely
+    * prunes) and the kept-hardest fraction of the prototypicality prune. */
+  private val ClusterSampleQuota = 5
+  private val ProtoKeepFrac = 0.7
   private[graft] def dedupRerankK(corpusRows: Long): Int =
     math.max(128, corpusRows.min(Int.MaxValue).toInt)
 
@@ -260,6 +266,16 @@ object EngineOps {
       } yield (split, f, sc, h.model.subquantizers(split)(f)(sc).map(_.toDouble).toSeq)
       cent.toDF("split", "fidx", "code", "centroid").repartition(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$odir/subq")
+
+      // coarse codebooks + per-cluster mean residuals (for q101's
+      // distance-to-refined-mean score)
+      val coarseDump = for {
+        split <- 0 until h.model.numCoarseSplits
+        c <- 0 until h.model.v
+      } yield (split, c, h.model.coarse(split)(c).map(_.toDouble).toSeq,
+        h.model.mus(split)(c).map(_.toDouble).toSeq)
+      coarseDump.toDF("split", "cidx", "centroid", "mu").repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$odir/coarse")
 
       val codesGlob = s"$dir/codes/*/*.parquet"
       val v = h.model.v
@@ -504,6 +520,54 @@ object EngineOps {
            |FROM embeddings em JOIN e ON e.vec_id = em.vec_id
            |WHERE em.vec_id NOT IN (SELECT id FROM losers)
            |ORDER BY em.vec_id""".stripMargin
+
+      // q100: cluster-balanced sample — q76's verified-cutoff design with
+      // the learned cells as strata; the oracle re-derives the whole
+      // per-cell hash ranking from the dumped codes in plain SQL
+      oracleStash("q100_cluster_sample") =
+        s"""WITH codes AS (
+           |  SELECT id, (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |r AS (SELECT cell_id, id,
+           |        row_number() OVER (PARTITION BY cell_id
+           |          ORDER BY ('0x' || substr(md5(id::VARCHAR),1,15))::BIGINT, id) AS rk
+           |      FROM codes)
+           |SELECT cell_id::BIGINT AS cell_id, id, rk::BIGINT AS rk
+           |FROM r WHERE rk <= $ClusterSampleQuota
+           |ORDER BY cell_id, id""".stripMargin
+
+      // q101: prototypicality pruning — the engine scores each row by its
+      // double-fold residual² vs the assigned cell's refined mean
+      // (C + mu, dumped above); the oracle refolds the identical math
+      // per split over the same dumped doubles ((z1 − z2) − z3 matches
+      // the engine's (x − C) − mu left-assoc order, split sums added
+      // 0 + 1), and re-derives ranking + ceil(frac·n) keep in plain SQL
+      val half = h.model.halfDim
+      def resSql(xs: String, cb: String) = {
+        val diff = s"list_transform(list_zip($xs, $cb.centroid, $cb.mu), z -> z[1] - z[2] - z[3])"
+        s"list_dot_product($diff, $diff)"
+      }
+      oracleStash("q101_proto_prune") =
+        s"""WITH codes AS (
+           |  SELECT id, coarse0, coarse1, (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |cb AS (SELECT * FROM read_parquet('$odir/coarse/*.parquet')),
+           |d AS (
+           |  SELECT codes.id, codes.cell_id,
+           |    round(sqrt(${resSql(s"e.v[1:$half]", "c0")} +
+           |               ${resSql(s"e.v[${half + 1}:${2 * half}]", "c1")}), 6) AS proto_dist
+           |  FROM codes JOIN e ON e.vec_id = codes.id
+           |  JOIN cb c0 ON c0.split = 0 AND c0.cidx = codes.coarse0
+           |  JOIN cb c1 ON c1.split = 1 AND c1.cidx = codes.coarse1),
+           |r AS (SELECT id, cell_id, proto_dist,
+           |        row_number() OVER (PARTITION BY cell_id
+           |          ORDER BY proto_dist DESC, id) AS rk,
+           |        count(*) OVER (PARTITION BY cell_id) AS n
+           |      FROM d)
+           |SELECT id, cell_id::BIGINT AS cell_id, proto_dist,
+           |       rk::BIGINT AS rk, (rk <= ceil(n * $ProtoKeepFrac)) AS keep
+           |FROM r ORDER BY cell_id, rk""".stripMargin
 
       val dsq = l2sqSql("p.subvec", "c.centroid")
       oracleStash("q45_subq_distortion") =
@@ -1137,6 +1201,41 @@ object EngineOps {
               .as("avg_distortion"))
           .orderBy("split", "fidx")
       },
-      stashed("q45_subq_distortion"))
+      stashed("q45_subq_distortion")),
+
+    // Cluster-BALANCED deterministic sample over the persisted assignment
+    // (the diversity-sampling step of cluster-curated pipelines): q76's
+    // verified hash-cutoff design with the LEARNED cells as strata —
+    // nothing driver-resident, the rank window bounded at
+    // O(cells · quota · overshoot) rows at any corpus size. Physical
+    // design in [[VectorQueries.clusterBalancedSample]].
+    QueryDef(
+      "q100_cluster_sample",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val cells = h.codes.select(col("id"),
+          col("cell_id").cast("long").as("cell_id"))
+        VectorQueries.clusterBalancedSample(cells, ClusterSampleQuota)
+          .orderBy("cell_id", "id")
+      },
+      stashed("q100_cluster_sample"),
+      dependsOnIndex = true),
+
+    // PROTOTYPICALITY pruning (SSL-prototypes, Sorscher et al. 2022): keep
+    // each cell's hardest keepFrac by distance-to-centroid in the model's
+    // locally-projected space — map-side projection, skinny rank shuffle.
+    // Physical design in [[VectorQueries.protoPrune]].
+    QueryDef(
+      "q101_proto_prune",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        VectorQueries.protoPrune(t(s, d, "embeddings"), "vec_id",
+            "embedding", h.model, ProtoKeepFrac)
+          .orderBy("cell_id", "rk")
+      },
+      stashed("q101_proto_prune"),
+      dependsOnIndex = true)
   )
 }

@@ -312,6 +312,133 @@ object VectorQueries {
       Seq(idCol), "left_anti")
   }
 
+  /** Cluster-BALANCED deterministic sample — per-cell quota drawn in
+    * md5-hash order over a skinny `(id, cell_id)` assignment (the learned
+    * clusters as sampling strata: the diversity-sampling step of
+    * cluster-curated corpus pipelines, where drawing uniformly would
+    * reproduce the corpus' cluster skew and drawing per-cluster flattens
+    * it). RNG-free and reproducible like q76's stratified sample, and the
+    * same verified-cutoff design — but the strata here are CLUSTERS
+    * (millions at release shape, vs a handful of languages), so nothing
+    * collects to the driver: per-cell counts stay a DataFrame, the hash
+    * cutoff is computed as a column in a skinny join, and the rank window
+    * sees only cutoff survivors — O(cells · quota · overshoot) rows,
+    * independent of corpus size. The overshoot check (every cell kept
+    * ≥ min(quota, count) survivors) is one skinny aggregation per
+    * attempt; a failed attempt widens the cutoff 4× (take-all in the
+    * limit), so the result is bit-identical to the unbounded window at
+    * any hash skew. Returns `(cell_id, id, rk)` with `rk ≤ quota`. */
+  def clusterBalancedSample(cells: DataFrame, quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    import graft.functions.TextFunctions.md5Long
+    val base = cells
+      .select(col("id"), col("cell_id"),
+        md5Long(col("id").cast("string")).as("hv"))
+      .localCheckpoint() // hash once, scanned by count + filter passes
+    val counts = base.groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val MaxHv = 1L << 60 // md5Long range: 15 hex chars = 60 bits
+    def survivors(os: Long): DataFrame = {
+      val cut = counts.select(col("cell_id"),
+        when(lit(os * quota) >= col("cnt"), Long.MaxValue)
+          .otherwise(lit(MaxHv) / col("cnt") * lit(os * quota)).as("cut"))
+      base.join(cut, "cell_id").where(col("hv") <= col("cut"))
+    }
+    val pre = Iterator.iterate(4L)(_ * 4).map(survivors)
+      .find { p =>
+        // left join from counts: a cell with ZERO survivors must still
+        // flag as deficient (an inner join would silently drop it)
+        counts
+          .join(p.groupBy("cell_id").agg(count(lit(1)).as("got")),
+            Seq("cell_id"), "left_outer")
+          .where(coalesce(col("got"), lit(0L)) <
+            least(lit(quota.toLong), col("cnt")))
+          .isEmpty
+      }.get
+    val w = Window.partitionBy("cell_id").orderBy(col("hv"), col("id"))
+    pre.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= quota)
+      .select(col("cell_id"), col("id"), col("rk"))
+  }
+
+  /** PROTOTYPICALITY pruning (the SSL-prototypes data-pruning metric,
+    * Sorscher et al. 2022, arXiv:2206.14486): score every vector by its
+    * L2 distance to its cell's REFINED MEAN — the coarse centroid plus
+    * the cluster's mean residual, `C[c] + mu[c]`, i.e. the actual cluster
+    * mean the LOPQ model maintains (ref `lopq/lopq/model.py` predict /
+    * project) — and KEEP the hardest `keepFrac` of each cell
+    * (prototypical examples, the ones the cluster already summarizes,
+    * rank last). The model's local rotation is orthogonal so it cannot
+    * change a residual's norm: the score needs ONLY the coarse codebooks
+    * and residual means — each `[2][V][D/2]`, a few MB even at the
+    * release constants — never the `[2][V][D/2][D/2]` rotation tensor,
+    * making the operator slim-model servable at any V.
+    *
+    * Scale shape: two small broadcasts, and the fat vector column never
+    * leaves the map side — each row assigns (the encoder's own argmin)
+    * and folds its residual locally, emitting skinny
+    * `(id, cell_id, residual²)`, so the only shuffle is the per-cell rank
+    * window over 24-byte rows (O(n) skinny, never O(n·D)). All residual
+    * math is double-precision with a fixed fold order (per-split
+    * left-to-right, split sums added 0+1), so the DuckDB oracle
+    * hash-matches bit-for-bit; ranking uses the rounded distance (6 dp,
+    * ties by id). `pca` pre-applies a PCA front for corpora whose model
+    * lives in PCA space (release shapes). Returns every row with
+    * `(id, cell_id, proto_dist, rk, keep)`; filter on `keep` to
+    * materialize the pruned corpus. */
+  def protoPrune(vectors: DataFrame, idCol: String, vecCol: String,
+      model: graft.engine.LopqModel, keepFrac: Double,
+      pca: Option[graft.engine.LopqPca] = None): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac must be in (0, 1], got $keepFrac")
+    val s = vectors.sparkSession
+    import s.implicits._
+    val coarseB = s.sparkContext.broadcast(model.coarse)
+    val musB = s.sparkContext.broadcast(model.mus)
+    val pcaB = s.sparkContext.broadcast(pca)
+    val vCount = model.v
+    val skinny = vectors
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Seq[Float])]
+      .map { case (id, emb) =>
+        val raw = emb.toArray
+        val x = pcaB.value.map(_.apply(raw)).getOrElse(raw)
+        val cs = coarseB.value
+        val halves = graft.core.VectorOps.splits(x, cs.length)
+        var sq = 0.0
+        var cell = 0L
+        var split = 0
+        while (split < cs.length) {
+          // assignment = the encoder's own argmin (bit-agrees with the
+          // persisted codes); the distance re-folds vs C + mu in double
+          val ci = graft.core.VectorOps.argminL2(halves(split), cs(split))
+          val c = cs(split)(ci)
+          val mu = musB.value(split)(ci)
+          val h = halves(split)
+          var d = 0.0
+          var j = 0
+          while (j < c.length) {
+            val r = h(j).toDouble - c(j).toDouble - mu(j).toDouble
+            d += r * r
+            j += 1
+          }
+          sq += d
+          cell = cell * vCount + ci
+          split += 1
+        }
+        (id, cell, sq)
+      }
+      .toDF("id", "cell_id", "_sq")
+    val w = Window.partitionBy("cell_id")
+      .orderBy(col("proto_dist").desc, col("id"))
+    skinny
+      .withColumn("proto_dist", round(sqrt(col("_sq")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cell_id")))
+      .withColumn("keep", col("rk") <= ceil(col("n") * lit(keepFrac)))
+      .select("id", "cell_id", "proto_dist", "rk", "keep")
+  }
+
   /** Block size for [[semDedupPairs]]' skewed-cell decomposition. */
   val SemDedupCellBlockRowsConf = "spark.graft.semdedup.cellBlockRows"
 

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.engine.{LopqParams, LopqTrainer}
+import graft.functions.TextFunctions.md5Long
+import graft.ops.{Tables, VectorQueries}
+
+/** Embedding-curation sampling operators (q100/q101):
+  * [[VectorQueries.clusterBalancedSample]] — per-cell quota in md5-hash
+  * order through the verified-cutoff pre-filter — and
+  * [[VectorQueries.protoPrune]] — SSL-prototypes keep-hardest pruning by
+  * residual norm in the model's locally-projected space. */
+class CurationSampleSpec extends SparkSpec {
+
+  private val p = LopqParams(v = 8, m = 4, subClusters = 16, seed = 42L, kmeansMaxIter = 10)
+
+  /** Skewed synthetic assignment: one 2000-member mega cell, a mid cell,
+    * several small cells, and a singleton — the shape where an unbounded
+    * per-cell window would drag the mega cell's full membership through
+    * one task while the cutoff keeps it O(quota · overshoot). */
+  private def skewedCells = {
+    val s = spark
+    import s.implicits._
+    (0L until 3000L).map { id =>
+      val cell = if (id < 2000) 0L
+        else if (id < 2600) 1L
+        else if (id == 2999) 9L
+        else 2L + id % 4
+      (id, cell)
+    }.toDF("id", "cell_id")
+  }
+
+  test("clusterBalancedSample equals the unbounded per-cell hash window") {
+    graft.functions.GraftFunctions.register(spark)
+    val cells = skewedCells
+    val quota = 5
+    val got = VectorQueries.clusterBalancedSample(cells, quota)
+      .orderBy("cell_id", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = Window.partitionBy("cell_id")
+      .orderBy(col("hv"), col("id"))
+    val want = cells
+      .withColumn("hv", md5Long(col("id").cast("string")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= quota)
+      .select("cell_id", "id", "rk")
+      .orderBy("cell_id", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("clusterBalancedSample quota semantics: min(quota, |cell|) per cell, take-all on small cells") {
+    graft.functions.GraftFunctions.register(spark)
+    val cells = skewedCells
+    val quota = 5
+    val perCell = VectorQueries.clusterBalancedSample(cells, quota)
+      .groupBy("cell_id").agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cnt = cells.groupBy("cell_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perCell.map(_._1).sorted == cnt.keys.toSeq.sorted) // every cell represented
+    perCell.foreach { case (cell, n, maxrk) =>
+      assert(n == math.min(quota.toLong, cnt(cell)), s"cell $cell")
+      assert(maxrk == n, s"cell $cell ranks must be 1..n")
+    }
+    // the singleton cell survives the cutoff (take-all branch)
+    assert(cnt(9L) == 1L && perCell.find(_._1 == 9L).get._2 == 1L)
+  }
+
+  test("protoPrune: keep-hardest ceil(frac·n) per cell, ranked by residual norm desc") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+    val model = LopqTrainer.train(e, "embedding", p)
+    val keepFrac = 0.7
+    val got = VectorQueries.protoPrune(e, "vec_id", "embedding", model, keepFrac)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+
+    // independent expectation: score every row on the driver — residual
+    // vs the assigned cell's refined mean C + mu in double — and rank
+    // within cell by (round-6 distance desc, id)
+    val rows = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val scored = rows.map { case (id, x) =>
+      val cc = model.predictCoarse(x)
+      val halves = graft.core.VectorOps.splits(x, model.numCoarseSplits)
+      var sq = 0.0
+      Seq(cc._1, cc._2).zipWithIndex.foreach { case (ci, split) =>
+        val c = model.coarse(split)(ci)
+        val mu = model.mus(split)(ci)
+        var d = 0.0
+        var j = 0
+        while (j < c.length) {
+          val r = halves(split)(j).toDouble - c(j).toDouble - mu(j).toDouble
+          d += r * r
+          j += 1
+        }
+        sq += d
+      }
+      val dist = BigDecimal(math.sqrt(sq))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, cc._1.toLong * model.v + cc._2, dist)
+    }
+    val want = scored.groupBy(_._2).toSeq.flatMap { case (cell, members) =>
+      val ranked = members.sortBy { case (id, _, dist) => (-dist, id) }
+      val keepN = math.ceil(ranked.length * keepFrac).toLong
+      ranked.zipWithIndex.map { case ((id, _, dist), i) =>
+        (id, cell, dist, (i + 1).toLong, (i + 1).toLong <= keepN)
+      }
+    }.sortBy(r => (r._2, r._4))
+
+    assert(got.length == rows.length) // every row emitted, flagged not filtered
+    assert(got.sortBy(r => (r._2, r._4)).toSeq == want)
+    // the kept fraction is real: strictly between 0 and all, per multi-member cell
+    val multi = got.groupBy(_._2).filter(_._2.length >= 4)
+    assert(multi.nonEmpty)
+    multi.foreach { case (cell, ms) =>
+      val k = ms.count(_._5)
+      assert(k == math.ceil(ms.length * keepFrac).toInt, s"cell $cell")
+      assert(k < ms.length, s"cell $cell must prune something")
+    }
+  }
+
+  test("protoPrune keep boundary: keepFrac = 1.0 keeps everything") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings").where(col("vec_id") < 100)
+    val model = LopqTrainer.train(Tables(spark, sf, "embeddings"), "embedding", p)
+    val all = VectorQueries.protoPrune(e, "vec_id", "embedding", model, 1.0)
+    assert(all.where(!col("keep")).isEmpty)
+  }
+}
