@@ -15,6 +15,7 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]] [incr:mod]
   *        runMain graft.ProbeRelease ingest [v2|v3|v4] [batchRows] [sweep:t1,t2,...]
   *        runMain graft.ProbeRelease stream [v2|v3|v4] [nBatches] [batchRows] [compactAt]
+  *        runMain graft.ProbeRelease curation [v1|v2|v3|v4] [quota] [keepFrac]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -716,8 +717,63 @@ object ProbeRelease {
     spark.stop()
   }
 
+  /** Curation-operator probe: cluster-balanced sampling + prototypicality
+    * pruning against a persisted release index — the release-magnitude
+    * evidence for q100/q101 (per-cell quota over 1M+ learned strata;
+    * slim-model scoring of the full corpus with the fat vectors never
+    * shuffling). */
+  private def probeCuration(shapeArg: Option[String], quotaArg: Option[Int],
+      keepFracArg: Option[Double]): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = shapeArg match {
+      case Some("v1") => ReleaseShape.V1
+      case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
+      case _ => ReleaseShape.V2
+    }
+    val quota = quotaArg.getOrElse(10)
+    val keepFrac = keepFracArg.getOrElse(0.7)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val idx = LopqIndexStore.loadSlim(spark, s.dir).get
+    val cells = idx.codes.select(
+      org.apache.spark.sql.functions.col("id"),
+      col("cell_id").cast("long").as("cell_id"))
+    println(s"[probe-release] curation ${s.name} quota=$quota keepFrac=$keepFrac")
+    (1 to 3).foreach { pass =>
+      val t0 = System.nanoTime()
+      val n = graft.ops.VectorQueries.clusterBalancedSample(cells, quota).count()
+      println(f"[probe-release] clusterSample pass $pass  " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    val vectors = ReleaseShape.vectors(spark, s.dir)
+    (1 to 3).foreach { pass =>
+      val t0 = System.nanoTime()
+      val r = graft.ops.VectorQueries.protoPruneSlim(vectors, "vec_id",
+          "embedding", idx.slim, keepFrac, idx.pca)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)), count(lit(1))).head()
+      println(f"[probe-release] protoPrune pass $pass  " +
+        f"${(System.nanoTime() - t0) / 1e9}%8.2f s  kept=${r.getLong(0)}/${r.getLong(1)}")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
+    if (args.headOption.contains("curation")) {
+      val rest = args.drop(1)
+      val (shapeArg, nums) = rest.partition(a =>
+        a == "v1" || a == "v2" || a == "v3" || a == "v4")
+      probeCuration(shapeArg.headOption,
+        nums.lift(0).map(_.toInt), nums.lift(1).map(_.toDouble))
+      return
+    }
     if (args.headOption.contains("semdedup")) {
       val rest = args.drop(1)
       val (sampleArgs, rest1) = rest.partition(_.startsWith("sample:"))

@@ -388,15 +388,32 @@ object VectorQueries {
     * materialize the pruned corpus. */
   def protoPrune(vectors: DataFrame, idCol: String, vecCol: String,
       model: graft.engine.LopqModel, keepFrac: Double,
-      pca: Option[graft.engine.LopqPca] = None): DataFrame = {
+      pca: Option[graft.engine.LopqPca] = None): DataFrame =
+    protoPruneImpl(vectors, idCol, vecCol, model.coarse, model.mus,
+      keepFrac, pca)
+
+  /** [[protoPrune]] from a SLIM model handle — the release-magnitude form:
+    * the slim model already holds exactly the arrays the score needs
+    * (coarse codebooks + residual means; the rotation tensor it elides is
+    * the part the score provably cannot use). */
+  def protoPruneSlim(vectors: DataFrame, idCol: String, vecCol: String,
+      slim: graft.engine.SlimLopqModel, keepFrac: Double,
+      pca: Option[graft.engine.LopqPca] = None): DataFrame =
+    protoPruneImpl(vectors, idCol, vecCol, slim.coarse, slim.mus,
+      keepFrac, pca)
+
+  private def protoPruneImpl(vectors: DataFrame, idCol: String,
+      vecCol: String, coarse: Array[Array[Array[Float]]],
+      mus: Array[Array[Array[Float]]], keepFrac: Double,
+      pca: Option[graft.engine.LopqPca]): DataFrame = {
     require(keepFrac > 0.0 && keepFrac <= 1.0,
       s"keepFrac must be in (0, 1], got $keepFrac")
     val s = vectors.sparkSession
     import s.implicits._
-    val coarseB = s.sparkContext.broadcast(model.coarse)
-    val musB = s.sparkContext.broadcast(model.mus)
+    val coarseB = s.sparkContext.broadcast(coarse)
+    val musB = s.sparkContext.broadcast(mus)
     val pcaB = s.sparkContext.broadcast(pca)
-    val vCount = model.v
+    val vCount = coarse(0).length
     val skinny = vectors
       .select(col(idCol).cast("long"), col(vecCol))
       .as[(Long, Seq[Float])]

@@ -69,10 +69,12 @@ class CurationSampleSpec extends SparkSpec {
     assert(cnt(9L) == 1L && perCell.find(_._1 == 9L).get._2 == 1L)
   }
 
+  private lazy val model =
+    LopqTrainer.train(Tables(spark, sf, "embeddings"), "embedding", p)
+
   test("protoPrune: keep-hardest ceil(frac·n) per cell, ranked by residual norm desc") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sf, "embeddings")
-    val model = LopqTrainer.train(e, "embedding", p)
     val keepFrac = 0.7
     val got = VectorQueries.protoPrune(e, "vec_id", "embedding", model, keepFrac)
       .collect()
@@ -126,8 +128,20 @@ class CurationSampleSpec extends SparkSpec {
   test("protoPrune keep boundary: keepFrac = 1.0 keeps everything") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sf, "embeddings").where(col("vec_id") < 100)
-    val model = LopqTrainer.train(Tables(spark, sf, "embeddings"), "embedding", p)
     val all = VectorQueries.protoPrune(e, "vec_id", "embedding", model, 1.0)
     assert(all.where(!col("keep")).isEmpty)
+  }
+
+  test("protoPruneSlim ≡ protoPrune: the slim handle scores bit-identically") {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sf, "embeddings")
+    val slim = graft.engine.SlimLopqModel(
+      model.coarse, model.mus, model.subquantizers)
+    val full = VectorQueries.protoPrune(e, "vec_id", "embedding", model, 0.7)
+      .orderBy("cell_id", "rk").collect()
+    val viaSlim = VectorQueries
+      .protoPruneSlim(e, "vec_id", "embedding", slim, 0.7)
+      .orderBy("cell_id", "rk").collect()
+    assert(full.length == viaSlim.length && full.sameElements(viaSlim))
   }
 }
