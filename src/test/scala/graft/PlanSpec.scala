@@ -254,6 +254,47 @@ class PlanSpec extends SparkSpec {
       "chunk id-attach must broadcast the skinny side")
   }
 
+  test("q100 rank window is fed by the per-cell hash cutoff, not the whole corpus") {
+    val df = SparkEntry.queries("q100_cluster_sample")(spark, sf)
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    val wIdx = p.indexOf("Window")
+    assert(wIdx >= 0, "q100 must rank via a window")
+    // q76's guarantee with learned cells as strata: the window's input
+    // subtree must be the cutoff join + hash filter, so a whole cell can
+    // never ride one task at corpus scale
+    val below = p.substring(wIdx)
+    assert(below.contains("hv") && below.contains("cut"),
+      "window input must be pre-filtered by the per-cell hash cutoff")
+  }
+
+  test("q101 protoPrune shuffles only skinny rows (the vector column dies map-side)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val df = SparkEntry.queries("q101_proto_prune")(spark, sf)
+    df.collect() // finalize AQE
+    def shuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = plan match {
+        case s: ShuffleExchangeExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case q: QueryStageExec => shuffles(q.plan)
+        case _ => Seq.empty
+      }
+      here ++ plan.children.flatMap(shuffles)
+    }
+    val ex = shuffles(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "the per-cell rank window must shuffle something")
+    // at deployment width the vector column is 16 KB/row; the operator's
+    // whole scale story is that it never enters an exchange
+    ex.foreach { e =>
+      val fat = e.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(fat.isEmpty,
+        s"vector column leaked into a shuffle: ${fat.map(_.name).mkString(",")}")
+    }
+  }
+
   test("q97 incremental semdedup = the batch-touching subset; corpus scans stay map-side") {
     // pair semantics: the incremental pass must emit EXACTLY the one-shot
     // sweep's pairs that touch the batch (even ids), no more, no less
