@@ -306,6 +306,16 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     graft.ops.VectorQueries.clusterBalancedSample(cells, quota)
   }
 
+  /** [[clusterSample]] with the sub-linear `max(1, ⌊√count⌋)` per-cell
+    * quota — flattens cluster skew instead of cutting every cell to the
+    * same size ([[graft.ops.VectorQueries.clusterTemperedSample]]). */
+  def clusterSampleTempered(): DataFrame = {
+    val h = EngineOps.index(spark, sfDir)
+    val cells = h.codes.select(col("id"),
+      col("cell_id").cast("long").as("cell_id"))
+    graft.ops.VectorQueries.clusterTemperedSample(cells)
+  }
+
   /** PROTOTYPICALITY pruning over the indexed corpus (SSL-prototypes,
     * Sorscher et al. 2022): every vector scored by residual norm in the
     * model's locally-projected space and ranked within its coarse cell —

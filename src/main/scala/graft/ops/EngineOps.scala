@@ -536,6 +536,23 @@ object EngineOps {
            |FROM r WHERE rk <= $ClusterSampleQuota
            |ORDER BY cell_id, id""".stripMargin
 
+      // q102: cluster-TEMPERED sample — q100's ranking with the
+      // floor-of-sqrt per-cell quota (bit-identical integer→sqrt→floor on
+      // both engines, the q87 precedent)
+      oracleStash("q102_cluster_tempered") =
+        s"""WITH codes AS (
+           |  SELECT id, (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |c AS (SELECT cell_id, count(*) AS cnt FROM codes GROUP BY 1),
+           |r AS (SELECT codes.cell_id, codes.id,
+           |        row_number() OVER (PARTITION BY codes.cell_id
+           |          ORDER BY ('0x' || substr(md5(codes.id::VARCHAR),1,15))::BIGINT, codes.id) AS rk,
+           |        greatest(1, floor(sqrt(c.cnt))) AS q
+           |      FROM codes JOIN c USING (cell_id))
+           |SELECT cell_id::BIGINT AS cell_id, id, rk::BIGINT AS rk
+           |FROM r WHERE rk <= q
+           |ORDER BY cell_id, id""".stripMargin
+
       // q101: prototypicality pruning — the engine scores each row by its
       // double-fold residual² vs the assigned cell's refined mean
       // (C + mu, dumped above); the oracle refolds the identical math
@@ -1220,6 +1237,24 @@ object EngineOps {
           .orderBy("cell_id", "id")
       },
       stashed("q100_cluster_sample"),
+      dependsOnIndex = true),
+
+    // Cluster-TEMPERED sample: q100 with the sub-linear ⌊√count⌋ per-cell
+    // quota — big clusters flattened toward small ones (q87's temper over
+    // the learned cells). Same verified-cutoff physics; the quota is a
+    // column on the per-cell counts row. Physical design in
+    // [[VectorQueries.clusterTemperedSample]].
+    QueryDef(
+      "q102_cluster_tempered",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val cells = h.codes.select(col("id"),
+          col("cell_id").cast("long").as("cell_id"))
+        VectorQueries.clusterTemperedSample(cells)
+          .orderBy("cell_id", "id")
+      },
+      stashed("q102_cluster_tempered"),
       dependsOnIndex = true),
 
     // PROTOTYPICALITY pruning (SSL-prototypes, Sorscher et al. 2022): keep

@@ -330,18 +330,39 @@ object VectorQueries {
     * any hash skew. Returns `(cell_id, id, rk)` with `rk ≤ quota`. */
   def clusterBalancedSample(cells: DataFrame, quota: Int): DataFrame = {
     require(quota >= 1, s"quota must be >= 1, got $quota")
+    clusterSampleImpl(cells, lit(quota.toLong))
+  }
+
+  /** Cluster-TEMPERED deterministic sample — [[clusterBalancedSample]]
+    * with a sub-linear per-cell quota `max(1, ⌊√count⌋)` instead of a
+    * constant (q87's floor-of-sqrt temper applied to the LEARNED cells):
+    * big clusters are flattened toward the small ones instead of being
+    * cut to an identical quota, the semantic-rebalancing draw of
+    * cluster-curated corpus pipelines. Floor-of-sqrt is bit-identical
+    * across engines (correctly-rounded sqrt on an exact integer), so the
+    * whole sample stays hash-gateable. Same verified-cutoff physics:
+    * the rank window sees O(Σ min(cnt, overshoot·√cnt)) skinny rows. */
+  def clusterTemperedSample(cells: DataFrame): DataFrame =
+    clusterSampleImpl(cells,
+      greatest(lit(1L), floor(sqrt(col("cnt"))).cast("long")))
+
+  /** Shared engine of the cluster sampling pair: `quotaExpr` is evaluated
+    * against the per-cell counts row (`cnt` in scope) — a literal for the
+    * balanced draw, `⌊√cnt⌋` for the tempered one. */
+  private def clusterSampleImpl(cells: DataFrame, quotaExpr: Column): DataFrame = {
     import graft.functions.TextFunctions.md5Long
     val base = cells
       .select(col("id"), col("cell_id"),
         md5Long(col("id").cast("string")).as("hv"))
       .localCheckpoint() // hash once, scanned by count + filter passes
     val counts = base.groupBy("cell_id").agg(count(lit(1)).as("cnt"))
+      .withColumn("q", quotaExpr)
       .localCheckpoint()
     val MaxHv = 1L << 60 // md5Long range: 15 hex chars = 60 bits
     def survivors(os: Long): DataFrame = {
-      val cut = counts.select(col("cell_id"),
-        when(lit(os * quota) >= col("cnt"), Long.MaxValue)
-          .otherwise(lit(MaxHv) / col("cnt") * lit(os * quota)).as("cut"))
+      val cut = counts.select(col("cell_id"), col("q"),
+        when(lit(os) * col("q") >= col("cnt"), Long.MaxValue)
+          .otherwise(lit(MaxHv) / col("cnt") * (lit(os) * col("q"))).as("cut"))
       base.join(cut, "cell_id").where(col("hv") <= col("cut"))
     }
     val pre = Iterator.iterate(4L)(_ * 4).map(survivors)
@@ -351,13 +372,12 @@ object VectorQueries {
         counts
           .join(p.groupBy("cell_id").agg(count(lit(1)).as("got")),
             Seq("cell_id"), "left_outer")
-          .where(coalesce(col("got"), lit(0L)) <
-            least(lit(quota.toLong), col("cnt")))
+          .where(coalesce(col("got"), lit(0L)) < least(col("q"), col("cnt")))
           .isEmpty
       }.get
     val w = Window.partitionBy("cell_id").orderBy(col("hv"), col("id"))
     pre.withColumn("rk", row_number().over(w).cast("long"))
-      .where(col("rk") <= quota)
+      .where(col("rk") <= col("q"))
       .select(col("cell_id"), col("id"), col("rk"))
   }
 

@@ -72,6 +72,28 @@ class CurationSampleSpec extends SparkSpec {
   private lazy val model =
     LopqTrainer.train(Tables(spark, sf, "embeddings"), "embedding", p)
 
+  test("clusterTemperedSample draws max(1, floor(sqrt(cnt))) per cell in hash order") {
+    graft.functions.GraftFunctions.register(spark)
+    val cells = skewedCells
+    val got = VectorQueries.clusterTemperedSample(cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cnt = cells.groupBy("cell_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // per-cell draw size = min(cnt, max(1, floor(sqrt(cnt))))
+    val perCell = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    cnt.foreach { case (cell, n) =>
+      val q = math.max(1L, math.sqrt(n.toDouble).toLong)
+      assert(perCell.getOrElse(cell, 0L) == math.min(q, n), s"cell $cell")
+    }
+    // the draw is the PREFIX of the balanced draw's hash order: every
+    // tempered pick at rank r is the balanced pick at rank r
+    val balanced = VectorQueries.clusterBalancedSample(cells, 2000)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    got.foreach { case (cell, id, rk) =>
+      assert(balanced((cell, rk)) == id, s"cell $cell rank $rk")
+    }
+  }
+
   test("protoPrune: keep-hardest ceil(frac·n) per cell, ranked by residual norm desc") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sf, "embeddings")
