@@ -869,6 +869,7 @@ object EngineOps {
           .orderBy("id_a", "id_b")
       },
       stashed("q94_semdedup_cells"),
+      bench = true,
       dependsOnIndex = true),
 
     // The SemDeDup MATERIALIZATION (the Abbas et al. pipeline's end
@@ -1237,6 +1238,7 @@ object EngineOps {
           .orderBy("cell_id", "id")
       },
       stashed("q100_cluster_sample"),
+      bench = true,
       dependsOnIndex = true),
 
     // Cluster-TEMPERED sample: q100 with the sub-linear ⌊√count⌋ per-cell
@@ -1271,6 +1273,7 @@ object EngineOps {
           .orderBy("cell_id", "rk")
       },
       stashed("q101_proto_prune"),
+      bench = true,
       dependsOnIndex = true)
   )
 }
