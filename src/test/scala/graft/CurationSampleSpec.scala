@@ -154,6 +154,90 @@ class CurationSampleSpec extends SparkSpec {
     assert(all.where(!col("keep")).isEmpty)
   }
 
+  /** Randomized brute-force model check for the curation trio (the
+    * CatalogSpec semdedup pattern): random skinny assignments for the two
+    * samplers (ranked vs a driver model over the same md5 hash), and
+    * HAND-BUILT random models for the prune (no training — protoPrune
+    * reads only coarse/mus, so a LopqModel with placeholder rotations and
+    * a minimal subquantizer block exercises the full scoring path).
+    * Deterministic seed, so a rounding-boundary tie cannot flake. */
+  test("curation trio matches brute-force models on random inputs") {
+    graft.functions.GraftFunctions.register(spark)
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7777L)
+    (1 to 5).foreach { trial =>
+      val n = if (trial == 1) 1 else 30 + rnd.nextInt(200)
+      val nCells = 1 + rnd.nextInt(12)
+      val quota = 1 + rnd.nextInt(12)
+      val rows = (0 until n).map(i => (i.toLong, rnd.nextInt(nCells).toLong))
+      val cells = rows.toDF("id", "cell_id")
+      val hv = rows.map { case (id, _) =>
+        id -> graft.functions.TextFunctions.md5Long60(id.toString)
+      }.toMap
+      def drawOf(q: Long => Long) = rows.groupBy(_._2).toSeq.flatMap {
+        case (c, ms) =>
+          ms.sortBy(m => (hv(m._1), m._1)).take(q(ms.length.toLong).toInt)
+            .zipWithIndex.map { case ((id, _), i) => (c, id, (i + 1).toLong) }
+      }.toSet
+      def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got(VectorQueries.clusterBalancedSample(cells, quota)) ===
+        drawOf(_ => quota.toLong), s"balanced, trial $trial")
+      assert(got(VectorQueries.clusterTemperedSample(cells)) ===
+        drawOf(cnt => math.max(1L, math.sqrt(cnt.toDouble).toLong)),
+        s"tempered, trial $trial")
+
+      // protoPrune vs a driver model on a hand-built random LopqModel
+      val v = 2 + rnd.nextInt(3)
+      val halfDim = 2 + rnd.nextInt(4)
+      val keepFrac = 0.3 + rnd.nextDouble() * 0.7
+      def block() = Array.fill(v)(Array.fill(halfDim)(rnd.nextGaussian().toFloat))
+      val m = graft.engine.LopqModel(
+        coarse = Array(block(), block()),
+        rotations = Array(Array.empty[Array[Array[Float]]],
+          Array.empty[Array[Array[Float]]]), // unused by the score
+        mus = Array(block(), block()),
+        subquantizers = Array( // minimal well-formed block, unused too
+          Array(Array(Array(0f))), Array(Array(Array(0f)))))
+      val vecs = (0 until n).map(i =>
+        (i.toLong, Array.fill(2 * halfDim)(rnd.nextGaussian().toFloat).toSeq))
+      val scored = vecs.map { case (id, emb) =>
+        val halves = graft.core.VectorOps.splits(emb.toArray, 2)
+        var sq = 0.0
+        var cell = 0L
+        (0 until 2).foreach { split =>
+          val ci = graft.core.VectorOps.argminL2(halves(split), m.coarse(split))
+          var d = 0.0
+          var j = 0
+          while (j < halfDim) {
+            val r = halves(split)(j).toDouble - m.coarse(split)(ci)(j).toDouble -
+              m.mus(split)(ci)(j).toDouble
+            d += r * r
+            j += 1
+          }
+          sq += d
+          cell = cell * v + ci
+        }
+        (id, cell, BigDecimal(math.sqrt(sq))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val want = scored.groupBy(_._2).toSeq.flatMap { case (cell, ms) =>
+        val ranked = ms.sortBy { case (id, _, dist) => (-dist, id) }
+        val keepN = math.ceil(ranked.length * keepFrac).toLong
+        ranked.zipWithIndex.map { case ((id, _, dist), i) =>
+          (id, cell, dist, (i + 1).toLong, (i + 1).toLong <= keepN)
+        }
+      }.toSet
+      val gotP = VectorQueries.protoPrune(
+          vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", m, keepFrac)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3), r.getBoolean(4))).toSet
+      assert(gotP === want, s"protoPrune, trial $trial")
+    }
+  }
+
   test("protoPruneSlim ≡ protoPrune: the slim handle scores bit-identically") {
     graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sf, "embeddings")
