@@ -316,6 +316,25 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     graft.ops.VectorQueries.clusterTemperedSample(cells)
   }
 
+  /** The SEMANTIC-CURATION pipeline as one call: [[semDedupCorpus]]'s
+    * near-dup survivors → [[protoPrune]]'s keep-hardest cut →
+    * [[clusterSampleTempered]]'s skew-flattening draw, returning the
+    * curated manifest `(cell_id, id, rk, proto_dist)` (the q103
+    * composition — join back to the corpus on id for the rows). */
+  def curateCorpus(keepFrac: Double = 0.7,
+      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold)
+      : DataFrame = {
+    val surv = semDedupCorpus(simThreshold)
+    val kept = graft.ops.VectorQueries.protoPrune(surv, "vec_id",
+        "embedding", EngineOps.index(spark, sfDir).model, keepFrac)
+      .where(col("keep"))
+      .select(col("id"), col("cell_id"), col("proto_dist"))
+      .localCheckpoint()
+    graft.ops.VectorQueries.clusterTemperedSample(kept.select("id", "cell_id"))
+      .join(kept.select(col("id"), col("proto_dist")), "id")
+      .select(col("cell_id"), col("id"), col("rk"), col("proto_dist"))
+  }
+
   /** PROTOTYPICALITY pruning over the indexed corpus (SSL-prototypes,
     * Sorscher et al. 2022): every vector scored by residual norm in the
     * model's locally-projected space and ranked within its coarse cell —

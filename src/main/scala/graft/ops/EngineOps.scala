@@ -586,6 +586,56 @@ object EngineOps {
            |       rk::BIGINT AS rk, (rk <= ceil(n * $ProtoKeepFrac)) AS keep
            |FROM r ORDER BY cell_id, rk""".stripMargin
 
+      // q103: the composed semantic-curation pipeline — q95's recursive
+      // survivor CTE, q101's residual scoring + keep over the survivors,
+      // q102's floor-sqrt tempered draw over the keep-set, chained as one
+      // SQL derivation (the codebook alias is cb, so the pair sweep's
+      // second codes side is cb2)
+      oracleStash("q103_semantic_curation") =
+        s"""WITH RECURSIVE codes AS (
+           |  SELECT id, coarse0, coarse1, (coarse0 * $v + coarse1) AS cell_id
+           |  FROM read_parquet('$codesGlob')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |cb AS (SELECT * FROM read_parquet('$odir/coarse/*.parquet')),
+           |pairs AS (
+           |  SELECT ca.id AS id_a, cb2.id AS id_b
+           |  FROM codes ca JOIN codes cb2 ON ca.cell_id = cb2.cell_id AND ca.id < cb2.id
+           |  JOIN e ea ON ea.vec_id = ca.id
+           |  JOIN e eb ON eb.vec_id = cb2.id
+           |  WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}),
+           |und AS (SELECT id_a AS a, id_b AS b FROM pairs
+           |        UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT a, a FROM und
+           |  UNION
+           |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id),
+           |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> min(r)),
+           |surv AS (SELECT * FROM codes
+           |         WHERE id NOT IN (SELECT id FROM losers)),
+           |d AS (
+           |  SELECT surv.id, surv.cell_id,
+           |    round(sqrt(${resSql(s"e.v[1:$half]", "c0")} +
+           |               ${resSql(s"e.v[${half + 1}:${2 * half}]", "c1")}), 6) AS proto_dist
+           |  FROM surv JOIN e ON e.vec_id = surv.id
+           |  JOIN cb c0 ON c0.split = 0 AND c0.cidx = surv.coarse0
+           |  JOIN cb c1 ON c1.split = 1 AND c1.cidx = surv.coarse1),
+           |pr AS (SELECT id, cell_id, proto_dist,
+           |        row_number() OVER (PARTITION BY cell_id
+           |          ORDER BY proto_dist DESC, id) AS prk,
+           |        count(*) OVER (PARTITION BY cell_id) AS n
+           |      FROM d),
+           |kept AS (SELECT id, cell_id, proto_dist FROM pr
+           |         WHERE prk <= ceil(n * $ProtoKeepFrac)),
+           |c2 AS (SELECT cell_id, count(*) AS cnt FROM kept GROUP BY 1),
+           |r2 AS (SELECT kept.cell_id, kept.id, kept.proto_dist,
+           |        row_number() OVER (PARTITION BY kept.cell_id
+           |          ORDER BY ('0x' || substr(md5(kept.id::VARCHAR),1,15))::BIGINT, kept.id) AS rk,
+           |        greatest(1, floor(sqrt(c2.cnt))) AS q
+           |      FROM kept JOIN c2 USING (cell_id))
+           |SELECT cell_id::BIGINT AS cell_id, id, rk::BIGINT AS rk, proto_dist
+           |FROM r2 WHERE rk <= q
+           |ORDER BY cell_id, id""".stripMargin
+
       val dsq = l2sqSql("p.subvec", "c.centroid")
       oracleStash("q45_subq_distortion") =
         s"""WITH p AS (SELECT * FROM read_parquet('$odir/proj/*.parquet')),
@@ -1274,6 +1324,42 @@ object EngineOps {
       },
       stashed("q101_proto_prune"),
       bench = true,
+      dependsOnIndex = true),
+
+    // The SEMANTIC-CURATION pipeline end to end — the embedding-side twin
+    // of q79's composed text curation: SemDeDup survivors (q95's
+    // dedup) → prototypicality keep-set (q101's prune) → cluster-tempered
+    // draw (q102's sampler), emitting the curated corpus manifest in one
+    // declarative derivation. Each stage keeps its pinned scale shape
+    // (broadcast loser anti-join; one map-side scoring scan; skinny
+    // adaptive draw) — composition adds NO new shuffle. The keep-set is
+    // localCheckpoint'd before the sampler: its adaptive cutoff loop
+    // re-scans its input per overshoot attempt, and without the pin each
+    // attempt would re-run the whole O(n·D) scoring scan.
+    QueryDef(
+      "q103_semantic_curation",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val cells = h.codes.select(col("id"),
+          (col("coarse0") * h.model.v + col("coarse1")).cast("long").as("cell_id"))
+        val e = t(s, d, "embeddings")
+        val edges = VectorQueries.semDedupPairs(cells, e, "vec_id", "embedding")
+          .select("id_a", "id_b").localCheckpoint()
+        val losers = TextOps.minLabelComponents(edges)
+          .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
+        val surv = e.join(losers, Seq("vec_id"), "left_anti")
+        val kept = VectorQueries.protoPrune(surv, "vec_id", "embedding",
+            h.model, ProtoKeepFrac)
+          .where(col("keep"))
+          .select(col("id"), col("cell_id"), col("proto_dist"))
+          .localCheckpoint()
+        VectorQueries.clusterTemperedSample(kept.select("id", "cell_id"))
+          .join(kept.select(col("id"), col("proto_dist")), "id")
+          .select(col("cell_id"), col("id"), col("rk"), col("proto_dist"))
+          .orderBy("cell_id", "id")
+      },
+      stashed("q103_semantic_curation"),
       dependsOnIndex = true)
   )
 }
