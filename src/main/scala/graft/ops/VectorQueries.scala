@@ -405,7 +405,18 @@ object VectorQueries {
     * ties by id). `pca` pre-applies a PCA front for corpora whose model
     * lives in PCA space (release shapes). Returns every row with
     * `(id, cell_id, proto_dist, rk, keep)`; filter on `keep` to
-    * materialize the pruned corpus. */
+    * materialize the pruned corpus.
+    *
+    * Row-at-a-time scoring is deliberate (measured, PROBES.md r12): a
+    * 64-row j-major GEMM-style batching of the PCA front REGRESSED ~2× at
+    * the v4 deployment width, because the shared read-only P matrix
+    * (~8 MB) is already L3-resident across all executor threads in the
+    * row-at-a-time pass, while per-batch private diff panels (2 MB/thread
+    * re-streamed once per column) evict it; and the bit-exact sequential
+    * fold the oracle parity requires forbids the accumulator splitting
+    * that would let either form vectorize. At ~80 µs/row (4096→256 front)
+    * the pass is one linear scan — executors scale it, don't micro-tile
+    * it. */
   def protoPrune(vectors: DataFrame, idCol: String, vecCol: String,
       model: graft.engine.LopqModel, keepFrac: Double,
       pca: Option[graft.engine.LopqPca] = None): DataFrame =
