@@ -777,8 +777,8 @@ object LopqSearcher {
     val dim = index.pca.map(_.mu.length).getOrElse(index.slim.halfDim * 2)
     val confChunk = spark.conf.get(AnnJoinChunkRowsConf, "0").toLong
     // the 96 B/row estimate matches the exact-stage collect gate; the 20%
-    // headroom absorbs hash-chunking imbalance so a slightly-heavy chunk
-    // still clears the gate instead of falling to the fallback join
+    // headroom keeps a chunk safely inside the gate (range chunks are
+    // exact-sized, but the byte estimate itself is approximate)
     val autoChunk =
       math.max(1L, qvecBroadcastMaxBytes(spark) * 4 / 5 / (4L * dim + 96L))
     val chunkRows = if (confChunk > 0L) confChunk else autoChunk
@@ -791,14 +791,44 @@ object LopqSearcher {
         quota, k, rerankK), 0)
       return 1
     }
-    val chunked = queries
-      .withColumn("_graft_chunk", pmod(hash(col(qIdCol)), lit(nChunks)))
-      .repartition(nChunks, col("_graft_chunk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // RANGE chunking over sorted q_id (r12: hash chunking previously
+    // persisted the WHOLE fat probe frame at MEMORY_AND_DISK — an
+    // O(probes·D) local cache, ~32 GB at the 2M × 4096-d deployment
+    // shape, i.e. the very footprint chunking exists to bound; it filled
+    // the box's scratch before chunk 0 finished). Boundary ids come from
+    // one skinny distributed prefix-sum pass over the sorted id column
+    // (the q77 pattern — per-partition counts → broadcast offsets, never
+    // a one-task global window), and each chunk is then a RANGE FILTER on
+    // the probe source: nothing fat is cached, each chunk holds exactly
+    // `chunkRows` probes (no hash imbalance), and on an id-ordered
+    // parquet source the pushed range prunes row groups so chunk I/O is
+    // O(chunk), not O(corpus) per chunk.
+    val qids = queries.select(col(qIdCol).as("_qid")).sort("_qid")
+      .localCheckpoint() // skinny: O(probes) ids, MBs at deployment scale
+    val parts = qids.rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = parts.scanLeft(0L)(_ + _).init
+    val offB = spark.sparkContext.broadcast(offsets)
+    val boundaries = qids.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var pos = offB.value(i)
+      it.flatMap { row =>
+        pos += 1
+        // a boundary closes each full chunk; pos == nProbes would only
+        // open an empty trailing chunk
+        if (pos % chunkRows == 0 && pos < nProbes) Some(row.get(0)) else None
+      }
+    }.collect()
+    require(boundaries.length == nChunks - 1,
+      s"range chunking derived ${boundaries.length} boundaries for $nChunks " +
+        s"chunks — duplicate q_ids? (annJoin requires unique probe ids)")
     note(spark, "chunks", nChunks)
-    try (0 until nChunks).foreach { c =>
+    (0 until nChunks).foreach { c =>
       val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-      val chunk = chunked.where(col("_graft_chunk") === c).drop("_graft_chunk")
+      var cond: Column = lit(true)
+      if (c > 0) cond = cond && col(qIdCol) > lit(boundaries(c - 1))
+      if (c < nChunks - 1) cond = cond && col(qIdCol) <= lit(boundaries(c))
+      val chunk = queries.where(cond)
       sink(annJoin(index, chunk, qIdCol, qVecCol, vectors, idCol, vecCol,
         quota, k, rerankK), c)
       // release the chunk's qcells cache (annJoin persists it for the
@@ -808,7 +838,7 @@ object LopqSearcher {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => cachedBefore(id) }
         .values.foreach(_.unpersist(blocking = false))
-    } finally chunked.unpersist(blocking = false)
+    }
     nChunks
   }
 
