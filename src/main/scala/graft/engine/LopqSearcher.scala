@@ -838,6 +838,12 @@ object LopqSearcher {
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => cachedBefore(id) }
         .values.foreach(_.unpersist(blocking = false))
+      // drop the finished chunk's shuffle files: the ContextCleaner frees
+      // them only when the chunk plan's RDDs are GC'd, and its own
+      // periodic nudge (30 min) is longer than several chunks — a long
+      // run would otherwise stack O(chunks · per-chunk-shuffle) scratch
+      // (the semDedupPairsChunked loop does the same)
+      System.gc()
     }
     nChunks
   }
