@@ -169,7 +169,7 @@ object ProbeRelease {
     * output against them is printed. */
   private def probeDedup(shapeArg: Option[String], nProbesArg: Option[Int],
       quota: Int, rerankK: Int, jitterEps: Option[Double],
-      chunkRows: Option[Long]): Unit = {
+      chunkRows: Option[Long], passesArg: Option[Int] = None): Unit = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
@@ -263,8 +263,10 @@ object ProbeRelease {
       }
     }
     // full-corpus runs are minutes per pass — 2 passes (cold, warm+write);
-    // dev-scale runs keep the 3-pass cold/warm/warm-write split
-    val nPasses = if (nProbes > 100000) 2 else 3
+    // dev-scale runs keep the 3-pass cold/warm/warm-write split; a
+    // `passes:N` arg overrides (the 2M deployment sweep is ~2 h per pass,
+    // one cold+write pass is the affordable full-corpus record)
+    val nPasses = passesArg.getOrElse(if (nProbes > 100000) 2 else 3)
     (1 to nPasses).foreach { pass =>
       val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
@@ -827,13 +829,15 @@ object ProbeRelease {
         case "chunk" => 0L // auto-size from the broadcast-matrix bound
         case a => a.stripPrefix("chunk:").toLong
       }
-      val (shapeArg, numArgs) = rest4.partition(a => a == "v2" || a == "v3" || a == "v4")
+      val (passArgs, rest5) = rest4.partition(_.startsWith("passes:"))
+      val (shapeArg, numArgs) = rest5.partition(a => a == "v2" || a == "v3" || a == "v4")
       val nums = numArgs.map(_.toInt)
       probeDedup(shapeArg.headOption, nums.headOption,
         quota = nums.lift(1).getOrElse(1000),
         rerankK = nums.lift(2).getOrElse(32),
         jitterEps = jitterEps,
-        chunkRows = chunkRows)
+        chunkRows = chunkRows,
+        passesArg = passArgs.headOption.map(_.stripPrefix("passes:").toInt))
       return
     }
     if (args.headOption.contains("annjoin")) {
