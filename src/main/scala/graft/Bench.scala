@@ -276,7 +276,22 @@ object Bench {
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"errors":$es,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"errors":$es,"sf":"$sfDir"}"""
+    // The harness that snapshots this run keeps only the LAST 2000 chars
+    // of stdout and tries to parse a JSON line out of them — the full
+    // record (35+ rows with per-pass arrays) is ~3 KB, so for three
+    // rounds the snapshot held a beheaded line and parsed nothing. The
+    // full record now goes to a repo file (committed per round, so the
+    // pass arrays stay reviewable) and stdout ends with a COMPACT line
+    // (medians only, rounded to ms — ~1.2 KB) that fits the window.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), full + "\n")
+    val qsShort = results.map { case (k, v) =>
+      jstr(k) + ":" + (math.round(v * 1000.0) / 1000.0)
+    }.mkString("{", ",", "}")
+    println(full)
+    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","queries":$qsShort,"nErrors":${errors.size},"fullRecord":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }
