@@ -269,13 +269,20 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     def toCell(c: DataFrame) = c.select(col("id"),
       (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
     val corpusCells = toCell(h.codes)
+    // conf-gated multi-probe: the batch side also checks its second
+    // cell (see [[graft.ops.VectorQueries.ScreenMultiProbeConf]])
+    val multi = graft.ops.VectorQueries.screenMultiProbe(spark)
     val batchCells =
-      toCell(graft.engine.LopqSearcher.encode(batch, idCol, vecCol, h.model))
-    graft.ops.VectorQueries.semDedupPairsIncremental(
+      if (multi)
+        graft.engine.LopqIndexStore.assignCellsMulti(spark, h.dir, batch, idCol, vecCol)
+      else
+        toCell(graft.engine.LopqSearcher.encode(batch, idCol, vecCol, h.model))
+    val pairs = graft.ops.VectorQueries.semDedupPairsIncremental(
       corpusCells, batchCells,
       vectors.select(col("vec_id").as(idCol), col("embedding").as(vecCol)),
       batch.select(idCol, vecCol),
       idCol, vecCol, simThreshold)
+    if (multi) graft.ops.VectorQueries.dedupProbePairs(pairs) else pairs
   }
 
   /** [[semDedupIncrement]] resolved to the rows a screened ingest would
@@ -320,13 +327,27 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * near-dup survivors → [[protoPrune]]'s keep-hardest cut →
     * [[clusterSampleTempered]]'s skew-flattening draw, returning the
     * curated manifest `(cell_id, id, rk, proto_dist)` (the q103
-    * composition — join back to the corpus on id for the rows). */
+    * composition — join back to the corpus on id for the rows).
+    *
+    * `outDir` routes the pair sweep through the CHUNKED driver
+    * ([[semDedupCorpusChunked]]: per-cell-group parquet drains, in-flight
+    * footprint one chunk, `nChunks = 0` auto-sized from driver-known
+    * member count × width) — REQUIRED at deployment width, where the
+    * one-shot sweep's id-attach alone shuffle-writes the whole fat vector
+    * table (the measured scratch-killer at 2M × 4096-d, PROBES.md r12).
+    * Without `outDir` the one-shot sweep runs — fine at gate scale only.
+    * Chunk assignment cannot change the pair set (cells are whole within
+    * a chunk), so the two routes compose identically (spec-pinned). */
   def curateCorpus(keepFrac: Double = 0.7,
-      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold)
-      : DataFrame = {
-    val surv = semDedupCorpus(simThreshold)
+      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
+      outDir: Option[String] = None, nChunks: Int = 0): DataFrame = {
+    val surv = outDir match {
+      case Some(dir) => semDedupCorpusChunked(dir, simThreshold, nChunks)
+      case None => semDedupCorpus(simThreshold)
+    }
+    val h = EngineOps.index(spark, sfDir)
     val kept = graft.ops.VectorQueries.protoPrune(surv, "vec_id",
-        "embedding", EngineOps.index(spark, sfDir).model, keepFrac)
+        "embedding", h.model, keepFrac, h.pca)
       .where(col("keep"))
       .select(col("id"), col("cell_id"), col("proto_dist"))
       .localCheckpoint()
@@ -341,7 +362,12 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * `keep` marks the hardest `keepFrac` of each cell
     * ([[graft.ops.VectorQueries.protoPrune]]). Filter on `keep` to
     * materialize the pruned corpus. */
-  def protoPrune(keepFrac: Double): DataFrame =
+  def protoPrune(keepFrac: Double): DataFrame = {
+    // thread the handle's PCA front through (a PCA-fronted index scored on
+    // raw vectors would rank garbage — ADVICE r12; EngineOps.index builds
+    // pca=None today, so this is armor, not a behavior change)
+    val h = EngineOps.index(spark, sfDir)
     graft.ops.VectorQueries.protoPrune(vectors, "vec_id", "embedding",
-      EngineOps.index(spark, sfDir).model, keepFrac)
+      h.model, keepFrac, h.pca)
+  }
 }

@@ -73,6 +73,7 @@ object Bench {
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val passReadBytes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
 
     /** Time `Passes` runs of `run`; record per-pass times + median.
       * `warmup` extra passes run UNTIMED first: rows whose claim is
@@ -91,16 +92,26 @@ object Bench {
           case Right(_) => ()
         }
       }
+      // machine read-bytes delta per pass (VERDICT r12 "What's wrong #3"):
+      // a page-cache-polluted pass self-identifies in the committed record
+      // — its bytes explain its wall-clock — instead of reading as a
+      // phantom plan regression
+      val reads = scala.collection.mutable.ArrayBuffer.empty[Long]
       val times = (1 to Passes).map { _ =>
+        val b0 = graft.core.DiskStats.readBytes()
         val t0 = System.nanoTime()
-        run() match {
+        val r = run() match {
           case Right(_) => (System.nanoTime() - t0) / 1e9
           case Left(err) =>
             errors(name) = err
             -1.0
         }
+        val b1 = graft.core.DiskStats.readBytes()
+        reads += (if (b0 < 0 || b1 < 0) -1L else b1 - b0)
+        r
       }
       passTimes(name) = times
+      passReadBytes(name) = reads.toSeq
       if (times.contains(-1.0)) name -> -1.0 else name -> median(times)
     }
 
@@ -275,9 +286,12 @@ object Bench {
     val ps = passTimes.map { case (k, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val rb = passReadBytes.map { case (k, bs) =>
+      jstr(k) + ":" + bs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"passReadBytes":$rb,"errors":$es,"sf":"$sfDir"}"""
     // The harness that snapshots this run keeps only the LAST 2000 chars
     // of stdout and tries to parse a JSON line out of them — the full
     // record (35+ rows with per-pass arrays) is ~3 KB, so for three

@@ -13,9 +13,11 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
   *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
   *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]] [incr:mod]
-  *        runMain graft.ProbeRelease ingest [v2|v3|v4] [batchRows] [sweep:t1,t2,...]
+  *        runMain graft.ProbeRelease ingest [v2|v3|v4] [batchRows] [sweep:t1,t2,...] [multi]
   *        runMain graft.ProbeRelease stream [v2|v3|v4] [nBatches] [batchRows] [compactAt]
   *        runMain graft.ProbeRelease curation [v1|v2|v3|v4] [quota] [keepFrac]
+  *        runMain graft.ProbeRelease curatepipe [v2|v3|v4] [threshold] [keepFrac] [chunk[:n]]
+  *        runMain graft.ProbeRelease cellmiss [v2|v3|v4] [nSample] [eps:e1,e2,...]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
   * size (default 250 1000 2000) against the chosen release index — the
@@ -93,19 +95,9 @@ object ProbeRelease {
     spark.stop()
   }
 
-  /** Machine-level read-bytes counter: Σ sectors_read × 512 over whole
-    * block devices in /proc/diskstats (partition rows, which would double
-    * count, end in a digit and are skipped). Deltas of this around a
-    * timed pass attribute its wall-clock to physical disk reads. */
-  private def diskReadBytes(): Long =
-    scala.util.Try {
-      scala.io.Source.fromFile("/proc/diskstats").getLines()
-        .map(_.trim.split("\\s+"))
-        .filter(f => f.length > 5 && f(2).matches("[a-z]+") &&
-          !f(2).startsWith("loop") && !f(2).startsWith("ram"))
-        .map(f => f(5).toLong * 512L)
-        .sum
-    }.getOrElse(-1L)
+  /** Machine-level read-bytes counter — shared with the bench gate's
+    * per-pass attribution ([[graft.core.DiskStats]]). */
+  private def diskReadBytes(): Long = graft.core.DiskStats.readBytes()
 
   /** I/O-attributed probe of the big-table release rows (VERDICT r11
     * next-round #4): the rows that drifted r10→r11 (`release_rerank_v4`,
@@ -373,7 +365,7 @@ object ProbeRelease {
     * (cos ≈ 0 vs everything — must survive), so flagged/appended have
     * expected values (≈nJit / =nNovel) the printout makes checkable. */
   private def probeIngest(shapeArg: Option[String], nBatchArg: Option[Int],
-      sweepArg: Option[Seq[Double]] = None): Unit = {
+      sweepArg: Option[Seq[Double]] = None, multiProbe: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
       case Some("v3") => ReleaseShape.V3
@@ -389,6 +381,8 @@ object ProbeRelease {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    if (multiProbe)
+      spark.conf.set(graft.ops.VectorQueries.ScreenMultiProbeConf, "true")
     val srcDir = s.dir
     val cloneDir = srcDir + "_ingest_probe"
     val corpusVectors = ReleaseShape.vectors(spark, srcDir)
@@ -428,7 +422,8 @@ object ProbeRelease {
         (id, vec.toSeq)
       }.toDF("vec_id", "embedding")
     println(s"[probe-release] ingest ${s.name} batchRows=$nBatch " +
-      s"(jittered=$nJit novel=${nBatch - nJit})")
+      s"(jittered=$nJit novel=${nBatch - nJit})" +
+      (if (multiProbe) " multiProbe=true" else ""))
     sweepArg match {
       case Some(thresholds) =>
         // threshold sweep: same batch (pass 1) screened at each threshold
@@ -766,8 +761,199 @@ object ProbeRelease {
     spark.stop()
   }
 
+  /** Recursive byte size of the session's spark scratch dirs (blockmgr +
+    * spark-* under java.io.tmpdir) — the "scratch stays flat" witness for
+    * the chunked drivers. */
+  private def scratchBytes(): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.iterator.map(size).sum).getOrElse(0L)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    Option(tmp.listFiles).map(_.iterator
+      .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+      .map(size).sum).getOrElse(0L)
+  }
+
+  /** The COMPOSED semantic-curation pipeline at release magnitude
+    * (VERDICT r12 next-round #1 — the curateCorpus chain with the chunked
+    * pair sweep, no one-shot sweep anywhere in the loop): chunked
+    * within-cell pair sweep drained to parquet per cell group → min-label
+    * components → survivor anti-join → slim prototypicality keep-set →
+    * cluster-tempered draw. Per-stage wall-clock, machine read-bytes and
+    * scratch footprint printed after every stage.
+    * Usage: runMain graft.ProbeRelease curatepipe [v2|v3|v4] [threshold] [keepFrac] [chunk[:n]] */
+  private def probeCurationPipeline(shapeArg: Option[String],
+      thresholdArg: Option[Double], keepFracArg: Option[Double],
+      chunkArg: Option[Int]): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = shapeArg match {
+      case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
+      case _ => ReleaseShape.V2
+    }
+    val th = thresholdArg.getOrElse(graft.ops.VectorQueries.NearDupSimThreshold)
+    val keepFrac = keepFracArg.getOrElse(0.7)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    val idx = LopqIndexStore.loadSlim(spark, s.dir).get
+    val cells = idx.codes.select(col("id"), col("cell_id").cast("long").as("cell_id"))
+    val vectors = ReleaseShape.vectors(spark, s.dir)
+    val outDir = s.dir + "_curation_pairs"
+    val op = new org.apache.hadoop.fs.Path(outDir)
+    val fs = op.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(op)) fs.delete(op, true)
+    val memberRows = cells.groupBy("cell_id").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).agg(sum(col("n"))).head().getLong(0)
+    val n = chunkArg.filter(_ > 0).getOrElse(
+      graft.ops.VectorQueries.semDedupChunkCount(memberRows, s.rawDim, spark))
+    println(s"[probe-release] curatepipe ${s.name} threshold=$th keepFrac=$keepFrac " +
+      s"nChunks=$n multiCellRows=$memberRows")
+    def stage[A](label: String)(body: => A): A = {
+      val b0 = diskReadBytes(); val t0 = System.nanoTime()
+      val r = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      val gb = (diskReadBytes() - b0) / 1e9
+      println(f"[probe-release] curatepipe stage $label%-12s $sec%9.2f s  " +
+        f"read=$gb%7.2f GB  scratch=${scratchBytes() / 1e9}%6.2f GB")
+      r
+    }
+    val t0 = System.nanoTime()
+    stage("sweep") {
+      graft.ops.VectorQueries.semDedupPairsChunked(cells, vectors,
+          "vec_id", "embedding", th, n) { (df, c) =>
+        val tc = System.nanoTime()
+        df.select("id_a", "id_b")
+          .write.mode(if (c == 0) "overwrite" else "append").parquet(outDir)
+        println(f"[probe-release] curatepipe   chunk $c%3d " +
+          f"${(System.nanoTime() - tc) / 1e9}%8.2f s  scratch=${scratchBytes() / 1e9}%6.2f GB")
+      }
+    }
+    val losers = stage("components") {
+      val edges = spark.read.parquet(outDir)
+      val l = graft.ops.TextOps.minLabelComponents(edges)
+        .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
+        .localCheckpoint()
+      println(s"[probe-release] curatepipe   losers=${l.count()}")
+      l
+    }
+    val kept = stage("protoPrune") {
+      val surv = vectors.join(losers, Seq("vec_id"), "left_anti")
+      val k = graft.ops.VectorQueries
+        .protoPruneSlim(surv, "vec_id", "embedding", idx.slim, keepFrac, idx.pca)
+        .where(col("keep"))
+        .select(col("id"), col("cell_id"), col("proto_dist"))
+        .localCheckpoint()
+      println(s"[probe-release] curatepipe   kept=${k.count()}")
+      k
+    }
+    stage("temperedDraw") {
+      val manifest = graft.ops.VectorQueries
+        .clusterTemperedSample(kept.select("id", "cell_id"))
+        .join(kept.select(col("id"), col("proto_dist")), "id")
+        .select(col("cell_id"), col("id"), col("rk"), col("proto_dist"))
+      println(s"[probe-release] curatepipe   manifest=${manifest.count()}")
+    }
+    println(f"[probe-release] curatepipe TOTAL ${(System.nanoTime() - t0) / 1e9}%9.2f s  " +
+      f"scratch=${scratchBytes() / 1e9}%6.2f GB")
+    if (fs.exists(op)) fs.delete(op, true)
+    spark.stop()
+  }
+
+  /** SemDeDup cross-cell MISS-RATE probe (VERDICT r12 "What's missing
+    * #1"): the within-cell sweep and the ingest screen can only see a
+    * near-duplicate pair whose two members quantize into the SAME coarse
+    * cell — this measures how often a planted jittered near-dup actually
+    * does, per jitter magnitude, against a shape's persisted model. For
+    * each sampled corpus row: jitter with isotropic gaussian noise at
+    * ε × the row's RMS amplitude, encode both, and report (a) same-cell %
+    * — visible to the sweep/screen; (b) top-2 % — the source's cell among
+    * the jittered row's two multiProbe cells (visible to the conf-gated
+    * multi-probe screen); (c) the mean measured cosine, mapping ε onto
+    * the near-dup-threshold axis a user actually tunes. All driver-side:
+    * O(sample · V · D) flops, no Spark jobs after the model load.
+    * Usage: runMain graft.ProbeRelease cellmiss [v2|v3|v4] [nSample] [eps:e1,e2,...] */
+  private def probeCellMiss(shapeArg: Option[String], nArg: Option[Int],
+      epsArg: Option[Seq[Double]]): Unit = {
+    val s = shapeArg match {
+      case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
+      case _ => ReleaseShape.V2
+    }
+    val nSample = nArg.getOrElse(2000)
+    val epss = epsArg.getOrElse(Seq(0.05, 0.1, 0.2, 0.5, 1.0, 1.5))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val idx = LopqIndexStore.loadSlim(spark, s.dir).get
+    val slim = idx.slim
+    def cellOf(x: Array[Float]): Long = {
+      val (c0, c1) = slim.predictCoarse(x)
+      c0.toLong * slim.v + c1
+    }
+    println(s"[probe-release] cellmiss ${s.name} sample=$nSample grid=${slim.v}x${slim.v}")
+    println("[probe-release] cellmiss eps | meanCos | sameCell% | top2%")
+    epss.foreach { eps =>
+      var same = 0L
+      var top2 = 0L
+      var cosSum = 0.0
+      (0 until nSample).foreach { i =>
+        val src = ReleaseShape.rowVecFor(s, (i.toLong * 997L) % s.n)
+        var ss = 0.0
+        src.foreach(x => ss += x.toDouble * x)
+        val rms = math.sqrt(ss / src.length)
+        val rnd = new java.util.Random(51L * (i + 1) + (eps * 1000).toLong)
+        val jit = src.map(x => (x + eps * rms * rnd.nextGaussian()).toFloat)
+        var dot = 0.0; var nj = 0.0
+        var k = 0
+        while (k < src.length) {
+          dot += src(k).toDouble * jit(k); nj += jit(k).toDouble * jit(k); k += 1
+        }
+        cosSum += dot / (math.sqrt(ss) * math.sqrt(nj))
+        val srcX = idx.pca.map(_.apply(src)).getOrElse(src)
+        val jitX = idx.pca.map(_.apply(jit)).getOrElse(jit)
+        val srcCell = cellOf(srcX)
+        val ((p0, p1), (s0, s1)) = slim.predictCoarseTop2(jitX)
+        val prim = p0.toLong * slim.v + p1
+        val sec = s0.toLong * slim.v + s1
+        if (prim == srcCell) same += 1
+        if (prim == srcCell || sec == srcCell) top2 += 1
+      }
+      println(f"[probe-release] cellmiss $eps%5.3f  ${cosSum / nSample}%7.4f  " +
+        f"${100.0 * same / nSample}%7.2f%%  ${100.0 * top2 / nSample}%7.2f%%")
+    }
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
+    if (args.headOption.contains("curatepipe")) {
+      val rest = args.drop(1)
+      val (chunkArgs, rest1) = rest.partition(_.startsWith("chunk"))
+      val (shapeArg, nums) = rest1.partition(a => a == "v2" || a == "v3" || a == "v4")
+      probeCurationPipeline(shapeArg.headOption,
+        nums.lift(0).map(_.toDouble), nums.lift(1).map(_.toDouble),
+        chunkArgs.headOption.map(a =>
+          if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0))
+      return
+    }
+    if (args.headOption.contains("cellmiss")) {
+      val rest = args.drop(1)
+      val (epsArgs, rest1) = rest.partition(_.startsWith("eps:"))
+      val (shapeArg, nums) = rest1.partition(a => a == "v2" || a == "v3" || a == "v4")
+      probeCellMiss(shapeArg.headOption, nums.headOption.map(_.toInt),
+        epsArgs.headOption.map(_.stripPrefix("eps:").split(",").toSeq.map(_.toDouble)))
+      return
+    }
     if (args.headOption.contains("curation")) {
       val rest = args.drop(1)
       val (shapeArg, nums) = rest.partition(a =>
@@ -792,9 +978,11 @@ object ProbeRelease {
     if (args.headOption.contains("ingest")) {
       val rest = args.drop(1)
       val (sweepArgs, rest1) = rest.partition(_.startsWith("sweep:"))
-      val (shapeArg, nums) = rest1.partition(a => a == "v2" || a == "v3" || a == "v4")
+      val (multiArgs, rest2) = rest1.partition(_ == "multi")
+      val (shapeArg, nums) = rest2.partition(a => a == "v2" || a == "v3" || a == "v4")
       probeIngest(shapeArg.headOption, nums.headOption.map(_.toInt),
-        sweepArgs.headOption.map(_.stripPrefix("sweep:").split(",").toSeq.map(_.toDouble)))
+        sweepArgs.headOption.map(_.stripPrefix("sweep:").split(",").toSeq.map(_.toDouble)),
+        multiProbe = multiArgs.nonEmpty)
       return
     }
     if (args.headOption.contains("stream")) {

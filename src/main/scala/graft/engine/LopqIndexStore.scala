@@ -969,6 +969,34 @@ object LopqIndexStore {
     df.select(col(idCol).as("id"), u(col(vecCol)).as("cell_id"))
   }
 
+  /** [[assignCells]] probing each row's TOP-2 coarse cells — the
+    * multi-probe candidate generator for the ingest screen (VERDICT r12
+    * next-round #6): a near-duplicate whose jitter flips the batch row's
+    * argmin into the neighboring cell is invisible to the single-cell
+    * screen (SemDeDup's same-cell blindness, inherited); probing the
+    * multisequence's second cell too catches exactly that boundary case
+    * at the cost of roughly doubling the touched-cell slice. Emits one or
+    * two `(id, cell_id)` rows per input row (one when the model has a
+    * single cell); rank-0 cells equal [[assignCells]]' bit-for-bit
+    * ([[SlimLopqModel.predictCoarseTop2]] is spec-pinned to
+    * `predictCoarse`). */
+  def assignCellsMulti(spark: SparkSession, dir: String, df: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val (slim, pca) = cachedSlimModel(spark, dir)
+    val slimB = spark.sparkContext.broadcast(slim)
+    val pcaB = spark.sparkContext.broadcast(pca)
+    val u = udf { (v: Seq[Float]) =>
+      val x0 = v.toArray
+      val x = pcaB.value.map(_(x0)).getOrElse(x0)
+      val m = slimB.value
+      val ((a0, a1), (b0, b1)) = m.predictCoarseTop2(x)
+      val first = a0.toLong * m.v + a1
+      val second = b0.toLong * m.v + b1
+      if (first == second) Seq(first) else Seq(first, second)
+    }
+    df.select(col(idCol).as("id"), explode(u(col(vecCol))).as("cell_id"))
+  }
+
   /** Encode one update batch WITHOUT the rotation tensor: coarse codes from
     * the slim broadcast (O(V·D/2)), then fine codes with only the batch's
     * touched clusters' rotation slices — ≤ 2·|batch| slices, fetched through

@@ -754,14 +754,18 @@ object LopqSearcher {
     * joined to their probe vector map-side and never shuffle a second
     * time.
     *
-    * Chunks are assigned by HASH of the probe id — deterministic, no
-    * global sort (a row_number chunking would single-partition-shuffle the
-    * O(probes·D) vectors), and duplicate q_ids land in the same chunk so
-    * the per-batch uniqueness contract still fails fast. The probe set is
-    * repartitioned ON the chunk key before caching: each cached batch then
-    * holds one chunk's rows, and the per-chunk filter prunes the others
-    * via in-memory batch stats instead of rescanning the whole cached set
-    * nChunks times.
+    * Chunks are RANGES over the sorted probe id: boundary ids come from a
+    * skinny distributed prefix sum over the id column alone (per-partition
+    * counts → broadcast offsets — never a one-task global window, and
+    * never a cache of the O(probes·D) vectors; an earlier hash-chunk form
+    * persisted the whole fat probe frame and ENOSPC'd at the 2M × 4096-d
+    * deployment shape), and each chunk is then a pushed RANGE FILTER on
+    * the probe source — nothing is cached, each chunk holds exactly
+    * `chunkRows` probes, and on an id-ordered parquet source the pushed
+    * range prunes row groups so chunk I/O is O(chunk). Probe ids must be
+    * NON-NULL and UNIQUE (the annJoin contract — a null id would silently
+    * fall out of every range filter); both are checked up front in the
+    * same aggregation that sizes the chunks.
     *
     * Per-query results are independent of batch composition (every window
     * partitions on q_id), so the concatenation of chunk results is
@@ -782,7 +786,21 @@ object LopqSearcher {
     val autoChunk =
       math.max(1L, qvecBroadcastMaxBytes(spark) * 4 / 5 / (4L * dim + 96L))
     val chunkRows = if (confChunk > 0L) confChunk else autoChunk
-    val nProbes = queries.count()
+    // one skinny agg sizes the chunks AND enforces the chunking contract
+    // directly (ADVICE r12: the old boundary-count require was purely
+    // positional and could not detect duplicates; null ids would silently
+    // vanish from every range filter)
+    val contract = queries.agg(count(lit(1)), count(col(qIdCol)),
+      countDistinct(col(qIdCol))).head()
+    val (nProbes, nonNull, distinct) =
+      (contract.getLong(0), contract.getLong(1), contract.getLong(2))
+    require(nonNull == nProbes,
+      s"annJoinChunked requires non-null probe ids: ${nProbes - nonNull} " +
+        s"of $nProbes rows have a null $qIdCol (a null id falls out of " +
+        "every range chunk)")
+    require(distinct == nProbes,
+      s"annJoinChunked requires unique probe ids: $nProbes rows hold " +
+        s"$distinct distinct $qIdCol values")
     val nChunks = math.max(1L, (nProbes + chunkRows - 1) / chunkRows).toInt
     note(spark, "chunkRows", chunkRows)
     if (nChunks <= 1) {
@@ -819,9 +837,11 @@ object LopqSearcher {
         if (pos % chunkRows == 0 && pos < nProbes) Some(row.get(0)) else None
       }
     }.collect()
+    // pure sanity: uniqueness + non-null were enforced above, so the
+    // positional boundary count is determined by nProbes and chunkRows
     require(boundaries.length == nChunks - 1,
-      s"range chunking derived ${boundaries.length} boundaries for $nChunks " +
-        s"chunks — duplicate q_ids? (annJoin requires unique probe ids)")
+      s"internal: range chunking derived ${boundaries.length} boundaries " +
+        s"for $nChunks chunks of $chunkRows over $nProbes probes")
     note(spark, "chunks", nChunks)
     (0 until nChunks).foreach { c =>
       val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet

@@ -46,6 +46,46 @@ final case class SlimLopqModel(
     (VectorOps.argminL2(s(0), coarse(0)), VectorOps.argminL2(s(1), coarse(1)))
   }
 
+  /** Nearest coarse cell plus the multisequence walk's NEXT cell — the
+    * candidate with the smallest d0+d1 after `(argmin0, argmin1)`, which
+    * by the multisequence invariant is always one of `(second0, best1)` /
+    * `(best0, second1)` (the same frontier [[graft.core.CellMath]]'s
+    * generator pops second). The first element is bit-identical to
+    * [[predictCoarse]] (same distances, same first-wins tie rule,
+    * spec-pinned). Distance ties between the two frontier candidates
+    * break toward the smaller packed cell id, matching
+    * [[graft.core.CellHistogram.selectCells]]. A V = 1 model has no
+    * second cell: both elements are the only cell. */
+  def predictCoarseTop2(x: Array[Float]): ((Int, Int), (Int, Int)) = {
+    val (d0, d1) = coarseDistances(x)
+    // best + runner-up per split, first index winning ties (≡ argminL2)
+    def top2(d: Array[Double]): (Int, Int) = {
+      var b = 0
+      var s = -1
+      var i = 1
+      while (i < d.length) {
+        if (d(i) < d(b)) { s = b; b = i }
+        else if (s < 0 || d(i) < d(s)) s = i
+        i += 1
+      }
+      (b, if (s < 0) b else s)
+    }
+    val (b0, s0) = top2(d0)
+    val (b1, s1) = top2(d1)
+    val best = (b0, b1)
+    if (v == 1) (best, best)
+    else {
+      val dA = d0(s0) + d1(b1) // flip split 0
+      val dB = d0(b0) + d1(s1) // flip split 1
+      val second =
+        if (dA < dB) (s0, b1)
+        else if (dB < dA) (b0, s1)
+        else if (s0.toLong * v + b1 <= b0.toLong * v + s1) (s0, b1)
+        else (b0, s1)
+      (best, second)
+    }
+  }
+
   /** Fine codes given the coarse codes and just THEIR two rotation slices —
     * bit-identical to [[LopqModel.predictFine]] (same primitives, same
     * order). The slim-encode path of [[LopqIndexStore.appendUpdate]]. */

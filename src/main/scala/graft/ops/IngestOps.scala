@@ -47,9 +47,18 @@ object IngestOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val corpusCells = indexedCells(spark, dir)
-      val batchCells = LopqIndexStore.assignCells(spark, dir, b, idCol, vecCol)
-      val pairs = VectorQueries.semDedupPairsIncremental(
-          corpusCells, batchCells, corpusVectors, b, idCol, vecCol, simThreshold)
+      // conf-gated multi-probe (VERDICT r12 next-round #6): each batch row
+      // also checks its second-nearest cell, catching the near-dup whose
+      // jitter flipped the argmin across a cell boundary; pair rows then
+      // need the cross-cell dedup (a batch pair sharing both cells
+      // surfaces twice)
+      val multi = VectorQueries.screenMultiProbe(spark)
+      val batchCells =
+        if (multi) LopqIndexStore.assignCellsMulti(spark, dir, b, idCol, vecCol)
+        else LopqIndexStore.assignCells(spark, dir, b, idCol, vecCol)
+      val rawPairs = VectorQueries.semDedupPairsIncremental(
+        corpusCells, batchCells, corpusVectors, b, idCol, vecCol, simThreshold)
+      val pairs = (if (multi) VectorQueries.dedupProbePairs(rawPairs) else rawPairs)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val flagged = pairs.count()

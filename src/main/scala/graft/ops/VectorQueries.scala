@@ -312,6 +312,31 @@ object VectorQueries {
       Seq(idCol), "left_anti")
   }
 
+  /** Conf: when true, ingest screens probe each batch row's TOP-2 coarse
+    * cells ([[graft.engine.LopqIndexStore.assignCellsMulti]]) instead of
+    * its nearest cell only — the cross-cell option for the screen's
+    * inherited SemDeDup same-cell blindness (a near-dup whose jitter
+    * flips the argmin across a cell boundary). Strictly more pairs than
+    * the single-cell screen (spec-pinned); costs roughly 2× the
+    * touched-cell slice. Off by default: the single-cell screen is the
+    * published SemDeDup trade, and the measured boundary miss rate at the
+    * release grids (PROBES.md r13) is what this flag buys back. */
+  val ScreenMultiProbeConf = "spark.graft.screen.multiProbe"
+
+  /** Whether the session opts the ingest screen into multi-probe. */
+  def screenMultiProbe(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get(ScreenMultiProbeConf, "false").toBoolean
+
+  /** Collapse multi-probe pair duplicates: with top-2 probe cells a
+    * (batch × batch) pair sharing BOTH cells surfaces once per shared
+    * cell — same ids, same cosine, different `cell_id`. One skinny
+    * groupBy over O(batch)-bounded pair rows; `cell_id` keeps the smaller
+    * cell deterministically. A no-op shape-wise on single-cell pairs. */
+  def dedupProbePairs(pairs: DataFrame): DataFrame =
+    pairs.groupBy("id_a", "id_b")
+      .agg(min(col("cell_id")).as("cell_id"), max(col("cos_sim")).as("cos_sim"))
+      .select("id_a", "id_b", "cell_id", "cos_sim")
+
   /** Cluster-BALANCED deterministic sample — per-cell quota drawn in
     * md5-hash order over a skinny `(id, cell_id)` assignment (the learned
     * clusters as sampling strata: the diversity-sampling step of
@@ -445,38 +470,55 @@ object VectorQueries {
     val musB = s.sparkContext.broadcast(mus)
     val pcaB = s.sparkContext.broadcast(pca)
     val vCount = coarse(0).length
-    val skinny = vectors
-      .select(col(idCol).cast("long"), col(vecCol))
-      .as[(Long, Seq[Float])]
-      .map { case (id, emb) =>
-        val raw = emb.toArray
-        val x = pcaB.value.map(_.apply(raw)).getOrElse(raw)
-        val cs = coarseB.value
-        val halves = graft.core.VectorOps.splits(x, cs.length)
-        var sq = 0.0
-        var cell = 0L
-        var split = 0
-        while (split < cs.length) {
-          // assignment = the encoder's own argmin (bit-agrees with the
-          // persisted codes); the distance re-folds vs C + mu in double
-          val ci = graft.core.VectorOps.argminL2(halves(split), cs(split))
-          val c = cs(split)(ci)
-          val mu = musB.value(split)(ci)
-          val h = halves(split)
-          var d = 0.0
-          var j = 0
-          while (j < c.length) {
-            val r = h(j).toDouble - c(j).toDouble - mu(j).toDouble
-            d += r * r
-            j += 1
-          }
-          sq += d
-          cell = cell * vCount + ci
-          split += 1
+    // shared scorer: assignment = the encoder's own argmin (bit-agrees
+    // with the persisted codes); the distance re-folds vs C + mu in double
+    val score: Seq[Float] => (Long, Double) = { emb =>
+      val raw = emb.toArray
+      val x = pcaB.value.map(_.apply(raw)).getOrElse(raw)
+      val cs = coarseB.value
+      val halves = graft.core.VectorOps.splits(x, cs.length)
+      var sq = 0.0
+      var cell = 0L
+      var split = 0
+      while (split < cs.length) {
+        val ci = graft.core.VectorOps.argminL2(halves(split), cs(split))
+        val c = cs(split)(ci)
+        val mu = musB.value(split)(ci)
+        val h = halves(split)
+        var d = 0.0
+        var j = 0
+        while (j < c.length) {
+          val r = h(j).toDouble - c(j).toDouble - mu(j).toDouble
+          d += r * r
+          j += 1
         }
-        (id, cell, sq)
+        sq += d
+        cell = cell * vCount + ci
+        split += 1
       }
-      .toDF("id", "cell_id", "_sq")
+      (cell, sq)
+    }
+    // the id rides the typed map UNTOUCHED in its own type — a sha1-string
+    // corpus (the reference's id everywhere, `imgio/imgio.py:23-39`) keeps
+    // string ids in the output instead of silently casting to null
+    // (ADVICE r12); anything else fails fast with the fix spelled out
+    import org.apache.spark.sql.types._
+    val skinny = vectors.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        vectors.select(col(idCol).cast("long"), col(vecCol))
+          .as[(Long, Seq[Float])]
+          .map { case (id, emb) => val (c, sq) = score(emb); (id, c, sq) }
+          .toDF("id", "cell_id", "_sq")
+      case StringType =>
+        vectors.select(col(idCol), col(vecCol))
+          .as[(String, Seq[Float])]
+          .map { case (id, emb) => val (c, sq) = score(emb); (id, c, sq) }
+          .toDF("id", "cell_id", "_sq")
+      case other =>
+        throw new IllegalArgumentException(
+          s"protoPrune id column '$idCol' has unsupported type $other — " +
+            "use an integral or string id (cast or hash it first)")
+    }
     val w = Window.partitionBy("cell_id")
       .orderBy(col("proto_dist").desc, col("id"))
     skinny

@@ -33,6 +33,14 @@ import graft.ops.{IngestOps, VectorQueries}
   * would silently under-screen every later batch that touches its cell). */
 object ScreenedIngest {
 
+  /** Fault-injection seam for the crash-window spec: when set, the batch
+    * dies exactly between the vector side-store write and the codes
+    * append — the one crash window whose healing was argued in the
+    * Scaladoc below but not exercised by a restart-from-checkpoint test
+    * (VERDICT r12 next-round #8). Production never sets it. */
+  private[graft] val CrashAfterWriteVectorsConf =
+    "spark.graft.test.crashAfterWriteVectors"
+
   /** Start the screened maintenance query. `source` must be a STREAMING
     * DataFrame carrying `idCol` and `vecCol`; ids must be globally unique
     * across the stream's lifetime (content hashes, like the reference's
@@ -52,14 +60,25 @@ object ScreenedIngest {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           try {
             val corpusCells = IngestOps.indexedCells(spark, indexDir)
+            // conf-gated multi-probe: also screen each row's second cell
+            // (see [[VectorQueries.ScreenMultiProbeConf]])
+            val multi = VectorQueries.screenMultiProbe(spark)
             val batchCells =
-              LopqIndexStore.assignCells(spark, indexDir, b, idCol, vecCol)
-            val pairs = VectorQueries.semDedupPairsIncremental(
+              if (multi)
+                LopqIndexStore.assignCellsMulti(spark, indexDir, b, idCol, vecCol)
+              else
+                LopqIndexStore.assignCells(spark, indexDir, b, idCol, vecCol)
+            val rawPairs = VectorQueries.semDedupPairsIncremental(
               corpusCells, batchCells,
               IngestOps.vectorStore(spark, indexDir, idCol, vecCol),
               b, idCol, vecCol, simThreshold)
+            val pairs =
+              if (multi) VectorQueries.dedupProbePairs(rawPairs) else rawPairs
             val survivors = VectorQueries.screenSurvivors(b, idCol, pairs)
             IngestOps.writeVectors(spark, indexDir, survivors, idCol, vecCol, uid)
+            if (spark.conf.get(CrashAfterWriteVectorsConf, "false").toBoolean)
+              throw new IllegalStateException(
+                "injected crash: after writeVectors, before appendUpdate")
             // append reads BACK the committed vector rows, so the codes
             // table and the side-store can never disagree on a survivor
             val stored = spark.read

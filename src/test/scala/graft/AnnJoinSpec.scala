@@ -443,6 +443,28 @@ class AnnJoinSpec extends SparkSpec {
     } finally spark.conf.unset(LopqSearcher.AnnJoinChunkRowsConf)
   }
 
+  test("annJoinChunked fails fast on duplicate and on null probe ids") {
+    // ADVICE r12: the old boundary-count require was purely positional
+    // (could never fire on duplicates), and null ids silently fell out of
+    // every range filter — both contracts are now checked directly
+    val e = Tables(spark, sf, "embeddings")
+    val base = e.where(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val dup = intercept[IllegalArgumentException] {
+      LopqSearcher.annJoinChunked(built, base.unionAll(base), "q_id",
+        "embedding", e, "vec_id", "embedding", Quota, TopK, RerankK) { (_, _) => () }
+    }
+    assert(dup.getMessage.contains("unique probe ids"))
+    val withNull = base.select(
+      when(col("q_id") === 1L, lit(null)).otherwise(col("q_id")).as("q_id"),
+      col("embedding"))
+    val nul = intercept[IllegalArgumentException] {
+      LopqSearcher.annJoinChunked(built, withNull, "q_id", "embedding",
+        e, "vec_id", "embedding", Quota, TopK, RerankK) { (_, _) => () }
+    }
+    assert(nul.getMessage.contains("non-null probe ids"))
+  }
+
   /** r12 (VERDICT r11 "What's wrong #1a"): the broadcast-probe-matrix gate
     * is clamped to HALF the driver's maxResultSize because the matrix is
     * collected before it broadcasts. Shrinking the LIVE enforcement knob

@@ -226,6 +226,155 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("predictCoarseTop2 rank-0 ≡ predictCoarse; assignCellsMulti covers assignCells") {
+    val h = EngineOps.index(spark, sf)
+    val slim = graft.engine.SlimLopqModel(
+      h.model.coarse, h.model.mus, h.model.subquantizers)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    e.limit(200).collect().foreach { r =>
+      val x = r.getSeq[Float](1).toArray
+      assert(slim.predictCoarseTop2(x)._1 === slim.predictCoarse(x),
+        s"vec ${r.getLong(0)}")
+    }
+    val dir = EngineOps.indexDir(sf)
+    val single = LopqIndexStore.assignCells(spark, dir, e, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = LopqIndexStore.assignCellsMulti(spark, dir, e, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(multi.keySet === single.keySet)
+    single.foreach { case (id, c) =>
+      val cs = multi(id)
+      assert(cs.contains(c), s"id $id: primary cell $c missing from $cs")
+      assert(cs.size <= 2 && cs.distinct.size == cs.size, s"id $id: $cs")
+    }
+  }
+
+  test("multiProbe screen flags a superset, incl. a boundary-straddling near-dup") {
+    import graft.ops.VectorQueries
+    val h = EngineOps.index(spark, sf)
+    val slim = graft.engine.SlimLopqModel(
+      h.model.coarse, h.model.mus, h.model.subquantizers)
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(80)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cellOf(x: Array[Float]): Long = {
+      val (c0, c1) = slim.predictCoarse(x)
+      c0.toLong * slim.v + c1
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // deterministic search for the planted adversary: a blend of two
+    // corpus rows that lands PRIMARY in a different cell than its source
+    // but keeps the source's cell as its SECOND probe — the exact case
+    // the single-cell screen is blind to
+    val found = (for {
+      (ida, va) <- rows.iterator
+      (idb, vb) <- rows.iterator if idb != ida && cellOf(vb) != cellOf(va)
+      t <- Iterator(0.35, 0.4, 0.45, 0.5, 0.55, 0.6)
+      blend = va.zip(vb).map { case (x, y) => (x * (1 - t) + y * t).toFloat }
+      if cos(blend, va) >= VectorQueries.NearDupSimThreshold + 0.02
+      top2 = slim.predictCoarseTop2(blend)
+      prim = top2._1._1.toLong * slim.v + top2._1._2
+      sec = top2._2._1.toLong * slim.v + top2._2._2
+      if prim != cellOf(va) && sec == cellOf(va)
+    } yield (ida, blend)).take(1).toList
+    assert(found.nonEmpty,
+      "no boundary-straddling blend found — widen the search space")
+    val (srcId, blend) = found.head
+    val s = spark
+    import s.implicits._
+    val bid = 99000001L
+    val batch = Seq((bid, blend.toSeq)).toDF("vec_id", "embedding")
+    val api = new GraftApi(spark, sf)
+    def pairKeys(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairKeys(api.semDedupIncrement(batch, "vec_id", "embedding"))
+    val key = (math.min(srcId, bid), math.max(srcId, bid))
+    assert(!single.contains(key),
+      "single-cell screen must MISS the boundary-straddling pair (the blindness being measured)")
+    spark.conf.set(VectorQueries.ScreenMultiProbeConf, "true")
+    try {
+      val multi = pairKeys(api.semDedupIncrement(batch, "vec_id", "embedding"))
+      assert(multi.contains(key), "multiProbe must catch the planted pair")
+      assert(single.subsetOf(multi), "multiProbe flags a strict superset")
+    } finally spark.conf.unset(VectorQueries.ScreenMultiProbeConf)
+  }
+
+  test("a crash between writeVectors and appendUpdate replays to the uncrashed survivor set") {
+    // VERDICT r12 next-round #8: the one crash window argued in
+    // ScreenedIngest's Scaladoc but never exercised by a test that
+    // actually restarts the query from its checkpoint
+    val dir = s"$root/crash"; val refDir = s"$root/crash_ref"
+    val staged = s"$root/crash_src"; val ckpt = s"$root/crash_ckpt"
+    Seq(dir, refDir, staged, ckpt).foreach(del)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seed = e.where(col("vec_id") % 3 === 0)
+    Seq(dir, refDir).foreach { d =>
+      LopqIndexStore.cloneEmpty(spark, EngineOps.indexDir(sf), d)
+      IngestOps.writeVectors(spark, d, seed, "vec_id", "embedding",
+        "seed_0000000000000000000")
+      assert(LopqIndexStore.appendUpdate(spark, d, seed, "vec_id", "embedding",
+        "seed_0000000000000000000"))
+    }
+    // batch: planted copies of seed rows (must drop) + the % 3 === 1 rows
+    // (organically screened — whatever survives must survive IDENTICALLY
+    // on both the crashed-and-replayed dir and the uncrashed reference)
+    val batch = e.where(col("vec_id") % 3 === 1).unionByName(
+      seed.limit(3).select((col("vec_id") + 70000000L).as("vec_id"),
+        col("embedding")))
+    batch.repartition(1).write.mode("append").parquet(staged)
+    def src() = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+
+    spark.conf.set(graft.streaming.ScreenedIngest.CrashAfterWriteVectorsConf, "true")
+    try {
+      val q = graft.streaming.ScreenedIngest
+        .maintain(spark, dir, src(), "vec_id", "embedding", ckpt)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination()
+      }
+      assert(ex.getMessage.contains("injected crash"))
+    } finally spark.conf.unset(graft.streaming.ScreenedIngest.CrashAfterWriteVectorsConf)
+    // the crash landed AFTER the side-store write, BEFORE the codes
+    // append: vectors/stream_0 exists, the watermark has not advanced
+    assert(LopqIndexStore.watermark(spark, dir)
+      .contains("seed_0000000000000000000"), "codes must not have advanced")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      f"${IngestOps.vectorsDir(dir)}/stream_${0L}%019d")),
+      "the crashed batch's vector dir must exist (written before the crash)")
+    // restart from the SAME checkpoint: the batch replays end to end
+    graft.streaming.ScreenedIngest
+      .maintain(spark, dir, src(), "vec_id", "embedding", ckpt)
+      .awaitTermination()
+    // reference: the identical batch through an uncrashed cycle
+    val ref = IngestOps.screenAndAppend(spark, refDir,
+      IngestOps.vectorStore(spark, refDir, "vec_id", "embedding"),
+      batch, "vec_id", "embedding", f"stream_${0L}%019d")
+    assert(ref.applied)
+    def codeIds(d: String) = LopqIndexStore.readCodes(spark, d)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(codeIds(dir) === codeIds(refDir),
+      "replayed survivor set must equal the uncrashed run's")
+    assert(LopqIndexStore.watermark(spark, dir).contains(f"stream_${0L}%019d"))
+    // side-store: every replayed survivor stored exactly once
+    val stored = IngestOps.vectorStore(spark, dir, "vec_id", "embedding")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(stored.distinct.sorted == stored.sorted)
+    assert(codeIds(dir).subsetOf(stored.toSet))
+    Seq(dir, refDir, staged, ckpt).foreach(del)
+  }
+
   test("GraftApi.screenBatch keeps nothing from an all-copies batch") {
     val offset = 30000000L
     val batch = spark.read.parquet(s"$sf/embeddings.parquet")
