@@ -524,13 +524,14 @@ object ProbeRelease {
           new org.apache.hadoop.fs.Path(s"$cloneDir/$name"), false, conf)
     }
     LopqIndexStore.evictModel(cloneDir)
-    // seed the side-store: the index's corpus vectors as one update dir —
-    // the feature cache the screen verifies cosines against (the clone
-    // must NOT reuse the source's staged flat table: the side-store reads
-    // per-update SUBDIRS, a release `vectors` dir is flat part-files)
-    graft.ops.IngestOps.writeVectors(spark, cloneDir,
-      ReleaseShape.vectors(spark, srcDir), "vec_id", "embedding",
-      "seed_0000000000000000000")
+    // seed the side-store by MOUNTING the source's staged flat vector
+    // table as the read-only external base (r13: the previous seed COPIED
+    // the corpus into one update dir — a corpus-sized write that cannot
+    // even fit this machine's free disk at the v4 deployment width, and
+    // exactly the migration cost mountVectorsBase exists to avoid; the
+    // screen reads the mounted table in place, compaction never touches it)
+    graft.ops.IngestOps.mountVectorsBase(spark, cloneDir,
+      s"$srcDir/vectors", "vec_id", "embedding")
     println(f"[probe-release] stream ${s.name} clone+seed ${(System.nanoTime() - t0) / 1e9}%.1f s " +
       s"nBatches=$nBatches batchRows=$batchRows compactAt=$compactAt")
 

@@ -106,10 +106,11 @@ object IngestOps {
     * screen attaches vectors through the CELLS the codes table knows, so
     * an orphaned vector row simply never joins. Reads the compacted base
     * (preferring a not-yet-promoted `_base_next`, which is a superset of
-    * `_base` by construction) plus every un-folded update directory; an
-    * overlap left by a crash mid-[[compactVectors]] can only duplicate
-    * bit-identical `(id, vec)` rows, which the screen's join tolerates
-    * and the next compaction's dedup removes. */
+    * `_base` by construction) plus every un-folded update directory plus
+    * a [[mountVectorsBase]]-mounted external table; an overlap left by a
+    * crash mid-[[compactVectors]] can only duplicate bit-identical
+    * `(id, vec)` rows, which the screen's join tolerates and the next
+    * compaction's dedup removes. */
   def vectorStore(spark: SparkSession, dir: String,
       idCol: String, vecCol: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(vectorsDir(dir))
@@ -123,7 +124,57 @@ object IngestOps {
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField("id", LongType),
           StructField("vec", ArrayType(FloatType)))))
-    raw.select(col("id").as(idCol), col("vec").as(vecCol))
+    val own = raw.select(col("id").as(idCol), col("vec").as(vecCol))
+    externalBase(spark, dir) match {
+      case Some((path, eid, evec)) =>
+        own.unionByName(spark.read.parquet(path)
+          .select(col(eid).as(idCol), col(evec).as(vecCol)))
+      case None => own
+    }
+  }
+
+  // --------------------------------------------- external base mount
+
+  /** Mount an EXISTING flat feature table as the side-store's READ-ONLY
+    * base. A deployment migrating an already-extracted corpus into a
+    * screened stream should not copy its feature table into the
+    * side-store — at deployment width that copy is a corpus-sized write
+    * (32 GB at 2M × 4096-d; at 100 TB it is a non-starter). The mount is
+    * a marker file recording the table's path + column names:
+    * [[vectorStore]] unions the mounted table into every read;
+    * [[compactVectors]] NEVER folds, rewrites, or deletes it (the LSM
+    * fold stays O(stream-ingested rows), and the mounted table keeps
+    * whatever ownership/layout it already has). Ids overlapping between
+    * the mount and stream updates behave like any crash-window overlap:
+    * duplicate rows are tolerated by the screen's join. Idempotent —
+    * remounting overwrites the marker. */
+  def mountVectorsBase(spark: SparkSession, dir: String, path: String,
+      idCol: String, vecCol: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(externalMarkerPath(dir))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(marker, true)
+    // one line per field, no JSON library needed on read
+    out.write(s"$path\n$idCol\n$vecCol\n".getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def externalMarkerPath(dir: String) = s"${vectorsDir(dir)}/_external"
+
+  private def externalBase(spark: SparkSession, dir: String)
+      : Option[(String, String, String)] = {
+    val marker = new org.apache.hadoop.fs.Path(externalMarkerPath(dir))
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      in.close()
+      lines match {
+        case path :: id :: vec :: _ => Some((path, id, vec))
+        case _ => throw new IllegalStateException(
+          s"malformed side-store mount marker at $marker: $lines")
+      }
+    }
   }
 
   // ------------------------------------------- side-store compaction

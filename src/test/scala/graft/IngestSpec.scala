@@ -226,6 +226,34 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("a mounted external base feeds the screen; compaction never touches it") {
+    val dir = s"$root/mount"; val ext = s"$root/mount_ext"
+    del(dir); del(ext)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // external table keeps ITS OWN column names — the marker maps them
+    e.where(col("vec_id") % 2 === 0).write.parquet(ext)
+    IngestOps.mountVectorsBase(spark, dir, ext, "vec_id", "embedding")
+    IngestOps.writeVectors(spark, dir, e.where(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", f"stream_${0L}%019d")
+    def ids() = IngestOps.vectorStore(spark, dir, "vec_id", "embedding")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val want = e.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids().sorted == want, "store must union mount + update dirs")
+    IngestOps.compactVectors(spark, dir)
+    assert(ids().sorted == want, "compaction must not drop mounted rows")
+    // the fold rewrote ONLY the stream-ingested half; the mount is intact
+    val fs = new org.apache.hadoop.fs.Path(ext)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val extRows = spark.read.parquet(ext).count()
+    assert(extRows == e.where(col("vec_id") % 2 === 0).count())
+    val baseRows = spark.read.parquet(s"${IngestOps.vectorsDir(dir)}/_base").count()
+    assert(baseRows == e.where(col("vec_id") % 2 === 1).count(),
+      "the compacted base must hold only stream-ingested rows, never the mount")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(ext)))
+    del(dir); del(ext)
+  }
+
   test("predictCoarseTop2 rank-0 ≡ predictCoarse; assignCellsMulti covers assignCells") {
     val h = EngineOps.index(spark, sf)
     val slim = graft.engine.SlimLopqModel(
