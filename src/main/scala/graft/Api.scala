@@ -193,20 +193,41 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * original column). Unlike [[dedupCorpus]] this pays no per-probe ANN
     * search — the index's own cell assignment IS the candidate
     * generator — so it is the cheap first pass of a dedup pipeline, with
-    * the ANN-join pass as the cross-cell follow-up. */
+    * the ANN-join pass as the cross-cell follow-up.
+    *
+    * `multiProbe` sweeps over each vector's TOP-2 coarse cells
+    * ([[graft.ops.VectorQueries.semDedupPairsMultiProbe]]'s assignment)
+    * instead of its nearest only — catching boundary-straddling pairs at
+    * ≤ 4× the pair bound (the measured per-ε miss rate this buys back is
+    * PROBES.md r13's `cellmiss` table). Duplicate edges from pairs
+    * sharing both cells are harmless here: the component collapse is
+    * edge-set idempotent, so no pair-level dedup pass is needed. The
+    * multi-probe survivor set is always a SUBSET of the single-cell one
+    * (more edges only ever merge components; a loser stays a loser —
+    * spec-pinned). */
   def semDedupCorpus(
-      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold)
-      : DataFrame = {
-    val h = EngineOps.index(spark, sfDir)
-    val cells = h.codes.select(col("id"),
-      (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
+      simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
+      multiProbe: Boolean = false): DataFrame = {
     val e = vectors
     val edges = graft.ops.VectorQueries
-      .semDedupPairs(cells, e, "vec_id", "embedding", simThreshold)
+      .semDedupPairs(dedupCells(multiProbe, e), e, "vec_id", "embedding",
+        simThreshold)
       .select("id_a", "id_b").localCheckpoint()
     val losers = graft.ops.TextOps.minLabelComponents(edges)
       .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
     e.join(losers, Seq("vec_id"), "left_anti")
+  }
+
+  /** The sweep's skinny assignment: the persisted codes (single-cell, the
+    * published SemDeDup trade) or the model's top-2 probe cells. */
+  private def dedupCells(multiProbe: Boolean, e: DataFrame): DataFrame = {
+    val h = EngineOps.index(spark, sfDir)
+    if (multiProbe)
+      graft.engine.LopqIndexStore.assignCellsMulti(spark, h.dir, e,
+        "vec_id", "embedding")
+    else
+      h.codes.select(col("id"),
+        (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
   }
 
   /** [[semDedupCorpus]] with the sweep CHUNKED by cell group
@@ -221,17 +242,19 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * [[graft.ops.VectorQueries.SemDedupChunkShuffleMaxBytesConf]]
     * scratch bound). Chunk composition cannot change the pair set (cells
     * are whole within a chunk), so the result equals [[semDedupCorpus]]'s
-    * row-for-row. */
+    * row-for-row. With `multiProbe` a both-cells-shared pair can drain
+    * from two different chunks — a duplicate edge in `outDir`, harmless
+    * to the component collapse (same reasoning as the one-shot facade);
+    * the doubled assignment also roughly doubles `memberRows`, so the
+    * auto chunk count sizes off the actual assignment row count. */
   def semDedupCorpusChunked(outDir: String,
       simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
-      nChunks: Int = 0): DataFrame = {
-    val h = EngineOps.index(spark, sfDir)
-    val cells = h.codes.select(col("id"),
-      (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))
+      nChunks: Int = 0, multiProbe: Boolean = false): DataFrame = {
     val e = vectors
+    val cells = dedupCells(multiProbe, e)
     val n = if (nChunks > 0) nChunks
       else graft.ops.VectorQueries.semDedupChunkCount(
-        e.count(), h.model.dim, spark)
+        cells.count(), EngineOps.index(spark, sfDir).model.dim, spark)
     graft.ops.VectorQueries.semDedupPairsChunked(cells, e, "vec_id",
         "embedding", simThreshold, n) { (df, c) =>
       df.select("id_a", "id_b")

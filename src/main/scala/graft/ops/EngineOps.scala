@@ -277,6 +277,15 @@ object EngineOps {
       coarseDump.toDF("split", "cidx", "centroid", "mu").repartition(1)
         .write.mode(SaveMode.Overwrite).parquet(s"$odir/coarse")
 
+      // top-2 coarse assignment of every embedding (the model's own
+      // multi-probe output, the q43-codes precedent — DuckDB cannot rank
+      // float centroid distances bit-identically, so the assignment is
+      // dumped and the q104 pair semantics re-derived in SQL over it)
+      LopqIndexStore.assignCellsMulti(s, dir,
+          t(s, d, "embeddings"), "vec_id", "embedding")
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$odir/cells2")
+
       val codesGlob = s"$dir/codes/*/*.parquet"
       val v = h.model.v
 
@@ -402,6 +411,26 @@ object EngineOps {
            |JOIN e ea ON ea.vec_id = ca.id
            |JOIN e eb ON eb.vec_id = cb.id
            |WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold}
+           |ORDER BY id_a, id_b""".stripMargin
+
+      // q104: the MULTI-PROBE sweep — q94's pair semantics over the
+      // dumped TOP-2 assignment (a pair is a candidate when the members
+      // share ANY probed cell), with the pair-level collapse for pairs
+      // sharing both cells (min cell_id, max cos — identical cosines)
+      oracleStash("q104_semdedup_multiprobe") =
+        s"""WITH codes2 AS (
+           |  SELECT id, cell_id FROM read_parquet('$odir/cells2/*.parquet')),
+           |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |p AS (
+           |  SELECT ca.id AS id_a, cb.id AS id_b, ca.cell_id AS cell_id,
+           |         $cosPair AS cs
+           |  FROM codes2 ca JOIN codes2 cb ON ca.cell_id = cb.cell_id AND ca.id < cb.id
+           |  JOIN e ea ON ea.vec_id = ca.id
+           |  JOIN e eb ON eb.vec_id = cb.id
+           |  WHERE $cosPair >= ${VectorQueries.NearDupSimThreshold})
+           |SELECT id_a, id_b, min(cell_id)::BIGINT AS cell_id,
+           |       round(max(cs), 6) AS cos_sim
+           |FROM p GROUP BY id_a, id_b
            |ORDER BY id_a, id_b""".stripMargin
 
       // q97: the INCREMENTAL pass — the q94 semantics restricted to
@@ -920,6 +949,30 @@ object EngineOps {
       },
       stashed("q94_semdedup_cells"),
       bench = true,
+      dependsOnIndex = true),
+
+    // MULTI-PROBE twin of the q94 sweep — the batch counterpart of the
+    // conf-gated ingest screen option: every vector probes its TOP-2
+    // coarse cells (LopqIndexStore.assignCellsMulti — rank-0 ≡ the
+    // persisted codes bit-for-bit) and a pair is a candidate when the
+    // members share ANY probed cell, catching the boundary-straddling
+    // near-dups the single-cell sweep misses by design (the cross-cell
+    // blindness the r13 `cellmiss` probe quantifies per jitter ε). The
+    // sweep engine is semDedupPairs verbatim over the doubled skinny
+    // assignment; pairs sharing both cells collapse in one skinny
+    // groupBy. ≤ 4× the q94 pair bound, same shuffle shape.
+    QueryDef(
+      "q104_semdedup_multiprobe",
+      (s, d) => {
+        ensureOracle(s, d)
+        val h = index(s, d)
+        val cells2 = LopqIndexStore.assignCellsMulti(s, h.dir,
+          t(s, d, "embeddings"), "vec_id", "embedding")
+        VectorQueries.semDedupPairsMultiProbe(cells2,
+            t(s, d, "embeddings"), "vec_id", "embedding")
+          .orderBy("id_a", "id_b")
+      },
+      stashed("q104_semdedup_multiprobe"),
       dependsOnIndex = true),
 
     // The SemDeDup MATERIALIZATION (the Abbas et al. pipeline's end

@@ -337,6 +337,36 @@ object VectorQueries {
       .agg(min(col("cell_id")).as("cell_id"), max(col("cos_sim")).as("cos_sim"))
       .select("id_a", "id_b", "cell_id", "cos_sim")
 
+  /** MULTI-PROBE batch sweep — the OFFLINE counterpart of the conf-gated
+    * ingest screen option ([[ScreenMultiProbeConf]]): feed the sweep a
+    * TOP-2 assignment (two `(id, cell_id)` rows per vector,
+    * [[graft.engine.LopqIndexStore.assignCellsMulti]]) and a pair becomes
+    * a candidate whenever the two members share ANY probed cell — exactly
+    * the boundary-straddling near-dups the single-cell sweep is blind to
+    * (a pair whose jitter flips one member's coarse argmin; the measured
+    * miss rate per jitter ε is the `cellmiss` probe's table). The sweep
+    * engine is [[semDedupPairs]] VERBATIM — it is already
+    * assignment-shaped, so the only additions are the doubled skinny
+    * assignment and the pair-level collapse ([[dedupProbePairs]]) for
+    * pairs sharing both cells. Strictly a superset of the single-cell
+    * pairs (rank-0 cells are [[graft.engine.SlimLopqModel.predictCoarse]]
+    * bit-for-bit, spec-pinned).
+    *
+    * Scale shape: identical to [[semDedupPairs]] with the membership
+    * doubled — each vector ships to ≤ 2 cells, so the pair bound grows
+    * from Σ|cell|² to ≤ 4× that (in practice far less: second cells
+    * scatter). The collapse is one skinny groupBy over pair rows. For a
+    * corpus past the one-shot scratch bound, route the top-2 assignment
+    * through [[semDedupPairsChunked]] and collapse after concatenation —
+    * cells stay whole per chunk, but a both-cells-shared pair can land in
+    * two different chunks, so the collapse must run over the union, not
+    * per chunk. */
+  def semDedupPairsMultiProbe(cellsTop2: DataFrame, vectors: DataFrame,
+      idCol: String, vecCol: String,
+      simThreshold: Double = NearDupSimThreshold): DataFrame =
+    dedupProbePairs(
+      semDedupPairs(cellsTop2, vectors, idCol, vecCol, simThreshold))
+
   /** Cluster-BALANCED deterministic sample — per-cell quota drawn in
     * md5-hash order over a skinny `(id, cell_id)` assignment (the learned
     * clusters as sampling strata: the diversity-sampling step of

@@ -71,6 +71,31 @@ class CatalogSpec extends SparkSpec {
     assert(got === want)
   }
 
+  /** The multi-probe sweep must be exactly the q32 exact pairs restricted
+    * to endpoints sharing ANY probed (top-2) cell — a superset of q94's
+    * rank-0-cell pairs — and the collapse must leave each pair exactly
+    * once even when both cells are shared. */
+  test("q104 multi-probe semdedup ≡ exact pairs sharing any probed cell; ⊇ q94") {
+    val h = graft.ops.EngineOps.index(spark, sf)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probed = graft.engine.LopqIndexStore
+      .assignCellsMulti(spark, h.dir, emb, "vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cell_id"))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val exact = SparkEntry.queries("q32_embed_neardup")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = exact.filter { case (a, b) => (probed(a) & probed(b)).nonEmpty }
+    val rows = SparkEntry.queries("q104_semdedup_multiprobe")(spark, sf)
+      .collect()
+    val got = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(rows.length === got.size, "collapse must leave one row per pair")
+    assert(got === want)
+    val single = SparkEntry.queries("q94_semdedup_cells")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(single.subsetOf(got), "multi-probe pairs must cover the single-cell sweep")
+  }
+
   /** The skewed-cell triangular block decomposition must be invisible in
     * the results: forcing every fixture cell over the block bound
     * (blockRows=1 → every multi-member cell splits into n single-row

@@ -175,6 +175,26 @@ class PipelineSpec extends SparkSpec {
     assert(got.size < all.toInt, "facade must actually drop duplicates")
   }
 
+  /** The multi-probe corpus dedup can only ever DROP MORE: extra top-2
+    * edges merge components, and a non-minimum member stays non-minimum
+    * when its component's min can only decrease. The chunked multi-probe
+    * route must agree with the one-shot despite a both-cells-shared pair
+    * draining from two chunks (duplicate edges, CC-idempotent). */
+  test("GraftApi semDedupCorpus multiProbe survivors ⊆ single-cell; chunked ≡ one-shot") {
+    val api = new GraftApi(spark, sf)
+    val single = api.semDedupCorpus()
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val multi = api.semDedupCorpus(multiProbe = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(multi.subsetOf(single), "multi-probe must only drop more")
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_mp_pairs").toString + "/pairs"
+    val chunkedMulti = api
+      .semDedupCorpusChunked(out, nChunks = 3, multiProbe = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(chunkedMulti === multi)
+  }
+
   /** Ingest screening: a batch of EXACT copies of corpus vectors under
     * fresh ids must each be flagged against its source — encode is
     * deterministic, so a copy lands in its source's cell and pairs at
