@@ -360,13 +360,18 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * table (the measured scratch-killer at 2M × 4096-d, PROBES.md r12).
     * Without `outDir` the one-shot sweep runs — fine at gate scale only.
     * Chunk assignment cannot change the pair set (cells are whole within
-    * a chunk), so the two routes compose identically (spec-pinned). */
+    * a chunk), so the two routes compose identically (spec-pinned).
+    * `multiProbe` routes the dedup stage over top-2 probe cells
+    * (see [[semDedupCorpus]]) — the downstream prune and draw are
+    * unchanged, they just see the (smaller) multi-probe survivor set. */
   def curateCorpus(keepFrac: Double = 0.7,
       simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
-      outDir: Option[String] = None, nChunks: Int = 0): DataFrame = {
+      outDir: Option[String] = None, nChunks: Int = 0,
+      multiProbe: Boolean = false): DataFrame = {
     val surv = outDir match {
-      case Some(dir) => semDedupCorpusChunked(dir, simThreshold, nChunks)
-      case None => semDedupCorpus(simThreshold)
+      case Some(dir) => semDedupCorpusChunked(dir, simThreshold, nChunks,
+        multiProbe)
+      case None => semDedupCorpus(simThreshold, multiProbe)
     }
     val h = EngineOps.index(spark, sfDir)
     val kept = graft.ops.VectorQueries.protoPrune(surv, "vec_id",

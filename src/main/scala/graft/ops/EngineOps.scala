@@ -973,6 +973,7 @@ object EngineOps {
           .orderBy("id_a", "id_b")
       },
       stashed("q104_semdedup_multiprobe"),
+      bench = true,
       dependsOnIndex = true),
 
     // The SemDeDup MATERIALIZATION (the Abbas et al. pipeline's end

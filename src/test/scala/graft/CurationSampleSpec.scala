@@ -290,6 +290,14 @@ class CurationSampleSpec extends SparkSpec {
     val chunked = rows(api.curateCorpus(outDir = Some(outDir), nChunks = 3))
     assert(oneShot.nonEmpty && chunked == oneShot)
     if (fs.exists(p)) fs.delete(p, true)
+    // the multiProbe route must also compose identically across the two
+    // drivers (the dedup stage sees the top-2 assignment; downstream
+    // prune + draw are unchanged)
+    val mpOneShot = rows(api.curateCorpus(multiProbe = true))
+    val mpChunked = rows(api.curateCorpus(outDir = Some(outDir),
+      nChunks = 3, multiProbe = true))
+    assert(mpOneShot.nonEmpty && mpChunked == mpOneShot)
+    if (fs.exists(p)) fs.delete(p, true)
     ()
   }
 
