@@ -785,7 +785,7 @@ object ProbeRelease {
     * Usage: runMain graft.ProbeRelease curatepipe [v2|v3|v4] [threshold] [keepFrac] [chunk[:n]] */
   private def probeCurationPipeline(shapeArg: Option[String],
       thresholdArg: Option[Double], keepFracArg: Option[Double],
-      chunkArg: Option[Int]): Unit = {
+      chunkArg: Option[Int], resume: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
       case Some("v3") => ReleaseShape.V3
@@ -808,7 +808,7 @@ object ProbeRelease {
     val outDir = s.dir + "_curation_pairs"
     val op = new org.apache.hadoop.fs.Path(outDir)
     val fs = op.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(op)) fs.delete(op, true)
+    if (!resume && fs.exists(op)) fs.delete(op, true)
     val memberRows = cells.groupBy("cell_id").agg(count(lit(1)).as("n"))
       .where(col("n") >= 2).agg(sum(col("n"))).head().getLong(0)
     val n = chunkArg.filter(_ > 0).getOrElse(
@@ -825,7 +825,16 @@ object ProbeRelease {
       r
     }
     val t0 = System.nanoTime()
-    stage("sweep") {
+    // `resume`: a crashed post-sweep stage should not re-pay the chunked
+    // sweep. CALLER asserts the drain completed (every chunk logged) —
+    // per-chunk appends each leave a _SUCCESS, so the marker alone cannot
+    // distinguish a full drain from a mid-sweep crash; this is a dev
+    // probe's restart lever, not a production protocol (that one is
+    // semDedupCorpusChunked's single-session drain)
+    val reuse = resume &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_SUCCESS"))
+    if (reuse) println(s"[probe-release] curatepipe resume: reusing $outDir")
+    else stage("sweep") {
       graft.ops.VectorQueries.semDedupPairsChunked(cells, vectors,
           "vec_id", "embedding", th, n) { (df, c) =>
         val tc = System.nanoTime()
@@ -939,12 +948,14 @@ object ProbeRelease {
     if (args.headOption.contains("histogram")) { probeHistogram(); return }
     if (args.headOption.contains("curatepipe")) {
       val rest = args.drop(1)
-      val (chunkArgs, rest1) = rest.partition(_.startsWith("chunk"))
+      val (resumeArgs, rest0) = rest.partition(_ == "resume")
+      val (chunkArgs, rest1) = rest0.partition(_.startsWith("chunk"))
       val (shapeArg, nums) = rest1.partition(a => a == "v2" || a == "v3" || a == "v4")
       probeCurationPipeline(shapeArg.headOption,
         nums.lift(0).map(_.toDouble), nums.lift(1).map(_.toDouble),
         chunkArgs.headOption.map(a =>
-          if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0))
+          if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0),
+        resume = resumeArgs.nonEmpty)
       return
     }
     if (args.headOption.contains("cellmiss")) {

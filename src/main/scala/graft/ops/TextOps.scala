@@ -158,11 +158,85 @@ object TextOps {
     * `comp` = the component's minimum member id. */
   private[graft] def minLabelComponents(edges: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
+    // CONTRACT, then propagate. The duplicate graphs this operator feeds
+    // are near-cliques (a near-dup cluster pairs all-to-all: the full v4
+    // sweep emits 523M pair rows over 2M nodes), and running label
+    // propagation directly on the raw edge list is a measured
+    // scale-killer at that volume — the r13 curatepipe probe ENOSPC'd on
+    // the 1-billion-row undirected checkpoint plus a same-sized shuffle
+    // PER iteration. One contraction round fixes the shape exactly:
+    //   l0(v) = min(v, neighbors(v))
+    // maps every clique member straight to the clique minimum (each
+    // member is adjacent to it), so the quotient graph — the l0 images
+    // of the original edges, self-loops dropped — is EMPTY for cliques
+    // and tiny for anything near one; the O(|E|) work happens once, and
+    // the iterative propagation runs on the contracted remainder.
+    // Exactness: l0 maps every node to a member of its own component
+    // (itself or a neighbor), and edge contraction within components
+    // preserves components, so comp(v) = quotientComp(l0(v)); the
+    // component minimum m survives as a quotient node (its neighbors are
+    // all larger, so l0(m) = m). Same contract as before — one
+    // `(id, comp)` row per node, comp = the component's minimum id —
+    // gated by the recursive-reachability oracles (q63/q72/q95/q103) and
+    // the randomized brute-force spec.
+    val und = edges.unionAll(
+      edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // one skinny row per node, via an AGGREGATION (map-side combine
+    // collapses the fat edge list to ≤ nodes × partitions rows before it
+    // shuffles — the cheap way through |E|, unlike a join, which ships
+    // every edge row)
+    val l0 = und.groupBy(col("id_a").as("id"))
+      .agg(min(col("id_b")).as("_m"))
+      .select(col("id"), least(col("id"), col("_m")).as("l0"))
+      .localCheckpoint()
+    // map the ORIGINAL edges (half of und) onto their l0 images; when the
+    // node map is driver-known small, broadcast it so the edge list is
+    // scanned map-side and never shuffle-written — the distinct() after
+    // the mapping also combines map-side, so a clique's edges vanish
+    // before they reach the wire
+    val nNodes = l0.count()
+    val maxBcast = edges.sparkSession.conf
+      .get(CcBroadcastNodesMaxRowsConf, DefaultCcBroadcastNodesMaxRows.toString).toLong
+    def side(idCol: String, out: String) = {
+      val m = l0.select(col("id").as(idCol), col("l0").as(out))
+      if (nNodes <= maxBcast) broadcast(m) else m
+    }
+    val contracted = edges.select("id_a", "id_b")
+      .join(side("id_a", "_la"), "id_a")
+      .join(side("id_b", "_lb"), "id_b")
+      .where(col("_la") =!= col("_lb"))
+      .select(least(col("_la"), col("_lb")).as("id_a"),
+        greatest(col("_la"), col("_lb")).as("id_b"))
+      .distinct()
+    val quotient = propagateMinLabels(contracted)
+    // nodes whose l0 image has no contracted edge keep comp = l0
+    l0.join(quotient.withColumnRenamed("id", "l0"), Seq("l0"), "left")
+      .select(col("id"), coalesce(col("comp"), col("l0")).as("comp"))
+  }
+
+  /** Conf: max node count for broadcasting the contraction's node→l0 map
+    * into the edge scan (16 B/row — the default caps the broadcast at
+    * ~256 MB). Above it the mapping falls back to shuffle joins, the
+    * multi-hundred-TB regime where executors outnumber the savings. */
+  private[graft] val CcBroadcastNodesMaxRowsConf =
+    "spark.graft.cc.broadcastNodesMaxRows"
+  private[graft] val DefaultCcBroadcastNodesMaxRows = 16000000L
+
+  /** Iterative min-label propagation over an undirected-izable edge list —
+    * [[minLabelComponents]]' post-contraction engine. Input edges must be
+    * the contracted remainder (small); the loop checkpoints one skinny
+    * label row per remaining node per iteration. */
+  private def propagateMinLabels(edges: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val und = edges.unionAll(
       edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
     var labels = und.select(col("id_a").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // a fully-contracted graph (pure cliques — the common duplicate
+    // shape) leaves no quotient edges at all; the sum-convergence agg
+    // below would see a null over zero rows
+    if (labels.isEmpty) return labels
     var prevSum = -1L
     var iter = 0
     val MaxIters = 32

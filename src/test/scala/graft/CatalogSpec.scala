@@ -236,6 +236,62 @@ class CatalogSpec extends SparkSpec {
     assert(losers.nonEmpty, "fixture must exercise at least one dup drop")
   }
 
+  /** Randomized model check of the contract-then-propagate CC rewrite
+    * (r13: one l0-contraction round, quotient propagation — the raw-edge
+    * propagation ENOSPC'd at the 523M-pair deployment volume): random
+    * graphs spanning the shapes that stress each path — pure cliques
+    * (quotient empty), long paths (diameter > 1 after contraction, the
+    * iterative loop must actually run), stars, and mixed sparse — vs a
+    * driver-side union-find. Both broadcast and shuffle mapping paths. */
+  test("minLabelComponents ≡ union-find on random clique/path/star/sparse graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(40)
+      val ids = (0 until n).map(_ => rnd.nextLong().abs % 1000000L).distinct
+      val edges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rnd.nextInt(4) match {
+        case 0 => // cliques of random sizes
+          ids.grouped(1 + rnd.nextInt(6)).foreach { g =>
+            for (i <- g.indices; j <- i + 1 until g.length) edges += ((g(i), g(j)))
+          }
+        case 1 => // one long path: worst diameter
+          ids.sliding(2).foreach { case Seq(a, b) => edges += ((a, b)); case _ => }
+        case 2 => // stars
+          ids.grouped(1 + rnd.nextInt(8)).foreach { g =>
+            g.drop(1).foreach(m => edges += ((g.head, m)))
+          }
+        case _ => // sparse random
+          (0 until n).foreach { _ =>
+            val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+            if (a != b) edges += ((a, b))
+          }
+      }
+      if (edges.nonEmpty) {
+        val root = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = root.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); root(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) root(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(p => Seq(p._1, p._2)).distinct
+          .map(v => (v, find(v))).toSet
+        val key = graft.ops.TextOps.CcBroadcastNodesMaxRowsConf
+        val forceShuffle = trial % 2 == 0
+        if (forceShuffle) spark.conf.set(key, "1")
+        try {
+          val got = graft.ops.TextOps
+            .minLabelComponents(edges.toSeq.toDF("id_a", "id_b"))
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(got === want, s"trial $trial (forceShuffle=$forceShuffle)")
+        } finally spark.conf.unset(key)
+      }
+    }
+  }
+
   test("q31 brute-force kNN distances are nonnegative and ranked") {
     val rows = SparkEntry.queries("q31_knn_brute")(spark, sf).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
