@@ -215,7 +215,7 @@ final class GraftApi(spark: SparkSession, sfDir: String,
       .select("id_a", "id_b").localCheckpoint()
     val losers = graft.ops.TextOps.minLabelComponents(edges)
       .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
-    e.join(losers, Seq("vec_id"), "left_anti")
+    graft.ops.TextOps.antiJoinIds(e, "vec_id", losers)
   }
 
   /** The sweep's skinny assignment: the persisted codes (single-cell, the
@@ -263,7 +263,7 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     val edges = spark.read.parquet(outDir)
     val losers = graft.ops.TextOps.minLabelComponents(edges)
       .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
-    e.join(losers, Seq("vec_id"), "left_anti")
+    graft.ops.TextOps.antiJoinIds(e, "vec_id", losers)
   }
 
   /** INGEST SCREENING — the nightly-ingest semantic-dedup check as one

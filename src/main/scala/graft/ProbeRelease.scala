@@ -853,7 +853,7 @@ object ProbeRelease {
       l
     }
     val kept = stage("protoPrune") {
-      val surv = vectors.join(losers, Seq("vec_id"), "left_anti")
+      val surv = graft.ops.TextOps.antiJoinIds(vectors, "vec_id", losers)
       val k = graft.ops.VectorQueries
         .protoPruneSlim(surv, "vec_id", "embedding", idx.slim, keepFrac, idx.pca)
         .where(col("keep"))

@@ -995,7 +995,7 @@ object EngineOps {
           .select("id_a", "id_b").localCheckpoint()
         val losers = TextOps.minLabelComponents(edges)
           .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
-        e.join(losers, Seq("vec_id"), "left_anti")
+        TextOps.antiJoinIds(e, "vec_id", losers)
           .select(col("vec_id"), col("label").cast("long").as("label"),
             round(l2Norm(col("embedding")), 6).as("norm"))
           .orderBy("vec_id")
@@ -1402,7 +1402,7 @@ object EngineOps {
           .select("id_a", "id_b").localCheckpoint()
         val losers = TextOps.minLabelComponents(edges)
           .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
-        val surv = e.join(losers, Seq("vec_id"), "left_anti")
+        val surv = TextOps.antiJoinIds(e, "vec_id", losers)
         val kept = VectorQueries.protoPrune(surv, "vec_id", "embedding",
             h.model, ProtoKeepFrac)
           .where(col("keep"))
