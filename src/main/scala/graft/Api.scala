@@ -223,8 +223,13 @@ final class GraftApi(spark: SparkSession, sfDir: String,
   private def dedupCells(multiProbe: Boolean, e: DataFrame): DataFrame = {
     val h = EngineOps.index(spark, sfDir)
     if (multiProbe)
+      // pin the encoded assignment: unlike the persisted codes this is a
+      // full-corpus ENCODE (PCA front + coarse argmin per row), and the
+      // sweep scans the skinny assignment more than once (per chunk, in
+      // the chunked driver) — without the pin each scan re-encodes the
+      // fat corpus
       graft.engine.LopqIndexStore.assignCellsMulti(spark, h.dir, e,
-        "vec_id", "embedding")
+        "vec_id", "embedding").localCheckpoint()
     else
       h.codes.select(col("id"),
         (col("coarse0").cast("long") * h.model.v + col("coarse1")).as("cell_id"))

@@ -635,7 +635,7 @@ object ProbeRelease {
 
   private def probeSemDedup(shapeArg: Option[String], thresholdArg: Option[Double],
       sampleMod: Option[Long], chunkArg: Option[Int],
-      incrMod: Option[Long]): Unit = {
+      incrMod: Option[Long], multiProbe: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
       case Some("v3") => ReleaseShape.V3
@@ -656,7 +656,17 @@ object ProbeRelease {
     graft.functions.GraftFunctions.register(spark)
     val idx = LopqIndexStore.loadSlim(spark, s.dir).get
     val vectors = ReleaseShape.vectors(spark, s.dir)
-    val all = idx.codes.select(col("id"), col("cell_id").cast("long").as("cell_id"))
+    // `multi`: the q104 top-2 assignment instead of the persisted codes —
+    // the deployment-width price of the multi-probe sweep next to the
+    // r12 single-cell baseline (same threshold, same chunk driver)
+    val all =
+      if (multiProbe)
+        // pin the encoded assignment: unlike the persisted codes it is a
+        // full-corpus ENCODE (PCA front + coarse argmin per row), and the
+        // chunk driver re-scans the skinny assignment per chunk
+        LopqIndexStore.assignCellsMulti(spark, s.dir, vectors,
+          "vec_id", "embedding").localCheckpoint()
+      else idx.codes.select(col("id"), col("cell_id").cast("long").as("cell_id"))
     val (cells, vecs) = sampleMod match {
       case Some(m) => (all.where(pmod(col("id"), lit(m)) === 0),
         vectors.where(pmod(col("vec_id"), lit(m)) === 0))
@@ -666,6 +676,7 @@ object ProbeRelease {
       .where(col("n") >= 2).agg(sum(col("n")), count(lit(1))).head()
     println(s"[probe-release] semdedup ${s.name} threshold=$th " +
       sampleMod.map(m => s"sampleMod=$m ").getOrElse("") +
+      (if (multiProbe) "multiProbe=true " else "") +
       s"multiCellRows=${multiRows.getLong(0)} multiCells=${multiRows.getLong(1)}")
     chunkArg match {
       case Some(n0) =>
@@ -979,12 +990,14 @@ object ProbeRelease {
       val (sampleArgs, rest1) = rest.partition(_.startsWith("sample:"))
       val (chunkArgs, rest2) = rest1.partition(_.startsWith("chunk"))
       val (incrArgs, rest3) = rest2.partition(_.startsWith("incr:"))
-      val (shapeArg, nums) = rest3.partition(a => a == "v2" || a == "v3" || a == "v4")
+      val (multiArgs, rest4) = rest3.partition(_ == "multi")
+      val (shapeArg, nums) = rest4.partition(a => a == "v2" || a == "v3" || a == "v4")
       probeSemDedup(shapeArg.headOption, nums.headOption.map(_.toDouble),
         sampleArgs.headOption.map(_.stripPrefix("sample:").toLong),
         chunkArgs.headOption.map(a =>
           if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0),
-        incrArgs.headOption.map(_.stripPrefix("incr:").toLong))
+        incrArgs.headOption.map(_.stripPrefix("incr:").toLong),
+        multiProbe = multiArgs.nonEmpty)
       return
     }
     if (args.headOption.contains("ingest")) {
