@@ -228,6 +228,33 @@ class PlanSpec extends SparkSpec {
       "loser anti-join must broadcast")
   }
 
+  test("antiJoinIds broadcasts from the driver-known count even when stats forbid it") {
+    // the r13 curatepipe failure mode: a loser set a few MB past
+    // Catalyst's 10 MB stats threshold silently flipped the survivor
+    // anti-join into a sort-merge that shuffle-wrote the 32 GB vector
+    // table. Simulate "stats say don't broadcast" by disabling the
+    // automatic thresholds entirely — the helper must still broadcast,
+    // because its gate is the driver-known id COUNT, not plan stats.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ids = e.select(col("vec_id")).where(col("vec_id") % 7 === 0)
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.ops.TextOps.antiJoinIds(e, "vec_id", ids)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        "anti-join must broadcast on the driver-known count")
+    } finally {
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("q96 chunked semdedup equals the one-shot sweep and broadcasts the id-attach") {
     val one = SparkEntry.queries("q94_semdedup_cells")(spark, sf).collect()
     val chunked = SparkEntry.queries("q96_semdedup_chunked")(spark, sf).collect()
