@@ -222,6 +222,28 @@ object TextOps {
     "spark.graft.cc.broadcastNodesMaxRows"
   private[graft] val DefaultCcBroadcastNodesMaxRows = 16000000L
 
+  /** Anti-join an id set out of a FAT corpus without shuffling the corpus:
+    * Catalyst only broadcasts under its 10 MB plan-stats threshold, so a
+    * loser set a few MB past it silently flips the anti-join to a
+    * sort-merge that shuffle-writes every fat corpus row — at the
+    * 2M × 4096-d release shape that is the whole 32 GB table for a 16 MB
+    * id list (the r13 curatepipe probe measured exactly that flip:
+    * ~2M loser ids → ENOSPC in the survivors stage). The id count here is
+    * driver-known (one count of a checkpointed single-column frame), so
+    * the broadcast decision is exact, reusing the CC node-map bound
+    * ([[CcBroadcastNodesMaxRowsConf]] — same 8-byte-id shape). Above the
+    * bound the plain join runs (the cluster regime where the corpus is
+    * partitioned wide enough to absorb the shuffle). */
+  private[graft] def antiJoinIds(corpus: org.apache.spark.sql.DataFrame,
+      idCol: String, ids: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val l = ids.select(col(ids.columns.head).as(idCol)).localCheckpoint()
+    val maxBcast = corpus.sparkSession.conf
+      .get(CcBroadcastNodesMaxRowsConf, DefaultCcBroadcastNodesMaxRows.toString).toLong
+    val side = if (l.count() <= maxBcast) broadcast(l) else l
+    corpus.join(side, Seq(idCol), "left_anti")
+  }
+
   /** Iterative min-label propagation over an undirected-izable edge list —
     * [[minLabelComponents]]' post-contraction engine. Input edges must be
     * the contracted remainder (small); the loop checkpoints one skinny
