@@ -204,24 +204,47 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * edge-set idempotent, so no pair-level dedup pass is needed. The
     * multi-probe survivor set is always a SUBSET of the single-cell one
     * (more edges only ever merge components; a loser stays a loser —
-    * spec-pinned). */
+    * spec-pinned).
+    *
+    * Fails fast when the one-shot sweep would exceed the session's
+    * scratch bound ([[graft.ops.VectorQueries.semDedupChunkCount]] > 1 at
+    * this corpus size × model width): the one-shot id-attach alone
+    * shuffle-writes the whole fat vector table at deployment width (the
+    * measured ENOSPC of PROBES.md r12), and the facade already knows all
+    * the driver-side quantities needed to predict it — so it refuses and
+    * names the chunked route instead of dying mid-shuffle (VERDICT r13). */
   def semDedupCorpus(
       simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
       multiProbe: Boolean = false): DataFrame = {
+    val h = EngineOps.index(spark, sfDir)
     val e = vectors
+    val cells = dedupCells(h, multiProbe, e)
+    requireOneShotFits(cells.count(), h.model.dim)
     val edges = graft.ops.VectorQueries
-      .semDedupPairs(dedupCells(multiProbe, e), e, "vec_id", "embedding",
-        simThreshold)
+      .semDedupPairs(cells, e, "vec_id", "embedding", simThreshold)
       .select("id_a", "id_b").localCheckpoint()
     val losers = graft.ops.TextOps.minLabelComponents(edges)
       .where(col("id") =!= col("comp")).select(col("id").as("vec_id"))
     graft.ops.TextOps.antiJoinIds(e, "vec_id", losers)
   }
 
+  /** The one-shot guard shared by [[semDedupCorpus]] and (through it)
+    * [[curateCorpus]]'s default route. */
+  private def requireOneShotFits(memberRows: Long, dim: Int): Unit = {
+    val n = graft.ops.VectorQueries.semDedupChunkCount(memberRows, dim, spark)
+    require(n == 1,
+      s"one-shot SemDeDup sweep over $memberRows assignment rows × ${dim}-d " +
+        s"would need $n scratch-bounded chunks " +
+        s"(${graft.ops.VectorQueries.SemDedupChunkShuffleMaxBytesConf}) — " +
+        "route through semDedupCorpusChunked(outDir, …) or " +
+        "curateCorpus(outDir = Some(…)) so each cell group drains to " +
+        "parquet with one chunk's scratch in flight (PROBES.md r12/r13)")
+  }
+
   /** The sweep's skinny assignment: the persisted codes (single-cell, the
-    * published SemDeDup trade) or the model's top-2 probe cells. */
-  private def dedupCells(multiProbe: Boolean, e: DataFrame): DataFrame = {
-    val h = EngineOps.index(spark, sfDir)
+    * published SemDeDup trade) or the model's top-P probe cells. */
+  private def dedupCells(h: graft.engine.LopqIndex, multiProbe: Boolean,
+      e: DataFrame): DataFrame = {
     if (multiProbe)
       // pin the encoded assignment: unlike the persisted codes this is a
       // full-corpus ENCODE (PCA front + coarse argmin per row), and the
@@ -255,11 +278,12 @@ final class GraftApi(spark: SparkSession, sfDir: String,
   def semDedupCorpusChunked(outDir: String,
       simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
       nChunks: Int = 0, multiProbe: Boolean = false): DataFrame = {
+    val h = EngineOps.index(spark, sfDir) // one handle for cells AND sizing
     val e = vectors
-    val cells = dedupCells(multiProbe, e)
+    val cells = dedupCells(h, multiProbe, e)
     val n = if (nChunks > 0) nChunks
       else graft.ops.VectorQueries.semDedupChunkCount(
-        cells.count(), EngineOps.index(spark, sfDir).model.dim, spark)
+        cells.count(), h.model.dim, spark)
     graft.ops.VectorQueries.semDedupPairsChunked(cells, e, "vec_id",
         "embedding", simThreshold, n) { (df, c) =>
       df.select("id_a", "id_b")
@@ -362,8 +386,10 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * footprint one chunk, `nChunks = 0` auto-sized from driver-known
     * member count × width) — REQUIRED at deployment width, where the
     * one-shot sweep's id-attach alone shuffle-writes the whole fat vector
-    * table (the measured scratch-killer at 2M × 4096-d, PROBES.md r12).
-    * Without `outDir` the one-shot sweep runs — fine at gate scale only.
+    * table (the measured scratch-killer at 2M × 4096-d, PROBES.md r12
+    * "CHUNKED corpus-self-dedup past the matrix bound"). Without `outDir`
+    * the one-shot sweep runs at gate scale and FAILS FAST past the
+    * scratch bound ([[semDedupCorpus]]'s guard names this parameter).
     * Chunk assignment cannot change the pair set (cells are whole within
     * a chunk), so the two routes compose identically (spec-pinned).
     * `multiProbe` routes the dedup stage over top-2 probe cells

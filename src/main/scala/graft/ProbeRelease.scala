@@ -12,11 +12,11 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape}
   *        runMain graft.ProbeRelease [v2|v3|histogram] [queryId]
   *        runMain graft.ProbeRelease annjoin [v2|v3] [nQueries...]
   *        runMain graft.ProbeRelease dedup [v2|v3|v4] [nProbes] [quota] [rerankK] [jitter[:eps]] [chunk[:rows]]
-  *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]] [incr:mod]
+  *        runMain graft.ProbeRelease semdedup [v2|v3|v4] [threshold] [sample:mod] [chunk[:n]] [incr:mod] [multi[:P]]
   *        runMain graft.ProbeRelease ingest [v2|v3|v4] [batchRows] [sweep:t1,t2,...] [multi]
   *        runMain graft.ProbeRelease stream [v2|v3|v4] [nBatches] [batchRows] [compactAt]
   *        runMain graft.ProbeRelease curation [v1|v2|v3|v4] [quota] [keepFrac]
-  *        runMain graft.ProbeRelease curatepipe [v2|v3|v4] [threshold] [keepFrac] [chunk[:n]]
+  *        runMain graft.ProbeRelease curatepipe [v2|v3|v4] [threshold] [keepFrac] [chunk[:n]] [multi] [resume]
   *        runMain graft.ProbeRelease cellmiss [v2|v3|v4] [nSample] [eps:e1,e2,...]
   *
   * `annjoin` mode times the SET-ORIENTED batch path at each given batch
@@ -654,11 +654,20 @@ object ProbeRelease {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    import scala.jdk.CollectionConverters._
+    System.getProperties.asScala.foreach { case (kk, v) =>
+      if (kk.startsWith("spark.graft.probe.conf.")) {
+        val key = kk.stripPrefix("spark.graft.probe.conf.")
+        println(s"[probe-release] conf $key=$v")
+        spark.conf.set(key, v)
+      }
+    }
     val idx = LopqIndexStore.loadSlim(spark, s.dir).get
     val vectors = ReleaseShape.vectors(spark, s.dir)
-    // `multi`: the q104 top-2 assignment instead of the persisted codes —
-    // the deployment-width price of the multi-probe sweep next to the
-    // r12 single-cell baseline (same threshold, same chunk driver)
+    // `multi`: the q104 top-P assignment (P = MultiProbeCellsConf,
+    // default 2) instead of the persisted codes — the deployment-width
+    // price of the multi-probe sweep next to the r12 single-cell baseline
+    // (same threshold, same chunk driver)
     val all =
       if (multiProbe)
         // pin the encoded assignment: unlike the persisted codes it is a
@@ -676,7 +685,7 @@ object ProbeRelease {
       .where(col("n") >= 2).agg(sum(col("n")), count(lit(1))).head()
     println(s"[probe-release] semdedup ${s.name} threshold=$th " +
       sampleMod.map(m => s"sampleMod=$m ").getOrElse("") +
-      (if (multiProbe) "multiProbe=true " else "") +
+      (if (multiProbe) s"multiProbe=${LopqIndexStore.multiProbeCells(spark)} " else "") +
       s"multiCellRows=${multiRows.getLong(0)} multiCells=${multiRows.getLong(1)}")
     chunkArg match {
       case Some(n0) =>
@@ -773,18 +782,10 @@ object ProbeRelease {
     spark.stop()
   }
 
-  /** Recursive byte size of the session's spark scratch dirs (blockmgr +
-    * spark-* under java.io.tmpdir) — the "scratch stays flat" witness for
-    * the chunked drivers. */
-  private def scratchBytes(): Long = {
-    def size(f: java.io.File): Long =
-      if (f.isFile) f.length
-      else Option(f.listFiles).map(_.iterator.map(size).sum).getOrElse(0L)
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
-    Option(tmp.listFiles).map(_.iterator
-      .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
-      .map(size).sum).getOrElse(0L)
-  }
+  /** Recursive byte size of the session's spark scratch dirs — the
+    * "scratch stays flat" witness for the chunked drivers (shared with
+    * [[graft.ProbeTextDedup]] via [[graft.core.DiskStats.scratchBytes]]). */
+  private def scratchBytes(): Long = graft.core.DiskStats.scratchBytes()
 
   /** The COMPOSED semantic-curation pipeline at release magnitude
     * (VERDICT r12 next-round #1 — the curateCorpus chain with the chunked
@@ -796,7 +797,8 @@ object ProbeRelease {
     * Usage: runMain graft.ProbeRelease curatepipe [v2|v3|v4] [threshold] [keepFrac] [chunk[:n]] */
   private def probeCurationPipeline(shapeArg: Option[String],
       thresholdArg: Option[Double], keepFracArg: Option[Double],
-      chunkArg: Option[Int], resume: Boolean = false): Unit = {
+      chunkArg: Option[Int], resume: Boolean = false,
+      multiProbe: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     val s = shapeArg match {
       case Some("v3") => ReleaseShape.V3
@@ -814,9 +816,16 @@ object ProbeRelease {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
     val idx = LopqIndexStore.loadSlim(spark, s.dir).get
-    val cells = idx.codes.select(col("id"), col("cell_id").cast("long").as("cell_id"))
     val vectors = ReleaseShape.vectors(spark, s.dir)
-    val outDir = s.dir + "_curation_pairs"
+    // `multi`: the composed pipeline over the TOP-2 probe assignment
+    // (VERDICT r13 next-round #3) — pinned like probeSemDedup's, since
+    // every chunk re-scans the skinny assignment
+    val cells =
+      if (multiProbe)
+        LopqIndexStore.assignCellsMulti(spark, s.dir, vectors,
+          "vec_id", "embedding").localCheckpoint()
+      else idx.codes.select(col("id"), col("cell_id").cast("long").as("cell_id"))
+    val outDir = s.dir + (if (multiProbe) "_curation_pairs_mp" else "_curation_pairs")
     val op = new org.apache.hadoop.fs.Path(outDir)
     val fs = op.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!resume && fs.exists(op)) fs.delete(op, true)
@@ -825,7 +834,8 @@ object ProbeRelease {
     val n = chunkArg.filter(_ > 0).getOrElse(
       graft.ops.VectorQueries.semDedupChunkCount(memberRows, s.rawDim, spark))
     println(s"[probe-release] curatepipe ${s.name} threshold=$th keepFrac=$keepFrac " +
-      s"nChunks=$n multiCellRows=$memberRows")
+      s"nChunks=$n multiCellRows=$memberRows" +
+      (if (multiProbe) " multiProbe=true" else ""))
     def stage[A](label: String)(body: => A): A = {
       val b0 = diskReadBytes(); val t0 = System.nanoTime()
       val r = body
@@ -837,15 +847,18 @@ object ProbeRelease {
     }
     val t0 = System.nanoTime()
     // `resume`: a crashed post-sweep stage should not re-pay the chunked
-    // sweep. CALLER asserts the drain completed (every chunk logged) —
-    // per-chunk appends each leave a _SUCCESS, so the marker alone cannot
-    // distinguish a full drain from a mid-sweep crash; this is a dev
-    // probe's restart lever, not a production protocol (that one is
-    // semDedupCorpusChunked's single-session drain)
-    val reuse = resume &&
-      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/_SUCCESS"))
+    // sweep. Gate on an explicit drain-complete SENTINEL written after
+    // the LAST chunk — parquet's own _SUCCESS is rewritten by every
+    // per-chunk append, so it cannot distinguish a full drain from a
+    // mid-sweep crash (ADVICE r13: resuming on it would silently reuse a
+    // partially drained pair set and record wrong loser/kept counts).
+    // Still a dev probe's restart lever, not a production protocol (that
+    // one is semDedupCorpusChunked's single-session drain).
+    val drained = new org.apache.hadoop.fs.Path(s"$outDir/_DRAINED")
+    val reuse = resume && fs.exists(drained)
     if (reuse) println(s"[probe-release] curatepipe resume: reusing $outDir")
     else stage("sweep") {
+      if (fs.exists(drained)) fs.delete(drained, false)
       graft.ops.VectorQueries.semDedupPairsChunked(cells, vectors,
           "vec_id", "embedding", th, n) { (df, c) =>
         val tc = System.nanoTime()
@@ -854,6 +867,7 @@ object ProbeRelease {
         println(f"[probe-release] curatepipe   chunk $c%3d " +
           f"${(System.nanoTime() - tc) / 1e9}%8.2f s  scratch=${scratchBytes() / 1e9}%6.2f GB")
       }
+      fs.create(drained, true).close()
     }
     val losers = stage("components") {
       val edges = spark.read.parquet(outDir)
@@ -922,10 +936,12 @@ object ProbeRelease {
       c0.toLong * slim.v + c1
     }
     println(s"[probe-release] cellmiss ${s.name} sample=$nSample grid=${slim.v}x${slim.v}")
-    println("[probe-release] cellmiss eps | meanCos | sameCell% | top2%")
+    println("[probe-release] cellmiss eps | meanCos | sameCell% | top2% | top3% | top4%")
     epss.foreach { eps =>
       var same = 0L
       var top2 = 0L
+      var top3 = 0L
+      var top4 = 0L
       var cosSum = 0.0
       (0 until nSample).foreach { i =>
         val src = ReleaseShape.rowVecFor(s, (i.toLong * 997L) % s.n)
@@ -943,14 +959,19 @@ object ProbeRelease {
         val srcX = idx.pca.map(_.apply(src)).getOrElse(src)
         val jitX = idx.pca.map(_.apply(jit)).getOrElse(jit)
         val srcCell = cellOf(srcX)
-        val ((p0, p1), (s0, s1)) = slim.predictCoarseTop2(jitX)
-        val prim = p0.toLong * slim.v + p1
-        val sec = s0.toLong * slim.v + s1
-        if (prim == srcCell) same += 1
-        if (prim == srcCell || sec == srcCell) top2 += 1
+        // one top-4 walk covers every P column (prefix property: top-P is
+        // the first P pops of the same frontier)
+        val probed = slim.predictCoarseTopP(jitX, 4)
+          .map { case (c0, c1) => c0.toLong * slim.v + c1 }
+        val rank = probed.indexOf(srcCell) // -1 = missed all four
+        if (rank == 0) same += 1
+        if (rank >= 0 && rank < 2) top2 += 1
+        if (rank >= 0 && rank < 3) top3 += 1
+        if (rank >= 0) top4 += 1
       }
       println(f"[probe-release] cellmiss $eps%5.3f  ${cosSum / nSample}%7.4f  " +
-        f"${100.0 * same / nSample}%7.2f%%  ${100.0 * top2 / nSample}%7.2f%%")
+        f"${100.0 * same / nSample}%7.2f%%  ${100.0 * top2 / nSample}%7.2f%%  " +
+        f"${100.0 * top3 / nSample}%7.2f%%  ${100.0 * top4 / nSample}%7.2f%%")
     }
     spark.stop()
   }
@@ -960,13 +981,15 @@ object ProbeRelease {
     if (args.headOption.contains("curatepipe")) {
       val rest = args.drop(1)
       val (resumeArgs, rest0) = rest.partition(_ == "resume")
-      val (chunkArgs, rest1) = rest0.partition(_.startsWith("chunk"))
+      val (multiArgs, restM) = rest0.partition(_ == "multi")
+      val (chunkArgs, rest1) = restM.partition(_.startsWith("chunk"))
       val (shapeArg, nums) = rest1.partition(a => a == "v2" || a == "v3" || a == "v4")
       probeCurationPipeline(shapeArg.headOption,
         nums.lift(0).map(_.toDouble), nums.lift(1).map(_.toDouble),
         chunkArgs.headOption.map(a =>
           if (a.startsWith("chunk:")) a.stripPrefix("chunk:").toInt else 0),
-        resume = resumeArgs.nonEmpty)
+        resume = resumeArgs.nonEmpty,
+        multiProbe = multiArgs.nonEmpty)
       return
     }
     if (args.headOption.contains("cellmiss")) {
@@ -990,8 +1013,14 @@ object ProbeRelease {
       val (sampleArgs, rest1) = rest.partition(_.startsWith("sample:"))
       val (chunkArgs, rest2) = rest1.partition(_.startsWith("chunk"))
       val (incrArgs, rest3) = rest2.partition(_.startsWith("incr:"))
-      val (multiArgs, rest4) = rest3.partition(_ == "multi")
+      val (multiArgs, rest4) = rest3.partition(_.startsWith("multi"))
       val (shapeArg, nums) = rest4.partition(a => a == "v2" || a == "v3" || a == "v4")
+      // `multi` = top-2 (the default width); `multi:P` sets the probe
+      // width conf before the assignment is built (q104 at top-P)
+      multiArgs.headOption.filter(_.startsWith("multi:")).foreach { a =>
+        System.setProperty(s"spark.graft.probe.conf.${LopqIndexStore.MultiProbeCellsConf}",
+          a.stripPrefix("multi:"))
+      }
       probeSemDedup(shapeArg.headOption, nums.headOption.map(_.toDouble),
         sampleArgs.headOption.map(_.stripPrefix("sample:").toLong),
         chunkArgs.headOption.map(a =>

@@ -27,4 +27,17 @@ object DiskStats {
         .map(f => f(5).toLong * 512L)
         .sum
     }.getOrElse(-1L)
+
+  /** Recursive byte size of this session's Spark scratch dirs (blockmgr +
+    * spark-* under java.io.tmpdir) — the "scratch stays flat" witness the
+    * magnitude probes print per stage. */
+  def scratchBytes(): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).map(_.iterator.map(size).sum).getOrElse(0L)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+    Option(tmp.listFiles).map(_.iterator
+      .filter(f => f.getName.startsWith("blockmgr-") || f.getName.startsWith("spark-"))
+      .map(size).sum).getOrElse(0L)
+  }
 }

@@ -969,19 +969,42 @@ object LopqIndexStore {
     df.select(col(idCol).as("id"), u(col(vecCol)).as("cell_id"))
   }
 
-  /** [[assignCells]] probing each row's TOP-2 coarse cells — the
-    * multi-probe candidate generator for the ingest screen (VERDICT r12
-    * next-round #6): a near-duplicate whose jitter flips the batch row's
-    * argmin into the neighboring cell is invisible to the single-cell
-    * screen (SemDeDup's same-cell blindness, inherited); probing the
-    * multisequence's second cell too catches exactly that boundary case
-    * at the cost of roughly doubling the touched-cell slice. Emits one or
-    * two `(id, cell_id)` rows per input row (one when the model has a
-    * single cell); rank-0 cells equal [[assignCells]]' bit-for-bit
-    * ([[SlimLopqModel.predictCoarseTop2]] is spec-pinned to
-    * `predictCoarse`). */
+  /** Conf: how many coarse cells a MULTI-probe assignment emits per
+    * vector (the `P` of [[SlimLopqModel.predictCoarseTopP]]), default 2.
+    * P=2 is the boundary-flip repair the `cellmiss` table prices
+    * (PROBES.md r13); P=3/4 buys back part of the residual miss at
+    * cos≈0.98 for users between the single-cell sweep and the full ANN
+    * pass, at ~P/2 × the pair volume of P=2. Read by the conf-driven
+    * [[assignCellsMulti]] overload; callers with an explicit width pass
+    * it directly. */
+  val MultiProbeCellsConf = "spark.graft.multiProbe.cells"
+  val DefaultMultiProbeCells = 2
+
+  /** The session's multi-probe width ([[MultiProbeCellsConf]]). */
+  def multiProbeCells(spark: SparkSession): Int =
+    spark.conf.get(MultiProbeCellsConf, DefaultMultiProbeCells.toString).toInt
+
+  /** [[assignCells]] probing each row's TOP-P coarse cells (P from
+    * [[MultiProbeCellsConf]], default 2) — the multi-probe candidate
+    * generator for the ingest screen (VERDICT r12 next-round #6): a
+    * near-duplicate whose jitter flips the batch row's argmin into the
+    * neighboring cell is invisible to the single-cell screen (SemDeDup's
+    * same-cell blindness, inherited); probing the multisequence frontier's
+    * next cells too catches exactly that boundary case at the cost of
+    * roughly P× the touched-cell slice. Emits up to P distinct
+    * `(id, cell_id)` rows per input row (one when the model has a single
+    * cell); rank-0 cells equal [[assignCells]]' bit-for-bit
+    * ([[SlimLopqModel.predictCoarseTopP]] element 0 is `predictCoarse`,
+    * spec-pinned, and P=2 is `predictCoarseTop2` element-for-element). */
   def assignCellsMulti(spark: SparkSession, dir: String, df: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
+      idCol: String, vecCol: String): DataFrame =
+    assignCellsMulti(spark, dir, df, idCol, vecCol, multiProbeCells(spark))
+
+  /** [[assignCellsMulti]] at an explicit probe width. */
+  def assignCellsMulti(spark: SparkSession, dir: String, df: DataFrame,
+      idCol: String, vecCol: String, probes: Int): DataFrame = {
+    require(probes >= 2,
+      s"multi-probe width must be >= 2 (use assignCells for 1), got $probes")
     val (slim, pca) = cachedSlimModel(spark, dir)
     val slimB = spark.sparkContext.broadcast(slim)
     val pcaB = spark.sparkContext.broadcast(pca)
@@ -989,10 +1012,7 @@ object LopqIndexStore {
       val x0 = v.toArray
       val x = pcaB.value.map(_(x0)).getOrElse(x0)
       val m = slimB.value
-      val ((a0, a1), (b0, b1)) = m.predictCoarseTop2(x)
-      val first = a0.toLong * m.v + a1
-      val second = b0.toLong * m.v + b1
-      if (first == second) Seq(first) else Seq(first, second)
+      m.predictCoarseTopP(x, probes).map { case (c0, c1) => c0.toLong * m.v + c1 }
     }
     df.select(col(idCol).as("id"), explode(u(col(vecCol))).as("cell_id"))
   }

@@ -86,6 +86,44 @@ final case class SlimLopqModel(
     }
   }
 
+  /** The nearest `p` DISTINCT coarse cells, best-first — the top-P
+    * generalization of [[predictCoarseTop2]] (VERDICT r13 next-round #5):
+    * the same multisequence frontier walk ([[graft.core.CellMath]]'s
+    * generator over the per-split distance rankings), popped `p` times.
+    * Ordering is (d0+d1, packed cell id) at every pop — the packed-id
+    * tie rule [[predictCoarseTop2]] and
+    * [[graft.core.CellHistogram.selectCells]] already use, applied
+    * uniformly — and the per-split rankings break distance ties toward
+    * the smaller index (stable sort ≡ `argminL2`'s first-wins), so
+    * `predictCoarseTopP(x, 2)` is [[predictCoarseTop2]] element-for-
+    * element (spec-pinned) and element 0 is [[predictCoarse]]. Returns
+    * fewer than `p` cells only when the grid has fewer (V = 1). */
+  def predictCoarseTopP(x: Array[Float], p: Int): Seq[(Int, Int)] = {
+    require(p >= 1, s"probe cell count must be >= 1, got $p")
+    if (p == 1) return Seq(predictCoarse(x))
+    val (d0, d1) = coarseDistances(x)
+    val o0 = d0.indices.sortBy(d0)(Ordering.Double.TotalOrdering).toArray
+    val o1 = d1.indices.sortBy(d1)(Ordering.Double.TotalOrdering).toArray
+    // frontier walk over RANK space; (i, j) ranks map back through o0/o1
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Int, Int)](
+      Ordering.by[(Double, Long, Int, Int), (Double, Long)](t => (t._1, t._2)).reverse)
+    val seen = scala.collection.mutable.HashSet.empty[(Int, Int)]
+    def push(i: Int, j: Int): Unit =
+      if (i < o0.length && j < o1.length && seen.add((i, j)))
+        heap.enqueue((d0(o0(i)) + d1(o1(j)), o0(i).toLong * v + o1(j), i, j))
+    push(0, 0)
+    val out = Seq.newBuilder[(Int, Int)]
+    var taken = 0
+    while (taken < p && heap.nonEmpty) {
+      val (_, _, i, j) = heap.dequeue()
+      out += ((o0(i), o1(j)))
+      push(i + 1, j)
+      push(i, j + 1)
+      taken += 1
+    }
+    out.result()
+  }
+
   /** Fine codes given the coarse codes and just THEIR two rotation slices —
     * bit-identical to [[LopqModel.predictFine]] (same primitives, same
     * order). The slim-encode path of [[LopqIndexStore.appendUpdate]]. */

@@ -117,8 +117,26 @@ object TextOps {
     * 100 TB this materialization is a signatures table persisted alongside
     * the corpus. `docs()` spreads the single-file scan so the md5/shingle
     * hashing is not single-core. */
-  private def lshPairs(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val sh = docs(s, d)
+  private def lshPairs(s: org.apache.spark.sql.SparkSession, d: String) =
+    lshPairsOf(docs(s, d))
+
+  /** Frame-parametric [[lshPairs]] — the same verified pipeline over any
+    * `(doc_id, text)` frame, so the release-magnitude probe
+    * ([[graft.ProbeTextDedup]]) and the collapsed edge generator
+    * ([[dedupEdgesOf]]) drive the exact operator the gates pin.
+    *
+    * The verification join PRUNES the fat shingle table to candidate ids
+    * first (r14, found by the magnitude probe): `sh` rows are ~4 KB
+    * serialized (hundreds of shingle strings per doc), so joining the
+    * raw table against the candidate list shuffle-writes the whole
+    * corpus' shingles TWICE (~2 × corpus bytes of scratch at any size) —
+    * for a candidate set that is orders of magnitude smaller. The
+    * candidate id list is skinny and its count driver-known (same gate
+    * as [[antiJoinIds]]): under the bound it broadcasts and the fat side
+    * is scanned map-side, never shuffled; past it the plain shuffle join
+    * is the cluster-regime fallback. */
+  private[graft] def lshPairsOf(d: org.apache.spark.sql.DataFrame) = {
+    val sh = d
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
       .localCheckpoint()
     // sig is checkpointed too: the band-explode below references the
@@ -135,18 +153,72 @@ object TextOps {
     val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
       .localCheckpoint()
+    // checkpointed: scanned once for the skinny candidate-id list and
+    // once per verification side — without the pin the band self-join
+    // (the quadratic part on duplicate-heavy corpora) would re-run
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+      .localCheckpoint()
+    val candIds = cand.select(col("id_a").as("doc_id"))
+      .unionAll(cand.select(col("id_b").as("doc_id")))
+      .distinct().localCheckpoint()
+    val shPruned = {
+      val side = if (candIds.count() <= ccBroadcastRowCap(d.sparkSession))
+        broadcast(candIds) else candIds
+      sh.join(side, "doc_id")
+    }
     val j = graft.functions.TextFunctions.jaccard(col("sa"), col("sb"))
     cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .join(shPruned.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(shPruned.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
       .where(j >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), j.as("jaccard"))
+  }
+
+  /** Verified near-dup EDGES for the COMPONENT consumers (q63's
+    * clustering, q72's corpus materialization, [[graft.ProbeTextDedup]]):
+    * byte-identical documents collapse to one representative BEFORE the
+    * LSH, then representative-level verified pairs union with the exact
+    * groups' star edges.
+    *
+    * Why (r14, found by the magnitude probe): boilerplate duplicates are
+    * CLIQUE-shaped — K byte-identical docs share every band, so the raw
+    * band self-join emits Bands·K²/2 candidate rows (50M rows for one 5k
+    * clique) and verifies a fat jaccard on each, quadratic work for
+    * edges whose verdict is known (identical text ⇒ jaccard 1). The
+    * collapse replaces the clique with K−1 star edges built from ONE
+    * map-side-combinable `min(struct(id, text))` aggregation — the C4
+    * discipline of exact-dedup-before-near-dedup, executed inside the
+    * edge generator.
+    *
+    * Exactness (CatalogSpec pins it against the raw chain on random
+    * corpora with planted exact groups): identical docs always verify at
+    * jaccard 1 ≥ threshold, so the star edges are true raw-chain edges;
+    * a representative's shingles — and therefore its signatures, bands,
+    * and every verified cross-content pair — are byte-identical to each
+    * member's, so contracting members onto representatives preserves
+    * component membership exactly, and `rep = min(group)` preserves each
+    * component's minimum id. Components over these edges EQUAL components
+    * over [[lshPairsOf]]'s pairs; only the pair LISTING differs (q25
+    * keeps the raw listing — an all-pairs listing is inherently quadratic
+    * in clique size, that is its semantics). */
+  private[graft] def dedupEdgesOf(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val keyed = d.select(col("doc_id"), col("text"), md5(col("text")).as("_h"))
+    val reps = keyed.groupBy("_h")
+      .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
+      .select(col("_h"), col("_r.doc_id").as("doc_id"), col("_r.text").as("text"))
+      .localCheckpoint() // scanned by the star join and the LSH chain
+    val stars = keyed.select(col("_h"), col("doc_id").as("id_b"))
+      .join(reps.select(col("_h"), col("doc_id").as("id_a")), "_h")
+      .where(col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+    lshPairsOf(reps.select("doc_id", "text"))
+      .select("id_a", "id_b").unionAll(stars)
   }
 
   /** Connected components over an undirected pair graph by min-label
@@ -195,8 +267,7 @@ object TextOps {
     // the mapping also combines map-side, so a clique's edges vanish
     // before they reach the wire
     val nNodes = l0.count()
-    val maxBcast = edges.sparkSession.conf
-      .get(CcBroadcastNodesMaxRowsConf, DefaultCcBroadcastNodesMaxRows.toString).toLong
+    val maxBcast = ccBroadcastRowCap(edges.sparkSession)
     def side(idCol: String, out: String) = {
       val m = l0.select(col("id").as(idCol), col("l0").as(out))
       if (nNodes <= maxBcast) broadcast(m) else m
@@ -214,13 +285,36 @@ object TextOps {
       .select(col("id"), coalesce(col("comp"), col("l0")).as("comp"))
   }
 
-  /** Conf: max node count for broadcasting the contraction's node→l0 map
-    * into the edge scan (16 B/row — the default caps the broadcast at
-    * ~256 MB). Above it the mapping falls back to shuffle joins, the
-    * multi-hundred-TB regime where executors outnumber the savings. */
-  private[graft] val CcBroadcastNodesMaxRowsConf =
-    "spark.graft.cc.broadcastNodesMaxRows"
-  private[graft] val DefaultCcBroadcastNodesMaxRows = 16000000L
+  /** Conf: max ESTIMATED broadcast size in BYTES for shipping a skinny
+    * id-keyed map (the CC node→l0 map, an anti-join id list) into a
+    * fat-side scan as a forced `broadcast()` hint. The estimate charges
+    * [[CcBroadcastBytesPerRow]] per row — the payload is 16 B but a
+    * BroadcastHashJoin materializes a `HashedRelation` (key index +
+    * row pages + open-addressing slack) costing several × payload, so
+    * gating on raw row count at 16 B/row under-prices the executor-side
+    * footprint (ADVICE r13). Default 256 MB of estimated relation → a
+    * 4M-row cap.
+    *
+    * NOTE: the hint deliberately BYPASSES
+    * `spark.sql.autoBroadcastJoinThreshold` — including an explicit -1 —
+    * because Catalyst's plan stats mis-size exactly the checkpointed
+    * skinny frames this gate covers (the r13 curatepipe sort-merge flip
+    * came from that). On a memory-constrained driver/executor, set THIS
+    * conf to 0 to disable the forced hint entirely; above the cap the
+    * mapping falls back to shuffle joins, the multi-hundred-TB regime
+    * where executors outnumber the savings. */
+  private[graft] val CcBroadcastMaxBytesConf = "spark.graft.cc.broadcastMaxBytes"
+  private[graft] val DefaultCcBroadcastMaxBytes: Long = 256L << 20
+
+  /** Estimated HashedRelation cost per (long, long) row — 16 B payload
+    * plus hash-table overhead measured in whole multiples of it. */
+  private[graft] val CcBroadcastBytesPerRow = 64L
+
+  /** Row cap implied by [[CcBroadcastMaxBytesConf]] (0 disables). */
+  private[graft] def ccBroadcastRowCap(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get(CcBroadcastMaxBytesConf, DefaultCcBroadcastMaxBytes.toString)
+      .toLong / CcBroadcastBytesPerRow
 
   /** Anti-join an id set out of a FAT corpus without shuffling the corpus:
     * Catalyst only broadcasts under its 10 MB plan-stats threshold, so a
@@ -231,16 +325,27 @@ object TextOps {
     * ~2M loser ids → ENOSPC in the survivors stage). The id count here is
     * driver-known (one count of a checkpointed single-column frame), so
     * the broadcast decision is exact, reusing the CC node-map bound
-    * ([[CcBroadcastNodesMaxRowsConf]] — same 8-byte-id shape). Above the
+    * ([[CcBroadcastMaxBytesConf]] — same 8-byte-id shape). Above the
     * bound the plain join runs (the cluster regime where the corpus is
-    * partitioned wide enough to absorb the shuffle). */
+    * partitioned wide enough to absorb the shuffle).
+    *
+    * `ids` must be a single-column frame, or carry `idCol` by name — a
+    * multi-column frame whose first column merely happens to sit leftmost
+    * would otherwise anti-join on the wrong values silently (ADVICE r13). */
   private[graft] def antiJoinIds(corpus: org.apache.spark.sql.DataFrame,
       idCol: String, ids: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val l = ids.select(col(ids.columns.head).as(idCol)).localCheckpoint()
-    val maxBcast = corpus.sparkSession.conf
-      .get(CcBroadcastNodesMaxRowsConf, DefaultCcBroadcastNodesMaxRows.toString).toLong
-    val side = if (l.count() <= maxBcast) broadcast(l) else l
+    val srcCol =
+      if (ids.columns.contains(idCol)) idCol
+      else {
+        require(ids.columns.length == 1,
+          s"antiJoinIds: ids frame must be single-column or contain '$idCol' " +
+            s"by name, got (${ids.columns.mkString(", ")})")
+        ids.columns.head
+      }
+    val l = ids.select(col(srcCol).as(idCol)).localCheckpoint()
+    val side = if (l.count() <= ccBroadcastRowCap(corpus.sparkSession))
+      broadcast(l) else l
     corpus.join(side, Seq(idCol), "left_anti")
   }
 
@@ -623,7 +728,10 @@ object TextOps {
     QueryDef(
       "q63_dedup_components",
       (s, d) => {
-        val edges = lshPairs(s, d).select("id_a", "id_b").localCheckpoint()
+        // edges via the exact-collapsed generator (r14): components are
+        // spec-pinned EQUAL to the raw lshPairs chain's, and boilerplate
+        // cliques cost K−1 star edges instead of K²/2 verified pairs
+        val edges = dedupEdgesOf(docs(s, d)).localCheckpoint()
         minLabelComponents(edges)
           .select(col("id").as("doc_id"), col("comp").as("component"),
             (col("id") === col("comp")).as("is_canonical"))
@@ -644,15 +752,16 @@ object TextOps {
     // actually runs downstream of pair generation + clustering: keep every
     // document that is either untouched by the near-dup graph or the
     // canonical (minimum-id) member of its component, and emit the cleaned
-    // corpus. Composition of the pieces above (lshPairs → minLabelComponents
-    // → left_anti), one extra anti-join over q63 — at 100 TB the loser set
+    // corpus. Composition of the pieces above (dedupEdgesOf →
+    // minLabelComponents → left_anti), one extra anti-join over q63 — at
+    // 100 TB the loser set
     // is orders of magnitude smaller than the corpus, so the anti-join
     // broadcasts. Content is gated by sha256 so the oracle checks the
     // surviving TEXT, not just ids.
     QueryDef(
       "q72_dedup_corpus",
       (s, d) => {
-        val edges = lshPairs(s, d).select("id_a", "id_b").localCheckpoint()
+        val edges = dedupEdgesOf(docs(s, d)).localCheckpoint()
         val losers = minLabelComponents(edges)
           .where(col("id") =!= col("comp"))
           .select(col("id").as("doc_id"))

@@ -279,7 +279,7 @@ class CatalogSpec extends SparkSpec {
         }
         val want = edges.flatMap(p => Seq(p._1, p._2)).distinct
           .map(v => (v, find(v))).toSet
-        val key = graft.ops.TextOps.CcBroadcastNodesMaxRowsConf
+        val key = graft.ops.TextOps.CcBroadcastMaxBytesConf
         val forceShuffle = trial % 2 == 0
         if (forceShuffle) spark.conf.set(key, "1")
         try {
@@ -290,6 +290,70 @@ class CatalogSpec extends SparkSpec {
         } finally spark.conf.unset(key)
       }
     }
+  }
+
+  test("dedupEdgesOf components ≡ raw lshPairs components on planted exact groups") {
+    // the r14 exact-content collapse (boilerplate cliques become star
+    // edges): component membership — what q63/q72 consume — must equal
+    // the raw verified-pair chain's on corpora WITH byte-identical
+    // groups, near-dup mutations, and organic uniques mixed
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    def tok() = s"w${rnd.nextInt(300)}"
+    (0 until 4).foreach { trial =>
+      val docs = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      var id = 0L
+      (0 until 12).foreach { _ =>
+        val base = Array.fill(15 + rnd.nextInt(25))(tok())
+        val kind = rnd.nextInt(3)
+        val groupN = 2 + rnd.nextInt(4)
+        kind match {
+          case 0 => // byte-identical group (the collapse target)
+            (0 until groupN).foreach { _ =>
+              docs += ((id, base.mkString(" "))); id += 1
+            }
+          case 1 => // near-dup group: light token substitution
+            docs += ((id, base.mkString(" "))); id += 1
+            (1 until groupN).foreach { _ =>
+              val m = base.map(t => if (rnd.nextDouble() < 0.08) tok() else t)
+              docs += ((id, m.mkString(" "))); id += 1
+            }
+          case _ => // organic unique
+            docs += ((id, base.mkString(" "))); id += 1
+        }
+      }
+      val df = docs.toSeq.toDF("doc_id", "text").repartition(4)
+      def comps(edges: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        graft.ops.TextOps.minLabelComponents(edges.localCheckpoint())
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val raw = comps(graft.ops.TextOps.lshPairsOf(df).select("id_a", "id_b"))
+      val collapsed = comps(graft.ops.TextOps.dedupEdgesOf(df))
+      assert(collapsed === raw, s"trial $trial")
+    }
+  }
+
+  test("antiJoinIds selects the id column by NAME and rejects ambiguous frames") {
+    // ADVICE r13: taking columns.head of a multi-column frame whose first
+    // column is not the id would anti-join on the wrong values silently
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    // idCol present by name but NOT first — must be picked by name
+    val byName = Seq(("x", 2L)).toDF("other", "doc_id")
+    val got = graft.ops.TextOps.antiJoinIds(corpus, "doc_id", byName)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L))
+    // single-column frame under any name still works (the documented shape)
+    val single = Seq(3L).toDF("loser")
+    val got2 = graft.ops.TextOps.antiJoinIds(corpus, "doc_id", single)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got2 === Set(1L, 2L))
+    // multi-column frame without the id column by name: refuse, don't guess
+    val bad = Seq(("x", 2L)).toDF("other", "more")
+    val ex = intercept[IllegalArgumentException](
+      graft.ops.TextOps.antiJoinIds(corpus, "doc_id", bad))
+    assert(ex.getMessage.contains("single-column"), ex.getMessage)
   }
 
   test("q31 brute-force kNN distances are nonnegative and ranked") {

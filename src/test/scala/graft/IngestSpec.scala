@@ -279,6 +279,105 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("predictCoarseTopP: P=2 ≡ predictCoarseTop2, prefix property, best-first distinct") {
+    val h = EngineOps.index(spark, sf)
+    val slim = graft.engine.SlimLopqModel(
+      h.model.coarse, h.model.mus, h.model.subquantizers)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    e.limit(200).collect().foreach { r =>
+      val x = r.getSeq[Float](1).toArray
+      val (t1, t2) = slim.predictCoarseTop2(x)
+      val expected2 = if (t1 == t2) Seq(t1) else Seq(t1, t2)
+      val p2 = slim.predictCoarseTopP(x, 2)
+      assert(p2 === expected2, s"vec ${r.getLong(0)}: P=2 must equal Top2")
+      assert(p2.head === slim.predictCoarse(x))
+      val p4 = slim.predictCoarseTopP(x, 4)
+      // the walk is a single frontier: top-P is a PREFIX of top-(P+k)
+      assert(p4.take(p2.size) === p2, s"vec ${r.getLong(0)}: prefix property")
+      assert(p4.distinct.size == p4.size, s"vec ${r.getLong(0)}: distinct cells")
+      // best-first: d0+d1 never decreases along the pops
+      val (d0, d1) = slim.coarseDistances(x)
+      val ds = p4.map { case (c0, c1) => d0(c0) + d1(c1) }
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"vec ${r.getLong(0)}: $ds not sorted")
+    }
+  }
+
+  test("assignCellsMulti honors the top-P conf; P=3 cells cover P=2's per id") {
+    EngineOps.index(spark, sf) // ensure built
+    val dir = EngineOps.indexDir(sf)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(200)
+    def byId(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val p2 = byId(LopqIndexStore.assignCellsMulti(spark, dir, e, "vec_id", "embedding"))
+    spark.conf.set(LopqIndexStore.MultiProbeCellsConf, "3")
+    try {
+      val p3 = byId(LopqIndexStore.assignCellsMulti(spark, dir, e, "vec_id", "embedding"))
+      assert(p3.keySet === p2.keySet)
+      p2.foreach { case (id, cs2) =>
+        val cs3 = p3(id)
+        assert(cs2.subsetOf(cs3), s"id $id: P=3 must cover P=2 ($cs2 vs $cs3)")
+        assert(cs3.size <= 3, s"id $id: $cs3")
+      }
+      assert(p3.exists { case (id, cs3) => cs3.size > p2(id).size },
+        "P=3 should widen at least one row's probe set at this grid")
+    } finally spark.conf.unset(LopqIndexStore.MultiProbeCellsConf)
+  }
+
+  test("a mount/stream id collision cannot double-append or under-screen") {
+    // VERDICT r13 next-round #7: the mounted read-only base and the
+    // stream's own update dirs can hold the SAME id (migration overlap,
+    // crash window) — the store then yields duplicate rows for it. The
+    // screen must still see the mounted content (no under-screen) and
+    // the append path must not store the collided id twice.
+    EngineOps.index(spark, sf)
+    val dir = s"$root/mountoverlap"; val ext = s"$root/mountoverlap_ext"
+    del(dir); del(ext)
+    LopqIndexStore.cloneEmpty(spark, EngineOps.indexDir(sf), dir)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val seed = e.where(col("vec_id") % 3 === 0)
+    // migration shape: codes appended, features MOUNTED in place
+    seed.write.parquet(ext)
+    IngestOps.mountVectorsBase(spark, dir, ext, "vec_id", "embedding")
+    assert(LopqIndexStore.appendUpdate(spark, dir, seed, "vec_id", "embedding",
+      f"seed_${0L}%019d"))
+    // the collision: one seeded id ALSO lands in a stream update dir
+    // (bit-identical vector — the documented crash-window overlap)
+    val xId = seed.agg(min("vec_id")).head().getLong(0)
+    val xRow = e.where(col("vec_id") === xId)
+    IngestOps.writeVectors(spark, dir, xRow, "vec_id", "embedding",
+      f"stream_${0L}%019d")
+    val store = IngestOps.vectorStore(spark, dir, "vec_id", "embedding")
+    assert(store.where(col("vec_id") === xId).count() == 2,
+      "the planted collision must yield duplicate store rows")
+    // batch 1: a fresh-id exact copy of the collided row — the screen
+    // must flag it against the (duplicated) stored content and drop it
+    val copyId = xId + 31000000L
+    val copy = xRow.select(lit(copyId).as("vec_id"), col("embedding"))
+    val r1 = IngestOps.screenAndAppend(spark, dir, store, copy,
+      "vec_id", "embedding", f"stream_${1L}%019d")
+    assert(r1.flaggedPairs >= 1, "the copy must be flagged")
+    assert(r1.appended == 0, "the copy must not be appended")
+    def codeIds() = LopqIndexStore.readCodes(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(!codeIds().contains(copyId),
+      "a copy of a MOUNTED row must be screened out (no under-screen)")
+    assert(codeIds().count(_ == xId) == 1,
+      "the collided id must hold exactly one codes row")
+    // batch 2: the collided id REPLAYED as batch content (violates the
+    // disjoint-ids contract, but a collision must still be inert): the
+    // screen pairs it against its own stored twin and drops it
+    val r2 = IngestOps.screenAndAppend(spark, dir, store, xRow,
+      "vec_id", "embedding", f"stream_${2L}%019d")
+    assert(r2.appended == 0, "a replayed collided id must not re-append")
+    assert(codeIds().count(_ == xId) == 1, "still exactly one codes row")
+    del(dir); del(ext)
+  }
+
   test("multiProbe screen flags a superset, incl. a boundary-straddling near-dup") {
     import graft.ops.VectorQueries
     val h = EngineOps.index(spark, sf)

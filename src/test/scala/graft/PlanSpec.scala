@@ -238,8 +238,14 @@ class PlanSpec extends SparkSpec {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val ids = e.select(col("vec_id")).where(col("vec_id") % 7 === 0)
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val savedAdaptive =
+      spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    def restore(key: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(key, x)
+      case None => spark.conf.unset(key)
+    }
     try {
       val df = graft.ops.TextOps.antiJoinIds(e, "vec_id", ids)
       df.collect()
@@ -247,11 +253,8 @@ class PlanSpec extends SparkSpec {
       assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
         "anti-join must broadcast on the driver-known count")
     } finally {
-      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
-      saved match {
-        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
-        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      }
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", savedAdaptive)
+      restore("spark.sql.autoBroadcastJoinThreshold", saved)
     }
   }
 
