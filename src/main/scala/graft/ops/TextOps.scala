@@ -136,14 +136,21 @@ object TextOps {
     * is scanned map-side, never shuffled; past it the plain shuffle join
     * is the cluster-regime fallback. */
   private[graft] def lshPairsOf(d: org.apache.spark.sql.DataFrame) = {
-    val sh = d
-      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      .localCheckpoint()
-    // sig is checkpointed too: the band-explode below references the
-    // signature array 16× (4 bands × 4 rows) — inlined, CollapseProject
-    // would re-run all 16 MinHash permutations for every reference
-    val sig = sh.select(col("doc_id"), shingleHashes(col("sh")).as("hsh"))
-      .withColumn("sig", minhashFromHashes(col("hsh"), NumHashes))
+    // ONE corpus scan computes shingles → hashes → all 16 permutations
+    // FUSED, and only the skinny (id, 16-long sig) rows are checkpointed
+    // (the sig checkpoint still exists because the band-explode below
+    // references the array 16× — inlined, CollapseProject would re-run
+    // the MinHash pipeline per reference). The corpus' shingle ARRAYS are
+    // never materialized: r14's magnitude probe measured the old
+    // checkpoint of them spilling ~24 GB of block-manager scratch at 4M
+    // docs — O(corpus) scratch feeding a verification that only ever
+    // reads the CANDIDATES' shingles. Recomputing the candidate slice
+    // costs one extra candidate-pruned scan of the input, the right
+    // trade at any corpus size.
+    val sig = d.select(col("doc_id"),
+        minhashFromHashes(
+          shingleHashes(array_distinct(shingles(col("text"), 3))),
+          NumHashes).as("sig"))
       .localCheckpoint()
     val bandStructs = array((0 until Bands).map { b =>
       struct(lit(b.toLong).as("band"),
@@ -166,15 +173,22 @@ object TextOps {
     val candIds = cand.select(col("id_a").as("doc_id"))
       .unionAll(cand.select(col("id_b").as("doc_id")))
       .distinct().localCheckpoint()
-    val shPruned = {
+    // shingles of CANDIDATE docs only: the skinny id list prunes the
+    // input map-side (broadcast under the driver-known-count gate, the
+    // antiJoinIds bound), shingling runs on the surviving slice, and the
+    // O(candidates) result is pinned because both verification sides
+    // scan it
+    val shSlice = {
       val side = if (candIds.count() <= ccBroadcastRowCap(d.sparkSession))
         broadcast(candIds) else candIds
-      sh.join(side, "doc_id")
+      d.join(side, "doc_id")
+        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+        .localCheckpoint()
     }
     val j = graft.functions.TextFunctions.jaccard(col("sa"), col("sb"))
     cand
-      .join(shPruned.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
-      .join(shPruned.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
+      .join(shSlice.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(shSlice.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
       .where(j >= JaccardThreshold)
       .select(col("id_a"), col("id_b"), j.as("jaccard"))
   }
