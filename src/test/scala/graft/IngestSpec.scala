@@ -435,6 +435,64 @@ class IngestSpec extends SparkSpec {
     } finally spark.conf.unset(VectorQueries.ScreenMultiProbeConf)
   }
 
+  test("a rank-3 boundary straddler is invisible at P=2 and caught at P=3") {
+    // end-to-end pin that the top-P conf actually CHANGES screen
+    // behavior: plant a near-dup whose source cell is the THIRD cell of
+    // the multisequence walk — the single-cell and P=2 screens must
+    // miss it, the P=3 screen must flag it
+    import graft.ops.VectorQueries
+    val h = EngineOps.index(spark, sf)
+    val slim = graft.engine.SlimLopqModel(
+      h.model.coarse, h.model.mus, h.model.subquantizers)
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(120)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cellOf(x: Array[Float]): Long = {
+      val (c0, c1) = slim.predictCoarse(x)
+      c0.toLong * slim.v + c1
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val found = (for {
+      (ida, va) <- rows.iterator
+      (idb, vb) <- rows.iterator if idb != ida && cellOf(vb) != cellOf(va)
+      t <- Iterator(0.35, 0.4, 0.45, 0.5, 0.55, 0.6, 0.65)
+      blend = va.zip(vb).map { case (x, y) => (x * (1 - t) + y * t).toFloat }
+      if cos(blend, va) >= VectorQueries.NearDupSimThreshold + 0.02
+      probed = slim.predictCoarseTopP(blend, 3)
+        .map { case (c0, c1) => c0.toLong * slim.v + c1 }
+      if probed.length == 3 && probed.indexOf(cellOf(va)) == 2
+    } yield (ida, blend)).take(1).toList
+    assert(found.nonEmpty,
+      "no rank-3 straddling blend found — widen the search space")
+    val (srcId, blend) = found.head
+    val s = spark
+    import s.implicits._
+    val bid = 99000002L
+    val batch = Seq((bid, blend.toSeq)).toDF("vec_id", "embedding")
+    val api = new GraftApi(spark, sf)
+    def pairKeys(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val key = (math.min(srcId, bid), math.max(srcId, bid))
+    spark.conf.set(VectorQueries.ScreenMultiProbeConf, "true")
+    try {
+      val p2 = pairKeys(api.semDedupIncrement(batch, "vec_id", "embedding"))
+      assert(!p2.contains(key), "P=2 must miss the rank-3 straddler")
+      spark.conf.set(LopqIndexStore.MultiProbeCellsConf, "3")
+      try {
+        val p3 = pairKeys(api.semDedupIncrement(batch, "vec_id", "embedding"))
+        assert(p3.contains(key), "P=3 must catch the rank-3 straddler")
+        assert(p2.subsetOf(p3), "wider probe flags a superset")
+      } finally spark.conf.unset(LopqIndexStore.MultiProbeCellsConf)
+    } finally spark.conf.unset(VectorQueries.ScreenMultiProbeConf)
+  }
+
   test("a crash between writeVectors and appendUpdate replays to the uncrashed survivor set") {
     // VERDICT r12 next-round #8: the one crash window argued in
     // ScreenedIngest's Scaladoc but never exercised by a test that
