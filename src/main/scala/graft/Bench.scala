@@ -21,6 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Self-identifying provenance (VERDICT r14 "what's wrong #3"): bench
+    // windows drift ±20-30 % in lockstep between machine windows on
+    // identical code, so the committed record must say WHICH run it is —
+    // a future reader reconciles builder vs driver runs by timestamp.
+    val startedAt = java.time.Instant.now().toString
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -298,7 +303,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"passes":$ps,"passReadBytes":$rb,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","startedAt":"$startedAt","queries":$qs,"passes":$ps,"passReadBytes":$rb,"errors":$es,"sf":"$sfDir"}"""
     // The harness that snapshots this run keeps only the LAST 2000 chars
     // of stdout and tries to parse a JSON line out of them — the full
     // record (35+ rows with per-pass arrays) is ~3 KB, so for three
@@ -312,7 +317,7 @@ object Bench {
       jstr(k) + ":" + (math.round(v * 1000.0) / 1000.0)
     }.mkString("{", ",", "}")
     println(full)
-    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","queries":$qsShort,"nErrors":${errors.size},"fullRecord":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","startedAt":"$startedAt","queries":$qsShort,"nErrors":${errors.size},"fullRecord":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1016,10 +1016,19 @@ object ProbeRelease {
       val (multiArgs, rest4) = rest3.partition(_.startsWith("multi"))
       val (shapeArg, nums) = rest4.partition(a => a == "v2" || a == "v3" || a == "v4")
       // `multi` = top-2 (the default width); `multi:P` sets the probe
-      // width conf before the assignment is built (q104 at top-P)
+      // width conf before the assignment is built (q104 at top-P).
+      // Validated HERE (ADVICE r14): a bad P must fail before the Spark
+      // session and index load, not minutes later inside assignCellsMulti.
       multiArgs.headOption.filter(_.startsWith("multi:")).foreach { a =>
+        val raw = a.stripPrefix("multi:")
+        val p = try raw.toInt catch {
+          case _: NumberFormatException =>
+            sys.error(s"multi:P — P must be an integer, got '$raw'")
+        }
+        require(p >= 2,
+          s"multi:P needs P >= 2 (omit 'multi' for the single-cell sweep), got $p")
         System.setProperty(s"spark.graft.probe.conf.${LopqIndexStore.MultiProbeCellsConf}",
-          a.stripPrefix("multi:"))
+          p.toString)
       }
       probeSemDedup(shapeArg.headOption, nums.headOption.map(_.toDouble),
         sampleArgs.headOption.map(_.stripPrefix("sample:").toLong),

@@ -3,42 +3,39 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Release-magnitude probe of the TEXT dedup chain (VERDICT r13
-  * next-round #1): MinHash signatures → LSH band pairs → connected
-  * components → corpus materialization, end to end over a synthetic
-  * corpus of millions of documents with PLANTED duplicates, per-stage
-  * wall-clock / machine read-bytes / scratch like `curatepipe`. The
-  * vector-side magnitude probes each exposed defects invisible at gate
-  * scale; this is the same treatment for the text chain (the other
-  * consumer of the r13 contracted CC), the bread-and-butter dedup pass of
-  * a 100 TB text pipeline (ref `updater/extraction_checker.py:225-258` is
-  * the reference's dedup-vs-DB loop at content granularity).
-  *
-  * Corpus (deterministic, seeded by doc id — regenerating any row needs
-  * no state):
+/** Release-magnitude probes of the TEXT dedup family — per-stage
+  * wall-clock / machine read-bytes / scratch like `curatepipe`, over a
+  * synthetic corpus of millions of documents with PLANTED structure
+  * (deterministic, seeded by doc id — regenerating any row needs no
+  * state):
   *   - ORGANIC docs: 120–280 tokens from a 50k-word vocabulary;
   *   - NEAR-DUP clusters: ids ≡ 1,2,3 (mod 50) are ~3 %-token-substituted
-  *     copies of their base (id − id%50) — 3-shingle jaccard ≈ 0.8,
-  *     comfortably past the 0.5 verification threshold, with the LSH
-  *     banding's own candidate recall (~0.93/pair at 16 hashes, 4×4)
-  *     measured by the audit, not assumed;
+  *     copies of their base (id − id%50) — 3-shingle jaccard ≈ 0.8;
   *   - one BOILERPLATE CLIQUE: the last `clique` ids share one
-  *     byte-identical text — the C4-style pathological shape (a footer/
-  *     template repeated across the corpus) whose band buckets make the
-  *     raw pair listing quadratic.
+  *     byte-identical text — the C4-style pathological shape.
   *
-  * Routes:
-  *   - `collapsed` (default) = the production chain q63/q72 run
-  *     ([[graft.ops.TextOps.dedupEdgesOf]]: exact-content collapse, star
-  *     edges, representative-level LSH);
-  *   - `naive` = the raw [[graft.ops.TextOps.lshPairsOf]] edge listing —
-  *     kept as the A/B witness for the clique quadratics (Bands·K²/2
-  *     candidate rows for a K-clique; run it at a K the machine survives
-  *     and scale the arithmetic, not the box).
+  * Modes (first arg):
+  *   - (none)    — the r14 batch chain: [nDocs] [clique:K] [naive] [keep]
+  *     (`naive` = raw [[graft.ops.TextOps.lshPairsOf]] listing, the A/B
+  *     witness for the clique quadratics; default = the production
+  *     [[graft.ops.TextOps.dedupEdgesOf]] collapse);
+  *   - screen    — the r15 INCREMENTAL loop: [nDocs] [clique:K] [batch:N]
+  *     [rerun] [keep]: build/reuse a [[graft.ops.TextSigStore]] over the
+  *     corpus, screen a planted batch against it
+  *     ([[graft.ops.TextScreen.screenAndAppend]]), replay it (must be
+  *     inert), audit per planted class; `rerun` also prices the naive
+  *     alternative (re-running the batch chain over corpus ∪ batch);
+  *   - simhash   — q64's hamming chain at magnitude: [nDocs] [clique:K]
+  *     [naive] [keep] (`naive` = raw [[graft.ops.TextOps.simhashPairsOf]]
+  *     listing; default = the [[graft.ops.TextOps.simhashEdgesOf]]
+  *     exact-content collapse) + components + clique audit;
+  *   - lshcurve  — the banding OPERATING-POINT table (VERDICT r14
+  *     missing #2): [nPairs] [corpus:N] — planted pairs spanning
+  *     jaccard ∈ (0.2, 1.0) measure per-pair candidate recall per
+  *     (numHashes × bands) setting, and a real-corpus
+  *     [[graft.ops.TextOps.lshPairsOf]] run per setting anchors the cost.
   *
-  * Usage: runMain graft.ProbeTextDedup [nDocs] [clique:K] [naive] [keep]
-  * (SPARK_DRIVER_MEM≥32g recommended at 4M docs — the shingle-table
-  * checkpoint spills through the unified region.)
+  * (SPARK_DRIVER_MEM ≥ 32g recommended at 4M docs.)
   */
 object ProbeTextDedup {
 
@@ -68,13 +65,7 @@ object ProbeTextDedup {
     tokens.mkString(" ")
   }
 
-  def main(args: Array[String]): Unit = {
-    val nums = args.filter(_.forall(_.isDigit)).map(_.toLong)
-    val nDocs = nums.headOption.getOrElse(4000000L)
-    val clique = args.find(_.startsWith("clique:"))
-      .map(_.stripPrefix("clique:").toInt).getOrElse(5000)
-    val naive = args.contains("naive")
-    val keep = args.contains("keep")
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,34 +74,34 @@ object ProbeTextDedup {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
-    import spark.implicits._
+    spark
+  }
 
-    val route = if (naive) "naive" else "collapsed"
+  private def stage[A](label: String)(body: => A): A = {
+    val b0 = graft.core.DiskStats.readBytes()
+    val t0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    val gb = (graft.core.DiskStats.readBytes() - b0) / 1e9
+    println(f"[probe-text] stage $label%-12s $sec%9.2f s  read=$gb%7.2f GB  " +
+      f"scratch=${graft.core.DiskStats.scratchBytes() / 1e9}%6.2f GB")
+    r
+  }
+
+  private def dropCaches(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc() // release finished stages' shuffle files (chunk-driver discipline)
+  }
+
+  /** Stage (or reuse) the planted corpus; the dir encodes nDocs + clique. */
+  private def ensureCorpus(spark: SparkSession, nDocs: Long, clique: Int)
+      : String = {
+    import spark.implicits._
     val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
     val staged = s"$root/docs"
-    val edgesDir = s"$root/edges_$route"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    println(s"[probe-text] nDocs=$nDocs clique=$clique route=$route")
-
-    def stage[A](label: String)(body: => A): A = {
-      val b0 = graft.core.DiskStats.readBytes()
-      val t0 = System.nanoTime()
-      val r = body
-      val sec = (System.nanoTime() - t0) / 1e9
-      val gb = (graft.core.DiskStats.readBytes() - b0) / 1e9
-      println(f"[probe-text] stage $label%-12s $sec%9.2f s  read=$gb%7.2f GB  " +
-        f"scratch=${graft.core.DiskStats.scratchBytes() / 1e9}%6.2f GB")
-      r
-    }
-    def dropCaches(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc() // release finished stages' shuffle files (chunk-driver discipline)
-    }
-    val t0 = System.nanoTime()
-
-    // ---- corpus (reused across routes: the dir encodes nDocs + clique) ----
     val marker = new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS")
     if (fs.exists(marker)) println(s"[probe-text] corpus reused: $staged")
     else stage("corpus") {
@@ -120,7 +111,35 @@ object ProbeTextDedup {
         .toDF("doc_id", "text")
         .write.mode("overwrite").parquet(staged)
     }
-    val docsDf = spark.read.parquet(staged)
+    staged
+  }
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("screen") => runScreen(args.drop(1))
+    case Some("simhash") => runSimhash(args.drop(1))
+    case Some("lshcurve") => runLshCurve(args.drop(1))
+    case _ => runChain(args)
+  }
+
+  // ------------------------------------------------ r14: the batch chain
+
+  private def runChain(args: Array[String]): Unit = {
+    val nums = args.filter(_.forall(_.isDigit)).map(_.toLong)
+    val nDocs = nums.headOption.getOrElse(4000000L)
+    val clique = args.find(_.startsWith("clique:"))
+      .map(_.stripPrefix("clique:").toInt).getOrElse(5000)
+    val naive = args.contains("naive")
+    val keep = args.contains("keep")
+    val spark = session()
+
+    val route = if (naive) "naive" else "collapsed"
+    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val edgesDir = s"$root/edges_$route"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    println(s"[probe-text] nDocs=$nDocs clique=$clique route=$route")
+    val t0 = System.nanoTime()
+    val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))
 
     // ---- edges: the chain's candidate generation + verification ----
     stage("edges") {
@@ -130,7 +149,7 @@ object ProbeTextDedup {
       edges.write.mode("overwrite").parquet(edgesDir)
       println(s"[probe-text]   edges=${spark.read.parquet(edgesDir).count()}")
     }
-    dropCaches()
+    dropCaches(spark)
 
     // ---- components ----
     val labels = stage("components") {
@@ -152,33 +171,314 @@ object ProbeTextDedup {
 
     // ---- audit vs the planted structure ----
     stage("audit") {
-      // boilerplate clique: one component rooted at its min id, K−1 losers
-      val cliqueMin = nDocs - clique
-      val cl = labels.where(col("id") >= cliqueMin)
-        .agg(count(lit(1)), countDistinct(col("comp")), min(col("comp"))).head()
-      println(s"[probe-text]   clique labeled=${cl.getLong(0)}/$clique " +
-        s"components=${cl.getLong(1)} (expect 1) root=${cl.getLong(2)} (expect $cliqueMin)")
-      // near-dup clusters: fraction fully merged (all 4 members one comp)
-      val planted = docsDf.select(col("doc_id"))
-        .where(col("doc_id") < cliqueMin &&
-          (col("doc_id") % ClusterMod) <= 3 &&
-          (col("doc_id") - col("doc_id") % ClusterMod) < cliqueMin)
-      val byCluster = planted
-        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
-        .groupBy((col("doc_id") - col("doc_id") % ClusterMod).as("cl"))
-        .agg(count(lit(1)).as("n"), countDistinct(col("comp")).as("nc"),
-          count(col("comp")).as("labeled"))
-      val r = byCluster.agg(
-        count(lit(1)),
-        sum(when(col("nc") === 1 && col("labeled") === col("n"), 1L).otherwise(0L)),
-        sum(when(col("labeled") < col("n"), 1L).otherwise(0L))).head()
-      val (total, full, partial) = (r.getLong(0), r.getLong(1), r.getLong(2))
-      println(f"[probe-text]   clusters=$total fullyMerged=$full " +
-        f"(${100.0 * full / total}%.2f%%) withUnpairedMember=$partial")
+      auditComponents(spark, docsDf, labels, nDocs, clique)
     }
     println(f"[probe-text] TOTAL ${(System.nanoTime() - t0) / 1e9}%9.2f s  " +
       f"scratch=${graft.core.DiskStats.scratchBytes() / 1e9}%6.2f GB")
     if (!keep) fs.delete(new org.apache.hadoop.fs.Path(edgesDir), true)
+    spark.stop()
+  }
+
+  private def auditComponents(spark: SparkSession, docsDf: DataFrame,
+      labels: DataFrame, nDocs: Long, clique: Int): Unit = {
+    // boilerplate clique: one component rooted at its min id, K−1 losers
+    val cliqueMin = nDocs - clique
+    val cl = labels.where(col("id") >= cliqueMin)
+      .agg(count(lit(1)), countDistinct(col("comp")), min(col("comp"))).head()
+    println(s"[probe-text]   clique labeled=${cl.getLong(0)}/$clique " +
+      s"components=${cl.getLong(1)} (expect 1) root=${cl.getLong(2)} (expect $cliqueMin)")
+    // near-dup clusters: fraction fully merged (all 4 members one comp)
+    val planted = docsDf.select(col("doc_id"))
+      .where(col("doc_id") < cliqueMin &&
+        (col("doc_id") % ClusterMod) <= 3 &&
+        (col("doc_id") - col("doc_id") % ClusterMod) < cliqueMin)
+    val byCluster = planted
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .groupBy((col("doc_id") - col("doc_id") % ClusterMod).as("cl"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("comp")).as("nc"),
+        count(col("comp")).as("labeled"))
+    val r = byCluster.agg(
+      count(lit(1)),
+      sum(when(col("nc") === 1 && col("labeled") === col("n"), 1L).otherwise(0L)),
+      sum(when(col("labeled") < col("n"), 1L).otherwise(0L))).head()
+    val (total, full, partial) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    println(f"[probe-text]   clusters=$total fullyMerged=$full " +
+      f"(${100.0 * full / total}%.2f%%) withUnpairedMember=$partial")
+  }
+
+  // -------------------------------------- r15: the incremental screen
+
+  /** Planted batch classes by id (mod 10), ids starting at nDocs:
+    *   1,2 → ~3 %-substituted NEAR-DUP of a corpus organic doc;
+    *   3   → EXACT copy of a corpus organic doc;
+    *   4,5 → the same NEW text shared pairwise (batch × batch exact dup);
+    *   6 (mod 1000 only) → EXACT copy of the corpus BOILERPLATE (the
+    *       worst-case collision: the store was built over the RAW corpus,
+    *       so this one doc collides with the whole K-clique — measuring
+    *       exactly why the store contract says "build over the DEDUPED
+    *       corpus");
+    *   else → organic new. */
+  private def batchTextFor(b: Long, nDocs: Long): String = {
+    val m = b % 10
+    val toks =
+      if (b % 1000 == 6) organic(-1L)
+      else if (m == 1 || m == 2) {
+        val src = (b * 2654435761L % (nDocs / ClusterMod / 2)) * ClusterMod + 10
+        val r = new java.util.Random(0xbadc0deL + b)
+        organic(src).map(t => if (r.nextDouble() < SubRate) tokenOf(r) else t)
+      } else if (m == 3) {
+        val src = (b * 40503L % (nDocs / ClusterMod / 2)) * ClusterMod + 20
+        organic(src)
+      } else if (m == 4 || m == 5) organic(nDocs + b - m + 4)
+      else organic(nDocs + b)
+    toks.mkString(" ")
+  }
+
+  private def runScreen(args: Array[String]): Unit = {
+    import org.apache.spark.sql.SparkSession
+    val nums = args.filter(_.forall(_.isDigit)).map(_.toLong)
+    val nDocs = nums.headOption.getOrElse(4000000L)
+    val clique = args.find(_.startsWith("clique:"))
+      .map(_.stripPrefix("clique:").toInt).getOrElse(5000)
+    val batchN = args.find(_.startsWith("batch:"))
+      .map(_.stripPrefix("batch:").toLong).getOrElse(50000L)
+    val rerun = args.contains("rerun")
+    val keep = args.contains("keep")
+    val spark = session()
+    import spark.implicits._
+    println(s"[probe-text] screen nDocs=$nDocs clique=$clique batch=$batchN")
+    val t0 = System.nanoTime()
+    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val storeDir = s"$root/sigstore"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))
+
+    // ---- the one-time index build (amortized across every nightly batch) ----
+    val haveStore = fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/meta")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/sigs/_base/_SUCCESS"))
+    if (haveStore) println(s"[probe-text] sig store reused: $storeDir")
+    else stage("buildstore") {
+      graft.ops.TextSigStore.build(spark, storeDir, docsDf)
+      println(s"[probe-text]   sigs=${graft.ops.TextSigStore.sigs(spark, storeDir).count()}")
+    }
+    dropCaches(spark)
+
+    // ---- the batch ----
+    val batchDf = stage("batchgen") {
+      val n = nDocs
+      val b = spark.range(nDocs, nDocs + batchN, 1L, 32)
+        .map(id => (id, batchTextFor(id, n)))
+        .toDF("doc_id", "text").localCheckpoint()
+      println(s"[probe-text]   batch=${b.count()}")
+      b
+    }
+
+    // ---- the screened cycle: pairs → survivors → append (O(batch)) ----
+    val report = stage("screen") {
+      val r = graft.ops.TextScreen.screenAndAppend(
+        spark, storeDir, docsDf, batchDf, "u0000000000000000001")
+      println(s"[probe-text]   applied=${r.applied} batchRows=${r.batchRows} " +
+        s"flaggedPairs=${r.flaggedPairs} appended=${r.appended}")
+      r
+    }
+    require(report.applied, "first screen must apply")
+    dropCaches(spark)
+
+    // ---- replay: at-least-once redelivery must be inert (O(1) tip read) ----
+    stage("replay") {
+      val r = graft.ops.TextScreen.screenAndAppend(
+        spark, storeDir, docsDf, batchDf, "u0000000000000000001")
+      require(!r.applied, s"replay must be inert, got $r")
+      println(s"[probe-text]   replay applied=${r.applied} (inert)")
+    }
+
+    // ---- audit per planted class ----
+    stage("audit") {
+      val stored = graft.ops.TextSigStore.sigs(spark, storeDir)
+        .where(col("doc_id") >= nDocs).select("doc_id").localCheckpoint()
+      val byClass = batchDf.select(col("doc_id"),
+          when(col("doc_id") % 1000 === 6, "boilerplate")
+            .when(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 2, "neardup")
+            .when(col("doc_id") % 10 === 3, "exactcopy")
+            .when(col("doc_id") % 10 === 4 || col("doc_id") % 10 === 5, "batchpair")
+            .otherwise("organic").as("cls"))
+        .join(stored.withColumn("kept", lit(true)), Seq("doc_id"), "left")
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept"))
+        .orderBy("cls")
+      byClass.collect().foreach { r =>
+        val (c, n, k) = (r.getString(0), r.getLong(1), r.getLong(2))
+        println(f"[probe-text]   class=$c%-12s n=$n%7d kept=$k%7d dropped=${n - k}%7d " +
+          f"(${100.0 * (n - k) / n}%.2f%% dropped)")
+      }
+      // batchpair classes: exactly the smaller id of each {4,5} pair survives
+      val pairKept = batchDf.where(col("doc_id") % 10 === 4)
+        .join(stored, Seq("doc_id")).count()
+      val pairDroppedHi = batchDf.where(col("doc_id") % 10 === 5)
+        .join(stored, Seq("doc_id")).count()
+      println(s"[probe-text]   batchpair smaller-id kept=$pairKept larger-id kept=$pairDroppedHi (expect all / 0)")
+    }
+
+    // ---- the priced alternative: nightly full re-band over corpus ∪ batch ----
+    if (rerun) {
+      dropCaches(spark)
+      stage("rerun") {
+        val edges = graft.ops.TextOps
+          .dedupEdgesOf(docsDf.unionAll(batchDf.select("doc_id", "text")))
+        edges.write.format("noop").mode("overwrite").save()
+        println(s"[probe-text]   full-chain edges=${edges.count()} (the cost a nightly re-band pays)")
+      }
+    }
+    println(f"[probe-text] TOTAL ${(System.nanoTime() - t0) / 1e9}%9.2f s  " +
+      f"scratch=${graft.core.DiskStats.scratchBytes() / 1e9}%6.2f GB")
+    if (!keep) fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+    spark.stop()
+  }
+
+  // ------------------------------------------------ r15: simhash chain
+
+  private def runSimhash(args: Array[String]): Unit = {
+    val nums = args.filter(_.forall(_.isDigit)).map(_.toLong)
+    val nDocs = nums.headOption.getOrElse(4000000L)
+    val clique = args.find(_.startsWith("clique:"))
+      .map(_.stripPrefix("clique:").toInt).getOrElse(5000)
+    val naive = args.contains("naive")
+    val keep = args.contains("keep")
+    val spark = session()
+    val route = if (naive) "naive" else "collapsed"
+    println(s"[probe-text] simhash nDocs=$nDocs clique=$clique route=$route")
+    val t0 = System.nanoTime()
+    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val edgesDir = s"$root/simedges_$route"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))
+
+    stage("simedges") {
+      val edges =
+        if (naive) graft.ops.TextOps.simhashPairsOf(docsDf).select("id_a", "id_b")
+        else graft.ops.TextOps.simhashEdgesOf(docsDf)
+      edges.write.mode("overwrite").parquet(edgesDir)
+      println(s"[probe-text]   edges=${spark.read.parquet(edgesDir).count()}")
+    }
+    dropCaches(spark)
+
+    val labels = stage("components") {
+      val l = graft.ops.TextOps
+        .minLabelComponents(spark.read.parquet(edgesDir))
+        .localCheckpoint()
+      println(s"[probe-text]   labeled=${l.count()}")
+      l
+    }
+
+    stage("audit") {
+      auditComponents(spark, docsDf, labels, nDocs, clique)
+    }
+    println(f"[probe-text] TOTAL ${(System.nanoTime() - t0) / 1e9}%9.2f s  " +
+      f"scratch=${graft.core.DiskStats.scratchBytes() / 1e9}%6.2f GB")
+    if (!keep) fs.delete(new org.apache.hadoop.fs.Path(edgesDir), true)
+    spark.stop()
+  }
+
+  // ------------------------------------- r15: LSH operating-point curve
+
+  /** Planted pair for curve slot `i`: 200 base tokens; the twin
+    * substitutes a deterministic fraction (i mod 50)/72 of them, sweeping
+    * 3-shingle jaccard from ≈1.0 down through the verification threshold
+    * into the never-candidate regime. */
+  private def curvePair(i: Long): (String, String) = {
+    val r = new java.util.Random(0xcafe0000L + i)
+    val base = Array.fill(200)(tokenOf(r))
+    val rate = (i % 50) / 72.0
+    val rv = new java.util.Random(0xfeed0000L + i)
+    val variant = base.map(t => if (rv.nextDouble() < rate) tokenOf(rv) else t)
+    (base.mkString(" "), variant.mkString(" "))
+  }
+
+  private def runLshCurve(args: Array[String]): Unit = {
+    val nums = args.filter(_.forall(_.isDigit)).map(_.toLong)
+    val nPairs = nums.headOption.getOrElse(50000L)
+    val corpusN = args.find(_.startsWith("corpus:"))
+      .map(_.stripPrefix("corpus:").toLong).getOrElse(500000L)
+    val spark = session()
+    import spark.implicits._
+    import graft.ops.TextOps
+    val points = Seq((16, 2), (16, 4), (16, 8), (32, 8), (32, 16))
+    println(s"[probe-text] lshcurve nPairs=$nPairs points=${points.mkString(",")}")
+
+    // ---- per-pair candidate recall vs exact jaccard, per point ----
+    stage("curve") {
+      val docsDf = spark.range(0L, nPairs, 1L, 64).flatMap { i =>
+        val (a, b) = curvePair(i)
+        Seq((2 * i, a), (2 * i + 1, b))
+      }.toDF("doc_id", "text").localCheckpoint()
+      val sh = docsDf.select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.shingles(col("text"), 3)).as("sh"))
+      val jac = sh.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") / 2).cast("long").as("pid"), col("sh").as("sa"))
+        .join(sh.where(col("doc_id") % 2 === 1)
+          .select(((col("doc_id") - 1) / 2).cast("long").as("pid"), col("sh").as("sb")), "pid")
+        .select(col("pid"),
+          graft.functions.TextFunctions.jaccard(col("sa"), col("sb")).as("j"))
+        .localCheckpoint()
+      val withCand = points.foldLeft(jac) { case (acc, (nh, nb)) =>
+        val p = TextOps.LshParams(nh, nb, 0.5)
+        val sig = TextOps.minhashSigsOf(docsDf, p)
+        val rpb = p.rowsPerBand
+        val a = sig.where(col("doc_id") % 2 === 0)
+          .select((col("doc_id") / 2).cast("long").as("pid"), col("sig").as("ga"))
+        val b = sig.where(col("doc_id") % 2 === 1)
+          .select(((col("doc_id") - 1) / 2).cast("long").as("pid"), col("sig").as("gb"))
+        val candCol = (0 until nb).map { bi =>
+          (0 until rpb).map(r =>
+            element_at(col("ga"), bi * rpb + r + 1) ===
+              element_at(col("gb"), bi * rpb + r + 1)).reduce(_ && _)
+        }.reduce(_ || _)
+        acc.join(a.join(b, "pid").select(col("pid"), candCol.as(s"c_${nh}x$nb")), "pid")
+      }.localCheckpoint()
+      // bucketed candidate-recall table
+      val bucket = (floor(col("j") * 20) / 20).as("j_bucket")
+      val aggs = points.map { case (nh, nb) =>
+        round(avg(col(s"c_${nh}x$nb").cast("double")), 4).as(s"recall_${nh}x$nb") }
+      println("[probe-text] candidate recall by exact-jaccard bucket:")
+      withCand.where(col("j") >= 0.2).groupBy(bucket)
+        .agg(count(lit(1)).as("n"), aggs: _*)
+        .orderBy("j_bucket")
+        .collect().foreach { r =>
+          val cols = (0 until points.size).map(k => f"${r.getDouble(2 + k)}%6.4f")
+          println(f"[probe-text]   j=${r.getDouble(0)}%4.2f n=${r.getLong(1)}%6d  " +
+            points.map(p => s"${p._1}x${p._2}").zip(cols)
+              .map { case (n, v) => s"$n=$v" }.mkString("  "))
+        }
+      // operator-level recall at the verification threshold
+      val atThr = withCand.where(col("j") >= 0.5)
+      val summary = atThr.agg(count(lit(1)).as("n"),
+        points.map { case (nh, nb) =>
+          round(avg(col(s"c_${nh}x$nb").cast("double")), 4).as(s"r_${nh}x$nb") }: _*)
+        .head()
+      println(s"[probe-text] P(candidate | j >= 0.5), n=${summary.getLong(0)}: " +
+        points.zipWithIndex.map { case ((nh, nb), k) =>
+          s"${nh}x$nb=${summary.getDouble(1 + k)}" }.mkString("  "))
+    }
+    dropCaches(spark)
+
+    // ---- real-corpus cost anchor per point ----
+    val staged = ensureCorpus(spark, corpusN, 0)
+    val corpus = spark.read.parquet(staged)
+    points.foreach { case (nh, nb) =>
+      spark.conf.set(TextOps.NumHashesConf, nh.toString)
+      spark.conf.set(TextOps.BandsConf, nb.toString)
+      stage(s"cost_${nh}x$nb") {
+        val pairs = TextOps.lshPairsOf(corpus)
+        pairs.write.format("noop").mode("overwrite").save()
+        println(s"[probe-text]   verified pairs=${pairs.count()} at ${nh}x$nb over $corpusN docs")
+      }
+      dropCaches(spark)
+    }
+    spark.conf.unset(TextOps.NumHashesConf)
+    spark.conf.unset(TextOps.BandsConf)
     spark.stop()
   }
 }

@@ -9,9 +9,9 @@ import graft.ops._
 object SparkEntry {
   /** All catalog groups, in SURVEY §2 order. */
   def catalog: Seq[QueryDef] =
-    Relational.defs ++ TextOps.defs ++ VectorQueries.defs ++
-      MultimodalOps.defs ++ StreamingOps.defs ++ EngineOps.defs ++
-      PipelineOps.defs ++ ScaleOps.defs
+    Relational.defs ++ TextOps.defs ++ TextScreen.defs ++
+      VectorQueries.defs ++ MultimodalOps.defs ++ StreamingOps.defs ++
+      EngineOps.defs ++ PipelineOps.defs ++ ScaleOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

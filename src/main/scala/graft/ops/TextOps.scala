@@ -58,10 +58,44 @@ object TextOps {
     s"list_aggregate(list_transform(h, v -> (v * $a + $b) % $MinhashPrime), 'min')"
   }
 
+  // The DEFAULT MinHash-LSH operating point — the values the correctness
+  // gates and every DuckDB oracle CTE are pinned at (the oracle SQL is
+  // built eagerly at object init from these).
   private val NumHashes = 16
   private val Bands = 4
   private val RowsPerBand = 4
   private val JaccardThreshold = 0.5
+
+  /** The LSH operating point as SESSION CONFS (VERDICT r14 "what's
+    * missing #2"): `NumHashes=16, Bands=4` puts the banding S-curve's
+    * midpoint at jaccard ≈ 0.71, so pairs near the 0.5 verification
+    * threshold are mostly never candidates (~24 % candidate probability
+    * by the collision formula) — self-consistent with the oracle (which
+    * replays the same banding) but a RECALL CHOICE a user must be able
+    * to make. Defaults are the pinned constants above, so the gates are
+    * byte-identical at default confs; the measured recall/cost curve per
+    * setting is PROBES.md r15's `lshcurve` table. rowsPerBand is derived
+    * (`numHashes / bands` — bands must divide numHashes); the banding
+    * S-curve midpoint is ≈ (1/bands)^(bands/numHashes). */
+  private[graft] val NumHashesConf = "spark.graft.text.lsh.numHashes"
+  private[graft] val BandsConf = "spark.graft.text.lsh.bands"
+  private[graft] val JaccardThresholdConf = "spark.graft.text.lsh.jaccardThreshold"
+
+  private[graft] final case class LshParams(
+      numHashes: Int, bands: Int, threshold: Double) {
+    require(numHashes >= 1 && numHashes <= 1024,
+      s"numHashes must be in [1, 1024] (graft_minhash bound), got $numHashes")
+    require(bands >= 1 && numHashes % bands == 0,
+      s"bands must divide numHashes, got $numHashes hashes / $bands bands")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  private[graft] def lshParams(
+      spark: org.apache.spark.sql.SparkSession): LshParams = LshParams(
+    spark.conf.get(NumHashesConf, NumHashes.toString).toInt,
+    spark.conf.get(BandsConf, Bands.toString).toInt,
+    spark.conf.get(JaccardThresholdConf, JaccardThreshold.toString).toDouble)
+
   private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   // q76 stratified sampling: per-language quota, md5-hash order
@@ -103,6 +137,21 @@ object TextOps {
        |shsig AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hashed)""".stripMargin
   }
 
+  /** DuckDB side of [[simhashPairsOf]] (follows [[simhashCtes]]): band
+    * rows → candidate bucket join → hamming-verified `spairs`. Shared by
+    * q64 (pair listing) and q107 (components). */
+  private def simhashPairCtes: String =
+    s"""sbands AS (SELECT doc_id, simhash, bb.b AS band,
+       |           (simhash >> (bb.b * $SimBandBits)) & ${(1L << SimBandBits) - 1} AS bsig
+       |           FROM shsig CROSS JOIN (VALUES (0),(1),(2),(3)) bb(b)),
+       |scand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |          FROM sbands a JOIN sbands b
+       |            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+       |spairs AS (SELECT id_a, id_b,
+       |        bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+       |   FROM scand JOIN shsig x ON x.doc_id = id_a JOIN shsig y ON y.doc_id = id_b
+       |   WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimMaxHamming)""".stripMargin
+
   /** Verified MinHash-LSH near-dup pairs `(id_a, id_b, jaccard)` — the
     * shared candidate pipeline behind q25 (pair listing) and q63
     * (dedup components).
@@ -136,30 +185,20 @@ object TextOps {
     * is scanned map-side, never shuffled; past it the plain shuffle join
     * is the cluster-regime fallback. */
   private[graft] def lshPairsOf(d: org.apache.spark.sql.DataFrame) = {
-    // ONE corpus scan computes shingles → hashes → all 16 permutations
-    // FUSED, and only the skinny (id, 16-long sig) rows are checkpointed
-    // (the sig checkpoint still exists because the band-explode below
-    // references the array 16× — inlined, CollapseProject would re-run
-    // the MinHash pipeline per reference). The corpus' shingle ARRAYS are
-    // never materialized: r14's magnitude probe measured the old
-    // checkpoint of them spilling ~24 GB of block-manager scratch at 4M
-    // docs — O(corpus) scratch feeding a verification that only ever
-    // reads the CANDIDATES' shingles. Recomputing the candidate slice
-    // costs one extra candidate-pruned scan of the input, the right
-    // trade at any corpus size.
-    val sig = d.select(col("doc_id"),
-        minhashFromHashes(
-          shingleHashes(array_distinct(shingles(col("text"), 3))),
-          NumHashes).as("sig"))
-      .localCheckpoint()
-    val bandStructs = array((0 until Bands).map { b =>
-      struct(lit(b.toLong).as("band"),
-        concat_ws(":", (0 until RowsPerBand).map(r =>
-          element_at(col("sig"), b * RowsPerBand + r + 1).cast("string")): _*).as("bsig"))
-    }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-      .localCheckpoint()
+    // ONE corpus scan computes shingles → hashes → all numHashes
+    // permutations FUSED, and only the skinny (id, sig) rows are
+    // checkpointed (the sig checkpoint still exists because the
+    // band-explode below references the array once per hash — inlined,
+    // CollapseProject would re-run the MinHash pipeline per reference).
+    // The corpus' shingle ARRAYS are never materialized: r14's magnitude
+    // probe measured the old checkpoint of them spilling ~24 GB of
+    // block-manager scratch at 4M docs — O(corpus) scratch feeding a
+    // verification that only ever reads the CANDIDATES' shingles.
+    // Recomputing the candidate slice costs one extra candidate-pruned
+    // scan of the input, the right trade at any corpus size.
+    val p = lshParams(d.sparkSession)
+    val sig = minhashSigsOf(d, p).localCheckpoint()
+    val bands = bandRowsOf(sig, p).localCheckpoint()
     // checkpointed: scanned once for the skinny candidate-id list and
     // once per verification side — without the pin the band self-join
     // (the quadratic part on duplicate-heavy corpora) would re-run
@@ -178,19 +217,53 @@ object TextOps {
     // antiJoinIds bound), shingling runs on the surviving slice, and the
     // O(candidates) result is pinned because both verification sides
     // scan it
-    val shSlice = {
-      val side = if (candIds.count() <= ccBroadcastRowCap(d.sparkSession))
-        broadcast(candIds) else candIds
-      d.join(side, "doc_id")
-        .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-        .localCheckpoint()
-    }
+    val shSlice = shingleSliceOf(d, candIds).localCheckpoint()
     val j = graft.functions.TextFunctions.jaccard(col("sa"), col("sb"))
     cand
       .join(shSlice.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
       .join(shSlice.select(col("doc_id").as("id_b"), col("sh").as("sb")), "id_b")
-      .where(j >= JaccardThreshold)
+      .where(j >= p.threshold)
       .select(col("id_a"), col("id_b"), j.as("jaccard"))
+  }
+
+  /** One fused scan of a `(doc_id, text)` frame: shingles → per-shingle
+    * md5 → all `numHashes` MinHash permutations, emitting only the skinny
+    * `(doc_id, sig)` rows — the signature INDEX ARTIFACT the batch chain
+    * checkpoints and the incremental screen persists
+    * ([[TextSigStore]]). */
+  private[graft] def minhashSigsOf(d: org.apache.spark.sql.DataFrame,
+      p: LshParams): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"),
+      minhashFromHashes(
+        shingleHashes(array_distinct(shingles(col("text"), 3))),
+        p.numHashes).as("sig"))
+
+  /** LSH band rows `(doc_id, band, bsig)` from a signatures frame — the
+    * band signature is the `rowsPerBand` consecutive sig values joined as
+    * a string key (portable across engines; the oracle builds the same
+    * key). */
+  private[graft] def bandRowsOf(sig: org.apache.spark.sql.DataFrame,
+      p: LshParams): org.apache.spark.sql.DataFrame = {
+    val bandStructs = array((0 until p.bands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        concat_ws(":", (0 until p.rowsPerBand).map(r =>
+          element_at(col("sig"), b * p.rowsPerBand + r + 1).cast("string")): _*).as("bsig"))
+    }: _*)
+    sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+  }
+
+  /** Distinct 3-shingle arrays of the docs named by the skinny `ids`
+    * frame only — `ids` prunes the fat text scan map-side (broadcast
+    * under the driver-known-count byte gate, the antiJoinIds bound), so
+    * the result is O(|ids|) regardless of corpus size. */
+  private[graft] def shingleSliceOf(d: org.apache.spark.sql.DataFrame,
+      ids: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val side = if (ids.count() <=
+        ccBroadcastRowCap(d.sparkSession, CcBroadcastBytesPerIdRow))
+      broadcast(ids) else ids
+    d.join(side, "doc_id")
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
   }
 
   /** Verified near-dup EDGES for the COMPONENT consumers (q63's
@@ -221,18 +294,82 @@ object TextOps {
     * keeps the raw listing — an all-pairs listing is inherently quadratic
     * in clique size, that is its semantics). */
   private[graft] def dedupEdgesOf(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    collapsedEdgesOf(d)(lshPairsOf)
+
+  /** [[dedupEdgesOf]] for the SIMHASH chain: the same exact-content
+    * collapse in front of q64's hamming banding. Exactness follows the
+    * same proof — byte-identical texts tokenize identically, so their
+    * simhashes are EQUAL (hamming 0 ≤ the verified radius: star edges
+    * are true raw-chain edges), and a representative's simhash — hence
+    * its bands and every verified cross-content pair — matches each
+    * member's, so contraction preserves component membership exactly
+    * (spec-pinned against the raw chain like the MinHash twin). */
+  private[graft] def simhashEdgesOf(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    collapsedEdgesOf(d)(simhashPairsOf)
+
+  /** The shared exact-content collapse both edge generators run before
+    * their banding chain (r14's C4 discipline — exact-dedup before
+    * near-dedup, executed inside the edge generator): byte-identical
+    * documents contract to one representative via a single
+    * map-side-combinable aggregation, the clique becomes K−1 star edges,
+    * and `pairsOf` (any verified `(id_a, id_b, …)` pair generator whose
+    * verdict is a function of text content alone) runs on representatives
+    * only. */
+  private def collapsedEdgesOf(d: org.apache.spark.sql.DataFrame)(
+      pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val keyed = d.select(col("doc_id"), col("text"), md5(col("text")).as("_h"))
-    val reps = keyed.groupBy("_h")
+    // group key = (md5, byte length): a bare-md5 collision between
+    // UNRELATED texts would contract them into one component and emit
+    // star edges whose always-verifies verdict was never checked (ADVICE
+    // r14); requiring equal length too means a silent contraction needs
+    // an equal-length md5 collision — strictly harder than md5's already
+    // negligible 2^-64 birthday regime at any real corpus size, and the
+    // extra key column costs one codegen'd length() per row
+    val keyed = d.select(col("doc_id"), col("text"),
+      md5(col("text")).as("_h"), length(col("text")).as("_l"))
+    val reps = keyed.groupBy("_h", "_l")
       .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
-      .select(col("_h"), col("_r.doc_id").as("doc_id"), col("_r.text").as("text"))
-      .localCheckpoint() // scanned by the star join and the LSH chain
-    val stars = keyed.select(col("_h"), col("doc_id").as("id_b"))
-      .join(reps.select(col("_h"), col("doc_id").as("id_a")), "_h")
+      .select(col("_h"), col("_l"),
+        col("_r.doc_id").as("doc_id"), col("_r.text").as("text"))
+      .localCheckpoint() // scanned by the star join and the banding chain
+    val stars = keyed.select(col("_h"), col("_l"), col("doc_id").as("id_b"))
+      .join(reps.select(col("_h"), col("_l"), col("doc_id").as("id_a")),
+        Seq("_h", "_l"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
-    lshPairsOf(reps.select("doc_id", "text"))
+    pairsOf(reps.select("doc_id", "text"))
       .select("id_a", "id_b").unionAll(stars)
+  }
+
+  /** q64's verified SimHash hamming pairs, frame-parametric (the
+    * simhash twin of [[lshPairsOf]]) so the magnitude probe and
+    * [[simhashEdgesOf]] drive the exact operator the q64 gate pins.
+    * Signatures ride the band rows (12 B/row) so the hamming verify runs
+    * inside the bucket join's output — no rejoin shuffles. */
+  private[graft] def simhashPairsOf(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sig = d.select(col("doc_id"), simhash(tokens(col("text")), 32).as("sh"))
+      .localCheckpoint()
+    val bandCol = explode(array((0 until SimBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        shiftright(col("sh"), b * SimBandBits)
+          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("bsig"))
+    }: _*))
+    val bands = sig.select(col("doc_id"), col("sh"), bandCol.as("bb"))
+      .select(col("doc_id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val ham = graft.functions.TextFunctions
+      .hammingDistance(col("a.sh"), col("b.sh"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .where(ham <= SimMaxHamming)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        ham.as("hamming"))
+      .distinct()
   }
 
   /** Connected components over an undirected pair graph by min-label
@@ -324,11 +461,44 @@ object TextOps {
     * plus hash-table overhead measured in whole multiples of it. */
   private[graft] val CcBroadcastBytesPerRow = 64L
 
-  /** Row cap implied by [[CcBroadcastMaxBytesConf]] (0 disables). */
+  /** Estimated HashedRelation cost per single-column 8-byte-id row (the
+    * anti-join / candidate-prune id lists): half the (long, long) map
+    * row's payload, same whole-multiple overhead model — pricing these at
+    * 64 B/row halved the usable broadcast budget for no reason (ADVICE
+    * r14). */
+  private[graft] val CcBroadcastBytesPerIdRow = 32L
+
+  /** r13's row-cap conf, superseded by [[CcBroadcastMaxBytesConf]] in r14.
+    * Still honored as a fallback when the byte conf is unset — a
+    * deployment pinning the old key must not silently revert to defaults
+    * (ADVICE r14); setting it logs a one-time deprecation pointer. */
+  private[graft] val LegacyCcBroadcastMaxRowsConf =
+    "spark.graft.cc.broadcastNodesMaxRows"
+  @volatile private var warnedLegacyRowCap = false
+
+  /** Row cap implied by [[CcBroadcastMaxBytesConf]] (0 disables) at the
+    * given estimated relation cost per row. The legacy ROW-cap conf, when
+    * set and the byte conf is not, applies directly (it already is a row
+    * count — per-row pricing does not rescale it). */
   private[graft] def ccBroadcastRowCap(
-      spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.get(CcBroadcastMaxBytesConf, DefaultCcBroadcastMaxBytes.toString)
-      .toLong / CcBroadcastBytesPerRow
+      spark: org.apache.spark.sql.SparkSession,
+      bytesPerRow: Long = CcBroadcastBytesPerRow): Long = {
+    val explicit = spark.conf.getOption(CcBroadcastMaxBytesConf)
+    val legacy = spark.conf.getOption(LegacyCcBroadcastMaxRowsConf)
+    if (legacy.isDefined && !warnedLegacyRowCap) {
+      warnedLegacyRowCap = true
+      System.err.println(s"[graft] $LegacyCcBroadcastMaxRowsConf is " +
+        s"deprecated — set $CcBroadcastMaxBytesConf (estimated relation " +
+        "bytes; 0 disables the forced hint) instead" +
+        (if (explicit.isDefined) s"; both are set, $CcBroadcastMaxBytesConf wins"
+         else ""))
+    }
+    (explicit, legacy) match {
+      case (Some(b), _) => b.toLong / bytesPerRow
+      case (None, Some(rows)) => rows.toLong
+      case (None, None) => DefaultCcBroadcastMaxBytes / bytesPerRow
+    }
+  }
 
   /** Anti-join an id set out of a FAT corpus without shuffling the corpus:
     * Catalyst only broadcasts under its 10 MB plan-stats threshold, so a
@@ -358,7 +528,8 @@ object TextOps {
         ids.columns.head
       }
     val l = ids.select(col(srcCol).as(idCol)).localCheckpoint()
-    val side = if (l.count() <= ccBroadcastRowCap(corpus.sparkSession))
+    val side = if (l.count() <=
+        ccBroadcastRowCap(corpus.sparkSession, CcBroadcastBytesPerIdRow))
       broadcast(l) else l
     corpus.join(side, Seq(idCol), "left_anti")
   }
@@ -405,6 +576,10 @@ object TextOps {
         "iterations — component diameter exceeds the guard, raise MaxIters")
     labels
   }
+
+  /** [[lshCtePrefix]] for the screened-ingest oracles ([[TextScreen]]) —
+    * the same `sig` + `pairs` CTE chain at the default operating point. */
+  private[graft] def lshCtePrefixForOracle: String = lshCtePrefix
 
   /** DuckDB twin of [[lshPairs]]: CTE chain ending in
     * `pairs(id_a, id_b, jaccard)`. */
@@ -510,7 +685,8 @@ object TextOps {
         docs(s, d)
           .select(col("doc_id"), shingleHashes(sh).as("hsh"))
           .select(col("doc_id"),
-            concat_ws(",", minhashFromHashes(col("hsh"), NumHashes)).as("sig"))
+            concat_ws(",", minhashFromHashes(col("hsh"),
+              lshParams(s).numHashes)).as("sig"))
           .orderBy("doc_id")
       },
       Some(s"""WITH $toksCte, $shCte, $hshCte
@@ -550,49 +726,41 @@ object TextOps {
     // banding pattern over hamming space instead of Jaccard/cosine).
     QueryDef(
       "q64_simhash_hamming_pairs",
-      (s, d) => {
-        // signatures are an index artifact (computed once, self-joined) —
-        // same materialization rationale as lshPairs' checkpointed stages.
-        // The signature RIDES the band rows (12 bytes/row), so the hamming
-        // verify runs INSIDE the bucket join's output — filter before the
-        // pair distinct, and no joins back to the signature table (was:
-        // distinct → two rejoin shuffles; measured ~35 % of the row's wall).
-        val sig = docs(s, d)
-          .select(col("doc_id"), simhash(tokens(col("text")), 32).as("sh"))
-          .localCheckpoint()
-        val bandCol = explode(array((0 until SimBands).map { b =>
-          struct(lit(b.toLong).as("band"),
-            shiftright(col("sh"), b * SimBandBits)
-              .bitwiseAND(lit((1L << SimBandBits) - 1)).as("bsig"))
-        }: _*))
-        val bands = sig.select(col("doc_id"), col("sh"), bandCol.as("bb"))
-          .select(col("doc_id"), col("sh"),
-            col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-        val ham = graft.functions.TextFunctions
-          .hammingDistance(col("a.sh"), col("b.sh"))
-        bands.as("a")
-          .join(bands.as("b"),
-            col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
-              && col("a.doc_id") < col("b.doc_id"))
-          .where(ham <= SimMaxHamming)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            ham.as("hamming"))
-          .distinct()
-          .orderBy("id_a", "id_b")
-      },
+      (s, d) => simhashPairsOf(docs(s, d)).orderBy("id_a", "id_b"),
       Some(s"""WITH $simhashCtes,
-              |bands AS (SELECT doc_id, simhash, bb.b AS band,
-              |                 (simhash >> (bb.b * $SimBandBits)) & ${(1L << SimBandBits) - 1} AS bsig
-              |          FROM shsig CROSS JOIN (VALUES (0),(1),(2),(3)) bb(b)),
-              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |         FROM bands a JOIN bands b
-              |           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)
-              |SELECT id_a, id_b,
-              |       bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
-              |FROM cand JOIN shsig x ON x.doc_id = id_a JOIN shsig y ON y.doc_id = id_b
-              |WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimMaxHamming
+              |$simhashPairCtes
+              |SELECT id_a, id_b, hamming FROM spairs
               |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
+
+    // SimHash near-dup COMPONENTS — q63's clustering over the hamming
+    // pair graph, through the exact-content-collapsed edge generator
+    // ([[simhashEdgesOf]]): a boilerplate K-clique costs K−1 star edges
+    // from one map-side-combinable aggregation instead of SimBands·K²/2
+    // bucket-join rows (the r14 dedupEdgesOf discipline applied to the
+    // simhash chain — the r15 magnitude probe measured the raw listing's
+    // clique quadratics at 4M docs). Components are spec-pinned equal to
+    // the raw chain's; oracle = recursive reachability over q64's pairs.
+    QueryDef(
+      "q107_simhash_components",
+      (s, d) => {
+        val edges = simhashEdgesOf(docs(s, d)).localCheckpoint()
+        minLabelComponents(edges)
+          .select(col("id").as("doc_id"), col("comp").as("component"),
+            (col("id") === col("comp")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $simhashCtes,
+              |$simhashPairCtes,
+              |und AS (SELECT id_a AS a, id_b AS b FROM spairs
+              |        UNION ALL SELECT id_b, id_a FROM spairs),
+              |reach(id, r) AS (
+              |  SELECT DISTINCT a, a FROM und
+              |  UNION
+              |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.id)
+              |SELECT id AS doc_id, min(r)::BIGINT AS component,
+              |       (id = min(r)) AS is_canonical
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
     // exact-duplicate dedup by content hash; the test corpus has no
     // byte-identical docs, so key on the first-5-token prefix hash too —

@@ -213,6 +213,17 @@ class PipelineSpec extends SparkSpec {
         ex.getMessage.contains("outDir"), ex.getMessage)
       val ex2 = intercept[IllegalArgumentException](api.curateCorpus())
       assert(ex2.getMessage.contains("outDir"), ex2.getMessage)
+      // multiProbe must be refused BEFORE the full-corpus top-P encode
+      // (VERDICT r14 "what's wrong #1"): the encode path ends in a
+      // localCheckpoint, which registers a persistent RDD — a guard that
+      // fired after it would leave one behind here
+      val rddsBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val ex3 = intercept[IllegalArgumentException](
+        api.semDedupCorpus(multiProbe = true))
+      assert(ex3.getMessage.contains("semDedupCorpusChunked"), ex3.getMessage)
+      assert(spark.sparkContext.getPersistentRDDs.keySet === rddsBefore,
+        "the multiProbe guard must fire before the assignment encode " +
+          "materializes anything")
       // the named route runs under the SAME bound and returns the same rows
       val out = java.nio.file.Files
         .createTempDirectory("graft_footgun_pairs").toString + "/pairs"

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{TextOps, TextScreen, TextSigStore}
+
+/** The incremental / screened TEXT dedup loop (VERDICT r14 next-round #1):
+  * pair semantics pinned against the batch chain, the conservative-prefix
+  * survivor rule pinned brute-force, the store's replay / crash-window /
+  * compaction discipline, and the conf-lifted LSH operating point. */
+class TextScreenSpec extends SparkSpec {
+  import spark.implicits._
+  graft.functions.GraftFunctions.register(spark) // graft_minhash on synthetic frames
+
+  /** Deterministic corpus with near-dup pairs CROSSING the corpus/batch
+    * split: base texts on ids 0..n-1; ids ≡ 0 (mod 5) play the batch.
+    * Every id ≡ 1 (mod 10) shares its text with id+9 (which is ≡ 0 mod
+    * 10, so every such pair is corpus×batch when id+9 ≡ 0 mod 5); ids
+    * ≡ 2 (mod 25) share with id+23 (≡ 0 mod 25 → batch×batch when both
+    * ≡ 0 mod 5 fails — keeps a mix). */
+  private def corpusOf(n: Int): DataFrame =
+    spark.range(0, n).map { jid =>
+      val id: Long = jid
+      val r = new java.util.Random(0xc0ffeeL + id)
+      val base =
+        if (id % 10 == 9 && id >= 9) id - 9 // corpus copies a BATCH doc
+        else if (id % 20 == 15 && id >= 15) id - 5 // batch copies a BATCH doc
+        else id
+      val rb = new java.util.Random(0xc0ffeeL + base)
+      val toks = Array.fill(30 + rb.nextInt(20))(s"w${rb.nextInt(500)}")
+      // ids ≡ 4 (mod 20): a ~6 %-substituted NEAR copy of id−4's text
+      val out =
+        if (id % 20 == 4 && id >= 4) {
+          val b2 = new java.util.Random(0xc0ffeeL + (id - 4))
+          val t2 = Array.fill(30 + b2.nextInt(20))(s"w${b2.nextInt(500)}")
+          t2.map(t => if (r.nextDouble() < 0.06) s"x${r.nextInt(500)}" else t)
+        } else toks
+      (id, out.mkString(" "))
+    }.toDF("doc_id", "text")
+
+  private def splitOf(all: DataFrame): (DataFrame, DataFrame) =
+    (all.where(col("doc_id") % 5 =!= 0), all.where(col("doc_id") % 5 === 0))
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("screenPairs ≡ the batch chain's pairs restricted to ≥1 batch side") {
+    val all = corpusOf(400).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val p = TextOps.lshParams(spark)
+    val got = pairSet(TextScreen.screenPairs(
+      corpus, TextOps.minhashSigsOf(corpus, p), batch))
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val full = pairSet(TextOps.lshPairsOf(all))
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(got === full)
+    assert(got.exists { case (a, b) => !batchIds(a) || !batchIds(b) },
+      "planted corpus×batch dups must flag")
+    assert(got.exists { case (a, b) => batchIds(a) && batchIds(b) },
+      "planted batch×batch dups must flag")
+    // and nothing corpus×corpus leaks in
+    got.foreach { case (a, b) =>
+      assert(batchIds(a) || batchIds(b), s"corpus-only pair ($a,$b)")
+    }
+  }
+
+  test("screened store loop: survivors by the conservative-prefix rule; replay inert") {
+    val all = corpusOf(300).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_textstore").toString + "/store"
+    TextSigStore.build(spark, dir, corpus)
+    val pairs = TextScreen.screenPairs(
+      corpus, TextSigStore.sigs(spark, dir), batch).localCheckpoint()
+    val r1 = TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001")
+    assert(r1.applied && r1.flaggedPairs == pairs.count())
+    // brute-force the rule: drop a batch doc near-dupping any corpus doc
+    // (either id order) or any smaller-id batch doc
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val ps = pairSet(pairs)
+    val drops = batchIds.filter(x => ps.exists { case (a, b) =>
+      (b == x && (!batchIds(a) || a < x)) || (a == x && !batchIds(b))
+    })
+    val stored = TextSigStore.sigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(stored === corpusIds ++ (batchIds -- drops))
+    assert(drops.nonEmpty && (batchIds -- drops).nonEmpty)
+    // replay of the same update id is inert: no new rows, applied=false
+    val r2 = TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001")
+    assert(!r2.applied && r2.batchRows == 0)
+    assert(TextSigStore.sigs(spark, dir).count() === stored.size.toLong)
+  }
+
+  test("second batch screens against corpus + batch-1 SURVIVORS only (order semantics)") {
+    val all = corpusOf(300).localCheckpoint()
+    val (corpus, batch1) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_textstore2").toString + "/store"
+    TextSigStore.build(spark, dir, corpus)
+    TextScreen.screenAndAppend(spark, dir, corpus, batch1, "u0001")
+    val stored1 = TextSigStore.sigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val b1Ids = batch1.select("doc_id").as[Long].collect().toSet
+    val surv1 = b1Ids.intersect(stored1)
+    val dropped1 = (b1Ids -- surv1).toSeq.sorted
+    assert(surv1.nonEmpty && dropped1.nonEmpty)
+    // batch 2: one exact copy of a batch-1 SURVIVOR (must drop), one
+    // exact copy of a batch-1 DROPPED doc whose content never entered
+    // the store — it must drop only if its content still matches the
+    // store (the dropped doc's DUPLICATE SOURCE is stored); take a
+    // dropped doc that was flagged against a CORPUS doc so the copy
+    // still collides, pinning that the rule keys on stored CONTENT,
+    // not batch membership
+    val survSrc = surv1.head
+    val texts = all.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val batch2 = Seq(
+      (100000L, texts(survSrc)), // copy of a stored batch-1 survivor
+      (100001L, "zq unique brand new tokens nothing shares these at all" +
+        " pad pad pad lorem alpha beta gamma delta epsilon zeta eta theta" +
+        " iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    ).toDF("doc_id", "text")
+    // corpus for verification now includes batch-1 survivors' text
+    val corpus2 = all.where(col("doc_id").isin(stored1.toSeq: _*))
+    val r = TextScreen.screenAndAppend(spark, dir, corpus2, batch2, "u0002")
+    assert(r.applied)
+    val stored2 = TextSigStore.sigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!stored2.contains(100000L), "copy of a stored survivor must drop")
+    assert(stored2.contains(100001L), "novel content must survive")
+  }
+
+  test("crash window self-heals: delta written but tip not advanced → replay is clean") {
+    val all = corpusOf(200).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_textstore3").toString + "/store"
+    TextSigStore.build(spark, dir, corpus)
+    // simulate the crash: the delta parquet lands, the tip write never ran
+    val p = TextOps.lshParams(spark)
+    TextOps.minhashSigsOf(batch, p)
+      .write.mode("overwrite").parquet(s"$dir/sigs/u0001")
+    assert(!TextSigStore.isApplied(spark, dir, "u0001"))
+    // the replay re-screens, overwrites the delta with the SURVIVOR rows,
+    // and advances the tip — no duplicate rows, no double-append
+    val r = TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001")
+    assert(r.applied)
+    val stored = TextSigStore.sigs(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n"))
+    assert(stored.where(col("n") > 1).isEmpty, "no id may hold two sig rows")
+    assert(TextSigStore.isApplied(spark, dir, "u0001"))
+  }
+
+  test("compaction folds deltas into one base with identical content") {
+    val all = corpusOf(200).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_textstore4").toString + "/store"
+    TextSigStore.build(spark, dir, corpus)
+    TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001")
+    val before = TextSigStore.sigs(spark, dir)
+      .select(col("doc_id"), concat_ws(",", col("sig")).as("s"))
+      .as[(Long, String)].collect().toSet
+    TextSigStore.compact(spark, dir)
+    val after = TextSigStore.sigs(spark, dir)
+      .select(col("doc_id"), concat_ws(",", col("sig")).as("s"))
+      .as[(Long, String)].collect().toSet
+    assert(after === before)
+    // all deltas folded: only the base remains under sigs/
+    val roots = new java.io.File(s"$dir/sigs").listFiles().map(_.getName)
+    assert(roots.toSet === Set("_base"))
+  }
+
+  test("LSH operating-point confs: defaults pinned; store refuses a mismatched session") {
+    val p = TextOps.lshParams(spark)
+    assert(p.numHashes == 16 && p.bands == 4 && p.threshold == 0.5 &&
+      p.rowsPerBand == 4)
+    val all = corpusOf(100).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_textstore5").toString + "/store"
+    TextSigStore.build(spark, dir, corpus)
+    spark.conf.set(TextOps.BandsConf, "8")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001"))
+      assert(ex.getMessage.contains(TextOps.BandsConf), ex.getMessage)
+      // invalid operating points fail at param construction
+      spark.conf.set(TextOps.BandsConf, "3") // 3 ∤ 16
+      val ex2 = intercept[IllegalArgumentException](TextOps.lshParams(spark))
+      assert(ex2.getMessage.contains("divide"), ex2.getMessage)
+    } finally spark.conf.unset(TextOps.BandsConf)
+  }
+
+  test("more bands (fewer rows per band) only ever ADDS verified pairs") {
+    // a pair matching a 4-row band necessarily matches both 2-row halves,
+    // so candidates at 16×8 ⊇ candidates at 16×4; verification at the
+    // same threshold preserves the inclusion
+    val all = corpusOf(300).localCheckpoint()
+    val base = pairSet(TextOps.lshPairsOf(all))
+    spark.conf.set(TextOps.BandsConf, "8")
+    try {
+      val wide = pairSet(TextOps.lshPairsOf(all))
+      assert(base.subsetOf(wide))
+    } finally spark.conf.unset(TextOps.BandsConf)
+  }
+
+  test("simhashEdgesOf components ≡ raw simhashPairsOf components on planted exact groups") {
+    // the q107 generator's exactness pin — the dedupEdgesOf proof applied
+    // to the hamming chain: identical text ⇒ identical simhash ⇒ the
+    // collapse's star edges are true raw edges, and contracting members
+    // onto their representative preserves components exactly
+    val all = corpusOf(300).localCheckpoint()
+    def comps(edges: DataFrame): Set[(Long, Long)] =
+      TextOps.minLabelComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = comps(TextOps.simhashPairsOf(all).select("id_a", "id_b"))
+    val collapsed = comps(TextOps.simhashEdgesOf(all))
+    assert(collapsed === raw)
+    assert(raw.nonEmpty, "planted exact groups must pair at hamming 0")
+  }
+
+  test("legacy CC broadcast row-cap conf still honored when the byte conf is unset") {
+    assert(TextOps.ccBroadcastRowCap(spark) ===
+      TextOps.DefaultCcBroadcastMaxBytes / TextOps.CcBroadcastBytesPerRow)
+    assert(TextOps.ccBroadcastRowCap(spark, TextOps.CcBroadcastBytesPerIdRow) ===
+      TextOps.DefaultCcBroadcastMaxBytes / TextOps.CcBroadcastBytesPerIdRow)
+    spark.conf.set(TextOps.LegacyCcBroadcastMaxRowsConf, "12345")
+    try {
+      // the legacy value is already a ROW count: applied at any per-row price
+      assert(TextOps.ccBroadcastRowCap(spark) === 12345L)
+      assert(TextOps.ccBroadcastRowCap(spark,
+        TextOps.CcBroadcastBytesPerIdRow) === 12345L)
+      // the byte conf, when set, wins over the legacy key
+      spark.conf.set(TextOps.CcBroadcastMaxBytesConf, "6400")
+      assert(TextOps.ccBroadcastRowCap(spark) === 100L)
+    } finally {
+      spark.conf.unset(TextOps.LegacyCcBroadcastMaxRowsConf)
+      spark.conf.unset(TextOps.CcBroadcastMaxBytesConf)
+    }
+  }
+}
