@@ -286,20 +286,43 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * from two different chunks — a duplicate edge in `outDir`, harmless
     * to the component collapse (same reasoning as the one-shot facade);
     * the doubled assignment also roughly doubles `memberRows`, so the
-    * auto chunk count sizes off the actual assignment row count. */
+    * auto chunk count sizes off the actual assignment row count.
+    *
+    * `resume` (VERDICT r14 next-round #6, the probe's restart lever
+    * promoted to the library): a crashed POST-sweep stage should not
+    * re-pay the chunked sweep — nor, with `multiProbe`, the full-corpus
+    * top-P encode feeding it. The drain is complete only when the
+    * `_DRAINED` sentinel exists (written after the LAST chunk; parquet's
+    * own `_SUCCESS` is rewritten by every per-chunk append, so it cannot
+    * distinguish a full drain from a mid-sweep crash — resuming on it
+    * would silently reuse a partial pair set). With the sentinel present
+    * the sweep AND the assignment encode are skipped and `outDir`'s
+    * pairs feed the collapse directly; absent (mid-sweep crash), the
+    * sweep re-runs from scratch — chunk 0's overwrite wipes any partial
+    * remains, so every crash window self-heals. */
   def semDedupCorpusChunked(outDir: String,
       simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
-      nChunks: Int = 0, multiProbe: Boolean = false): DataFrame = {
-    val h = EngineOps.index(spark, sfDir) // one handle for cells AND sizing
+      nChunks: Int = 0, multiProbe: Boolean = false,
+      resume: Boolean = false): DataFrame = {
     val e = vectors
-    val cells = dedupCells(h, multiProbe, e)
-    val n = if (nChunks > 0) nChunks
-      else graft.ops.VectorQueries.semDedupChunkCount(
-        cells.count(), h.model.dim, spark)
-    graft.ops.VectorQueries.semDedupPairsChunked(cells, e, "vec_id",
-        "embedding", simThreshold, n) { (df, c) =>
-      df.select("id_a", "id_b")
-        .write.mode(if (c == 0) "overwrite" else "append").parquet(outDir)
+    val drained = new org.apache.hadoop.fs.Path(s"$outDir/_DRAINED")
+    val fs = drained.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (resume && fs.exists(drained))
+      System.err.println(
+        s"[graft] semDedupCorpusChunked: resuming a completed drain at $outDir")
+    else {
+      val h = EngineOps.index(spark, sfDir) // one handle for cells AND sizing
+      val cells = dedupCells(h, multiProbe, e)
+      val n = if (nChunks > 0) nChunks
+        else graft.ops.VectorQueries.semDedupChunkCount(
+          cells.count(), h.model.dim, spark)
+      if (fs.exists(drained)) fs.delete(drained, false) // stale: re-draining
+      graft.ops.VectorQueries.semDedupPairsChunked(cells, e, "vec_id",
+          "embedding", simThreshold, n) { (df, c) =>
+        df.select("id_a", "id_b")
+          .write.mode(if (c == 0) "overwrite" else "append").parquet(outDir)
+      }
+      fs.create(drained, true).close()
     }
     val edges = spark.read.parquet(outDir)
     val losers = graft.ops.TextOps.minLabelComponents(edges)
@@ -406,14 +429,20 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     * a chunk), so the two routes compose identically (spec-pinned).
     * `multiProbe` routes the dedup stage over top-2 probe cells
     * (see [[semDedupCorpus]]) — the downstream prune and draw are
-    * unchanged, they just see the (smaller) multi-probe survivor set. */
+    * unchanged, they just see the (smaller) multi-probe survivor set.
+    * `resume` (chunked route only) reuses a COMPLETED pair drain at
+    * `outDir` instead of re-sweeping — see [[semDedupCorpusChunked]]'s
+    * `_DRAINED` sentinel contract. */
   def curateCorpus(keepFrac: Double = 0.7,
       simThreshold: Double = graft.ops.VectorQueries.NearDupSimThreshold,
       outDir: Option[String] = None, nChunks: Int = 0,
-      multiProbe: Boolean = false): DataFrame = {
+      multiProbe: Boolean = false, resume: Boolean = false): DataFrame = {
+    require(!resume || outDir.isDefined,
+      "curateCorpus(resume = true) needs outDir — only the chunked drain " +
+        "persists a resumable pair set")
     val surv = outDir match {
       case Some(dir) => semDedupCorpusChunked(dir, simThreshold, nChunks,
-        multiProbe)
+        multiProbe, resume)
       case None => semDedupCorpus(simThreshold, multiProbe)
     }
     val h = EngineOps.index(spark, sfDir)

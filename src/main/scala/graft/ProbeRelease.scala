@@ -852,8 +852,9 @@ object ProbeRelease {
     // per-chunk append, so it cannot distinguish a full drain from a
     // mid-sweep crash (ADVICE r13: resuming on it would silently reuse a
     // partially drained pair set and record wrong loser/kept counts).
-    // Still a dev probe's restart lever, not a production protocol (that
-    // one is semDedupCorpusChunked's single-session drain).
+    // The same lever ships in the library as
+    // GraftApi.semDedupCorpusChunked/curateCorpus(resume = true),
+    // spec-pinned in PipelineSpec (r15).
     val drained = new org.apache.hadoop.fs.Path(s"$outDir/_DRAINED")
     val reuse = resume && fs.exists(drained)
     if (reuse) println(s"[probe-release] curatepipe resume: reusing $outDir")

@@ -261,4 +261,49 @@ class PipelineSpec extends SparkSpec {
       assert(a >= offset || b >= offset, s"corpus-only pair ($a,$b) leaked in")
     }
   }
+
+  /** VERDICT r14 next-round #6: the probe's `_DRAINED`-gated restart
+    * lever, promoted into the library. Pins (a) a completed drain resumes
+    * WITHOUT re-sweeping — the pair parquet under outDir is untouched
+    * byte-for-byte and the manifest is identical; (b) a MID-sweep crash
+    * (sentinel absent, pair set partial) is NOT resumable-as-is — the
+    * sweep re-runs from scratch and heals to the same manifest (chunk 0's
+    * overwrite wipes the partial remains); (c) resume without outDir is
+    * refused (only the chunked drain persists a resumable pair set). */
+  test("curateCorpus(multiProbe) resume reuses a completed drain; a mid-sweep crash re-sweeps") {
+    val api = new GraftApi(spark, sf)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_resume_pairs").toString + "/pairs"
+    def manifest(resume: Boolean) = api
+      .curateCorpus(outDir = Some(out), nChunks = 3, multiProbe = true,
+        resume = resume)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val full = manifest(resume = false)
+    assert(full.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drained = new org.apache.hadoop.fs.Path(s"$out/_DRAINED")
+    assert(fs.exists(drained), "a completed drain must leave the sentinel")
+    def snapshot() = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    val before = snapshot()
+    // (a) resume on a completed drain: identical manifest, outDir untouched
+    assert(manifest(resume = true) === full)
+    assert(snapshot() === before,
+      "resume on a completed drain must not rewrite the pair set")
+    // (b) mid-sweep crash: sentinel gone, pair set partial → must re-sweep
+    fs.delete(drained, false)
+    val somePart = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath).find(_.getName.startsWith("part-")).get
+    fs.delete(somePart, false)
+    assert(manifest(resume = true) === full,
+      "a mid-sweep crash window must heal to the same manifest")
+    assert(fs.exists(drained), "the healed drain must re-commit the sentinel")
+    // (c) resume is chunked-route-only
+    val ex = intercept[IllegalArgumentException](
+      api.curateCorpus(multiProbe = true, resume = true))
+    assert(ex.getMessage.contains("outDir"), ex.getMessage)
+  }
 }
