@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   *     inert), audit per planted class; `rerun` also prices the naive
   *     alternative (re-running the batch chain over corpus ∪ batch);
   *   - simhash   — q64's hamming chain at magnitude: [nDocs] [clique:K]
-  *     [naive] [keep] (`naive` = raw [[graft.ops.TextOps.simhashPairsOf]]
-  *     listing; default = the [[graft.ops.TextOps.simhashEdgesOf]]
-  *     exact-content collapse) + components + clique audit;
+  *     [naive] [bits:W] [keep] (`naive` = raw
+  *     [[graft.ops.TextOps.simhashPairsOf]] listing; default = the
+  *     [[graft.ops.TextOps.simhashEdgesOf]] exact-content collapse;
+  *     `bits:` sets the signature-width conf — 32-bit/h≤3 percolates at
+  *     corpus magnitude, 60 is the wide point) + components + clique
+  *     audit;
   *   - lshcurve  — the banding OPERATING-POINT table (VERDICT r14
   *     missing #2): [nPairs] [corpus:N] — planted pairs spanning
   *     jaccard ∈ (0.2, 1.0) measure per-pair candidate recall per
@@ -264,12 +267,21 @@ object ProbeTextDedup {
     }
     dropCaches(spark)
 
-    // ---- the batch ----
+    // ---- the batch: staged as parquet like the corpus (a localCheckpoint
+    // would die under the inter-stage dropCaches — truncated lineage,
+    // blocks gone — exactly how the first r15 run crashed in audit) ----
     val batchDf = stage("batchgen") {
-      val n = nDocs
-      val b = spark.range(nDocs, nDocs + batchN, 1L, 32)
-        .map(id => (id, batchTextFor(id, n)))
-        .toDF("doc_id", "text").localCheckpoint()
+      val staged = s"$root/batch_$batchN"
+      val marker = new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS")
+      if (fs.exists(marker)) println(s"[probe-text] batch reused: $staged")
+      else {
+        val n = nDocs
+        spark.range(nDocs, nDocs + batchN, 1L, 32)
+          .map(id => (id, batchTextFor(id, n)))
+          .toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(staged)
+      }
+      val b = spark.read.parquet(staged)
       println(s"[probe-text]   batch=${b.count()}")
       b
     }
@@ -346,12 +358,19 @@ object ProbeTextDedup {
       .map(_.stripPrefix("clique:").toInt).getOrElse(5000)
     val naive = args.contains("naive")
     val keep = args.contains("keep")
+    // `bits:W` → the signature-width conf (r15: 32-bit/h≤3 percolates at
+    // corpus magnitude — the width sweep is this probe's reason to exist)
+    val bits = args.find(_.startsWith("bits:"))
+      .map(_.stripPrefix("bits:").toInt)
     val spark = session()
+    bits.foreach(b =>
+      spark.conf.set(graft.ops.TextOps.SimhashBitsConf, b.toString))
     val route = if (naive) "naive" else "collapsed"
-    println(s"[probe-text] simhash nDocs=$nDocs clique=$clique route=$route")
+    println(s"[probe-text] simhash nDocs=$nDocs clique=$clique route=$route" +
+      s" bits=${graft.ops.TextOps.simhashBits(spark)}")
     val t0 = System.nanoTime()
     val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
-    val edgesDir = s"$root/simedges_$route"
+    val edgesDir = s"$root/simedges_${route}_b${graft.ops.TextOps.simhashBits(spark)}"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))

@@ -117,11 +117,40 @@ object TextOps {
   private val PhoneRe = "555-[0-9]{4}"
   private val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
-  // q64 simhash banding: 4 disjoint 8-bit bands over the 32-bit signature;
-  // pairs verified at hamming ≤ 3 (pigeonhole-exact candidate recall)
+  // q64 simhash banding: 4 disjoint bands over the signature; pairs
+  // verified at hamming ≤ 3 (pigeonhole-exact candidate recall: ≤ 3
+  // differing bits touch ≤ 3 of the 4 bands). The DEFAULT width is
+  // 32 bits (8-bit bands) — the operating point every gate and oracle
+  // CTE is pinned at.
   private val SimBands = 4
-  private val SimBandBits = 8
+  private val SimBandBits = 8 // oracle-side: DefaultSimhashBits / SimBands
   private val SimMaxHamming = 3
+  private val DefaultSimhashBits = 32
+
+  /** SimHash signature WIDTH as a session conf (r15, found by the
+    * magnitude probe): at hamming ≤ 3 a W-bit simhash pairs a RANDOM doc
+    * pair with probability ≈ (1 + W + C(W,2) + C(W,3)) / 2^W — at the
+    * default 32 bits that is ~1.28e-6, which over C(1M, 2) pairs yields
+    * ~640k accidental edges and PERCOLATES the component graph (measured
+    * r15: the 5000-clique's component root landed mid-corpus and 751k of
+    * 1M docs were labeled). 32-bit/h≤3 is a sub-1M-corpus operating
+    * point; at corpus magnitude set 60 (4 × 15-bit bands, the
+    * [[graft.functions.Expressions]] simhash width cap): the birthday
+    * term drops to ~3.1e-14 — ≈ 0 accidental pairs even at 8e12
+    * candidate pairs. Gates stay at the 32-bit default (the oracle CTEs
+    * replay that width); width must be a multiple of 4 so the bands
+    * stay disjoint and pigeonhole-exact. */
+  private[graft] val SimhashBitsConf = "spark.graft.text.simhash.bits"
+
+  private[graft] def simhashBits(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val b = spark.conf
+      .get(SimhashBitsConf, DefaultSimhashBits.toString).toInt
+    require(b % SimBands == 0 && b >= 8 && b <= 60,
+      s"$SimhashBitsConf must be a multiple of $SimBands in [8, 60] " +
+        s"(graft_simhash width cap), got $b")
+    b
+  }
 
   /** DuckDB SimHash: majority vote per bit over md5-hashed tokens — the
     * oracle twin of [[graft.functions.TextFunctions.simhash]], shared by
@@ -350,12 +379,14 @@ object TextOps {
     * inside the bucket join's output — no rejoin shuffles. */
   private[graft] def simhashPairsOf(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val sig = d.select(col("doc_id"), simhash(tokens(col("text")), 32).as("sh"))
+    val bits = simhashBits(d.sparkSession)
+    val bandBits = bits / SimBands
+    val sig = d.select(col("doc_id"), simhash(tokens(col("text")), bits).as("sh"))
       .localCheckpoint()
     val bandCol = explode(array((0 until SimBands).map { b =>
       struct(lit(b.toLong).as("band"),
-        shiftright(col("sh"), b * SimBandBits)
-          .bitwiseAND(lit((1L << SimBandBits) - 1)).as("bsig"))
+        shiftright(col("sh"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bsig"))
     }: _*))
     val bands = sig.select(col("doc_id"), col("sh"), bandCol.as("bb"))
       .select(col("doc_id"), col("sh"),
@@ -706,24 +737,28 @@ object TextOps {
            |ORDER BY id_a, id_b""".stripMargin),
       bench = true),
 
-    // SimHash (32-bit, md5 per token, majority vote per bit)
+    // SimHash (md5 per token, majority vote per bit; width is the
+    // SimhashBitsConf session conf — default 32, the oracle's width)
     QueryDef(
       "q26_simhash",
       (s, d) =>
         docs(s, d)
-          .select(col("doc_id"), simhash(tokens(col("text")), 32).as("simhash"))
+          .select(col("doc_id"),
+            simhash(tokens(col("text")), simhashBits(s)).as("simhash"))
           .orderBy("doc_id"),
       Some(s"""WITH $simhashCtes
               |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin)),
 
     // SimHash NEAR-DUP PAIRING — the consumer of q26's signatures (VERDICT
-    // r4 "What's missing #3"): chunk the 32-bit simhash into 4 disjoint
-    // 8-bit bands, bucket-join candidates on (band, band-bits), verify
+    // r4 "What's missing #3"): chunk the simhash into 4 disjoint bands,
+    // bucket-join candidates on (band, band-bits), verify
     // hammingDistance ≤ 3. Pigeonhole guarantee: ≤ 3 differing bits touch
     // ≤ 3 bands, so every pair inside the verified radius collides on at
     // least one band — candidate recall is exact, and the bucket equi-join
     // keeps the pair space far below O(n²) at any corpus size (the q25/q33
     // banding pattern over hamming space instead of Jaccard/cosine).
+    // Width rides SimhashBitsConf (default 32 = the oracle's width; 60 is
+    // the corpus-magnitude point — see the conf's Scaladoc and PROBES r15).
     QueryDef(
       "q64_simhash_hamming_pairs",
       (s, d) => simhashPairsOf(docs(s, d)).orderBy("id_a", "id_b"),

@@ -223,6 +223,39 @@ class TextScreenSpec extends SparkSpec {
     assert(raw.nonEmpty, "planted exact groups must pair at hamming 0")
   }
 
+  test("simhash width conf: default pinned at 32; 60-bit chain exact on planted groups") {
+    // r15 magnitude finding: 32-bit/h≤3 percolates past ~1M docs (the
+    // birthday term alone pairs ~640k random 1M-doc pairs — PROBES r15);
+    // the width conf is the in-operator answer. Gates stay at the 32-bit
+    // default; this row pins (a) the default, (b) conf validation, (c) the
+    // full chain at 60 bits: planted exact groups still pair at hamming 0
+    // and the collapse stays component-equal to the raw listing.
+    assert(TextOps.simhashBits(spark) === 32)
+    for (bad <- Seq("33", "4", "64")) {
+      spark.conf.set(TextOps.SimhashBitsConf, bad)
+      try intercept[IllegalArgumentException](TextOps.simhashBits(spark))
+      finally spark.conf.unset(TextOps.SimhashBitsConf)
+    }
+    val all = corpusOf(300).localCheckpoint()
+    def comps(edges: DataFrame): Set[(Long, Long)] =
+      TextOps.minLabelComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at32 = comps(TextOps.simhashEdgesOf(all))
+    spark.conf.set(TextOps.SimhashBitsConf, "60")
+    try {
+      val raw60 = comps(TextOps.simhashPairsOf(all).select("id_a", "id_b"))
+      val collapsed60 = comps(TextOps.simhashEdgesOf(all))
+      assert(collapsed60 === raw60)
+      assert(raw60.nonEmpty, "planted exact groups must pair at hamming 0 " +
+        "at any width")
+      // widening can only DROP accidental pairs, never a hamming-0 group:
+      // every 60-bit component edge set is built from a stricter signature,
+      // so the exact groups (the planted structure) stay merged
+      val exactGroups = at32.groupBy(_._2).filter(_._2.size > 1)
+      assert(exactGroups.nonEmpty)
+    } finally spark.conf.unset(TextOps.SimhashBitsConf)
+  }
+
   test("legacy CC broadcast row-cap conf still honored when the byte conf is unset") {
     assert(TextOps.ccBroadcastRowCap(spark) ===
       TextOps.DefaultCcBroadcastMaxBytes / TextOps.CcBroadcastBytesPerRow)
