@@ -48,6 +48,9 @@ object TextSigStore {
   private def sigsDir(dir: String) = s"$dir/sigs"
   private def basePath(dir: String) = s"${sigsDir(dir)}/_base"
   private def baseNextPath(dir: String) = s"${sigsDir(dir)}/_base_next"
+  private def textsDir(dir: String) = s"$dir/texts"
+  private[graft] def textsUpdateDir(dir: String, updateId: String) =
+    s"${textsDir(dir)}/$updateId"
   private def tipPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/tip")
   private def metaPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/meta")
 
@@ -62,15 +65,47 @@ object TextSigStore {
     * the screen stays correct either way, but an un-deduped corpus makes
     * every batch doc near a boilerplate clique collide with the whole
     * clique. */
-  def build(spark: SparkSession, dir: String, corpus: DataFrame): Unit = {
+  def build(spark: SparkSession, dir: String, corpus: DataFrame,
+      storeTexts: Boolean = false): Unit = {
     val p = TextOps.lshParams(spark)
     val fs = fsOf(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     TextOps.minhashSigsOf(corpus, p)
       .write.mode(SaveMode.Overwrite).parquet(basePath(dir))
+    // `storeTexts`: the store also owns the CONTENT side (the text twin
+    // of [[IngestOps.vectorStore]] — the reference keeps this in HBase):
+    // verification of future batches needs candidate TEXT, so a
+    // self-contained store (the streaming twin's mode) seeds the corpus
+    // text as `texts/_base` and survivors append under their update id.
+    if (storeTexts) corpus.select(col("doc_id"), col("text"))
+      .write.mode(SaveMode.Overwrite).parquet(s"${textsDir(dir)}/_base")
     val out = fs.create(metaPath(dir), true)
     try out.write(s"${p.numHashes}\n${p.bands}\n".getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Write one update's SURVIVOR texts under its id — idempotent
+    * overwrite, always BEFORE [[appendSigs]] commits the tip (the
+    * vectors-then-codes order of the embedding side): a crash between
+    * them leaves orphaned text rows invisible to [[textStore]] (uid >
+    * tip), and the replay's overwrite rewrites identical bytes. */
+  def writeTexts(spark: SparkSession, dir: String, texts: DataFrame,
+      updateId: String): Unit =
+    texts.select(col("doc_id"), col("text"))
+      .write.mode(SaveMode.Overwrite).parquet(textsUpdateDir(dir, updateId))
+
+  /** Every stored `(doc_id, text)` row the screen may verify against:
+    * the seeded base plus COMMITTED per-update survivor texts — the
+    * content store a self-contained ([[build]] `storeTexts = true`)
+    * store maintains. Same multi-root no-shuffle scan and same
+    * visibility rule as [[sigs]]. */
+  def textStore(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val roots = committedDirs(spark, dir, textsDir(dir)).map(_.toString) ++
+      baseToRead(fs, textsDir(dir))
+    require(roots.nonEmpty,
+      s"no text content store at $dir — build(storeTexts = true) first")
+    spark.read.parquet(roots: _*)
   }
 
   /** Fail fast when the session's LSH confs disagree with the operating
@@ -101,14 +136,14 @@ object TextSigStore {
   def sigs(spark: SparkSession, dir: String): DataFrame = {
     val fs = fsOf(spark, dir)
     val roots = committedDeltaDirs(spark, dir).map(_.toString) ++
-      baseToRead(fs, dir)
+      baseToRead(fs, sigsDir(dir))
     require(roots.nonEmpty, s"no text sig store at $dir — run build first")
     spark.read.parquet(roots: _*)
   }
 
-  private def deltaDirs(spark: SparkSession, dir: String)
+  private def updateDirs(spark: SparkSession, root: String)
       : Seq[org.apache.hadoop.fs.Path] = {
-    val p = new org.apache.hadoop.fs.Path(sigsDir(dir))
+    val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toIndexedSeq
@@ -116,24 +151,29 @@ object TextSigStore {
       .map(_.getPath)
   }
 
-  /** Delta dirs whose update id committed (≤ tip) — directory names ARE
-    * update ids, so the watermark decides visibility exactly (one tip
-    * read for the whole listing). */
-  private def committedDeltaDirs(spark: SparkSession, dir: String)
+  /** Update dirs under `root` whose id committed (≤ tip) — directory
+    * names ARE update ids, so the watermark decides visibility exactly
+    * (one tip read for the whole listing); shared by the sigs and texts
+    * sides, which commit through the same tip. */
+  private def committedDirs(spark: SparkSession, dir: String, root: String)
       : Seq[org.apache.hadoop.fs.Path] = {
     val tip = readTip(spark, dir)
       .map(graft.engine.LopqIndexStore.normalizeUpdateId)
-    deltaDirs(spark, dir).filter(p => tip.exists(t =>
+    updateDirs(spark, root).filter(p => tip.exists(t =>
       graft.engine.LopqIndexStore.normalizeUpdateId(p.getName) <= t))
   }
 
-  private def nextComplete(fs: org.apache.hadoop.fs.FileSystem, dir: String) =
-    fs.exists(new org.apache.hadoop.fs.Path(s"${baseNextPath(dir)}/_SUCCESS"))
+  private def committedDeltaDirs(spark: SparkSession, dir: String)
+      : Seq[org.apache.hadoop.fs.Path] =
+    committedDirs(spark, dir, sigsDir(dir))
 
-  private def baseToRead(fs: org.apache.hadoop.fs.FileSystem, dir: String)
+  private def nextComplete(fs: org.apache.hadoop.fs.FileSystem, root: String) =
+    fs.exists(new org.apache.hadoop.fs.Path(s"$root/_base_next/_SUCCESS"))
+
+  private def baseToRead(fs: org.apache.hadoop.fs.FileSystem, root: String)
       : Seq[String] = {
-    val base = new org.apache.hadoop.fs.Path(basePath(dir))
-    if (nextComplete(fs, dir)) Seq(baseNextPath(dir))
+    val base = new org.apache.hadoop.fs.Path(s"$root/_base")
+    if (nextComplete(fs, root)) Seq(s"$root/_base_next")
     else if (fs.exists(base)) Seq(base.toString)
     else Seq.empty
   }
@@ -194,29 +234,36 @@ object TextSigStore {
   val DefaultCompactSigsAt = 64
 
   /** Fold every COMMITTED delta (plus the current base) into one
-    * compacted base — crash-safe, single-writer, every window
-    * re-runnable; the exact [[IngestOps.compactVectors]] schedule
+    * compacted base, on BOTH sides the store maintains (signatures
+    * always; survivor texts when the store is self-contained) —
+    * crash-safe, single-writer, every window re-runnable; the exact
+    * [[IngestOps.compactVectors]] schedule per side
     * (finish-or-refold a leftover `_base_next`, write
     * dedup(base ∪ deltas), drop the folded deltas, promote). An
     * UNCOMMITTED orphan delta (crash before its tip advance) is left
     * alone: folding it would poison the base with rows whose update
     * never applied — its own replay overwrites it, or it lingers
-    * harmlessly invisible to [[sigs]]. */
+    * harmlessly invisible to [[sigs]]/[[textStore]]. */
   def compact(spark: SparkSession, dir: String): Unit = {
+    foldSide(spark, dir, sigsDir(dir))
+    foldSide(spark, dir, textsDir(dir))
+  }
+
+  private def foldSide(spark: SparkSession, dir: String, root: String): Unit = {
     val fs = fsOf(spark, dir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(sigsDir(dir)))) return
-    val next = new org.apache.hadoop.fs.Path(baseNextPath(dir))
-    val base = new org.apache.hadoop.fs.Path(basePath(dir))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root))) return
+    val next = new org.apache.hadoop.fs.Path(s"$root/_base_next")
+    val base = new org.apache.hadoop.fs.Path(s"$root/_base")
     def promote(): Unit = {
       if (fs.exists(base)) fs.delete(base, true)
       fs.rename(next, base)
       ()
     }
     if (fs.exists(next)) {
-      if (nextComplete(fs, dir)) promote()
+      if (nextComplete(fs, root)) promote()
       else { fs.delete(next, true); () } // partial fold: refold from base+deltas
     }
-    val deltas = committedDeltaDirs(spark, dir)
+    val deltas = committedDirs(spark, dir, root)
     if (deltas.isEmpty) return
     val srcs = deltas.map(_.toString) ++
       (if (fs.exists(base)) Seq(base.toString) else Seq.empty)
@@ -309,6 +356,14 @@ object TextScreen {
     (pairs, batchSigs)
   }
 
+  /** Fault-injection seam for the crash-window spec (the
+    * [[graft.streaming.ScreenedIngest.CrashAfterWriteVectorsConf]]
+    * discipline): when set, a `storeTexts` cycle dies exactly between
+    * the survivor-text write and the signature append — the one crash
+    * window whose healing the Scaladoc argues. Production never sets it. */
+  private[graft] val CrashAfterWriteTextsConf =
+    "spark.graft.test.crashAfterWriteTexts"
+
   /** One screened text-ingest cycle against a [[TextSigStore]] at `dir`:
     * replay check (O(1) tip read), screen ([[screenPairs]] against the
     * persisted signatures), conservative-prefix drop
@@ -319,10 +374,22 @@ object TextScreen {
     * crash window self-heals on replay ([[TextSigStore.appendSigs]]).
     *
     * `corpus` must carry `(doc_id, text)` for every indexed id — base
-    * corpus plus all prior batches' survivors (the caller owns the
-    * content store; a replayed id is refused before any of it is read). */
+    * corpus plus all prior batches' survivors (a replayed id is refused
+    * before any of it is read). With `storeTexts = false` the caller
+    * owns that content store; with `storeTexts = true` the STORE owns it
+    * ([[TextSigStore.textStore]] — pass it as `corpus`): survivor texts
+    * write under the update id BEFORE the signature append commits the
+    * tip (texts-then-sigs, the embedding side's vectors-then-codes
+    * order), so a crash between them leaves orphaned text rows invisible
+    * to readers and the replay rewrites identical bytes — never a
+    * committed signature whose verification text is missing, which
+    * would silently under-screen every later batch it collides with.
+    * The appended signatures are sliced by the texts read BACK from the
+    * committed update dir, so the two sides can never disagree on a
+    * survivor. */
   def screenAndAppend(spark: SparkSession, dir: String, corpus: DataFrame,
-      batch: DataFrame, updateId: String): TextIngestReport = {
+      batch: DataFrame, updateId: String,
+      storeTexts: Boolean = false): TextIngestReport = {
     if (TextSigStore.isApplied(spark, dir, updateId))
       return TextIngestReport(applied = false, 0L, 0L, 0L)
     val p = TextOps.lshParams(spark)
@@ -331,13 +398,22 @@ object TextScreen {
       screenImpl(corpus, TextSigStore.sigs(spark, dir), batch)
     val pairs = pairs0.localCheckpoint()
     val survivors = VectorQueries.screenSurvivors(batch, "doc_id", pairs)
-      .select("doc_id").localCheckpoint()
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val survIds =
+      if (storeTexts) {
+        TextSigStore.writeTexts(spark, dir, survivors, updateId)
+        if (spark.conf.get(CrashAfterWriteTextsConf, "false").toBoolean)
+          throw new IllegalStateException(
+            "injected crash: after writeTexts, before appendSigs")
+        spark.read.parquet(TextSigStore.textsUpdateDir(dir, updateId))
+          .select("doc_id")
+      } else survivors.select("doc_id")
     // survivors' sigs: slice the already-computed batch signatures (a
     // broadcast-sized semi-join), never a recompute
-    val survSigs = batchSigs.join(survivors, "doc_id")
+    val survSigs = batchSigs.join(survIds, "doc_id")
     val applied = TextSigStore.appendSigs(spark, dir, survSigs, updateId)
     if (applied) TextSigStore.maybeCompact(spark, dir)
-    TextIngestReport(applied, batch.count(), pairs.count(), survivors.count())
+    TextIngestReport(applied, batch.count(), pairs.count(), survIds.count())
   }
 
   // ------------------------------------------------------- catalog defs
@@ -406,6 +482,78 @@ object TextScreen {
               |SELECT doc_id, array_to_string(sig, ',') AS sig_str FROM sig
               |WHERE doc_id % $BatchMod <> 0
               |   OR doc_id NOT IN (SELECT id FROM drops)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // The STREAMING screened text ingest (graft.streaming
+    // .ScreenedTextIngest): q106's cycle as two REAL micro-batches
+    // drained sequentially over one checkpoint — batch 2 (ids ≡ 5 mod 10)
+    // is screened against the seed corpus PLUS batch 1's (ids ≡ 0 mod 10)
+    // SURVIVORS only, whose verification TEXT comes from the side the
+    // store itself maintains — then a fresh-checkpoint replay of both
+    // files that the watermark must refuse before any screen work. The
+    // oracle chains the conservative-prefix rule through both stages:
+    // drops1 over (corpus ∪ b1), then drops2 over (corpus ∪ surv1 ∪ b2) —
+    // a b2 doc colliding with a DROPPED b1 doc must NOT drop (that text
+    // was never indexed).
+    QueryDef(
+      "q108_stream_text_ingest",
+      (s, d) => {
+        val root = s"/root/repo/target/graft-text-store/stream_${new java.io.File(d).getName}"
+        val staged = root + "_src"
+        val ckpt = s"$root/_ckpt"
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        Seq(staged, ckpt, ckpt + "_replay").foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        val (corpus, batch) = split(s, d)
+        TextSigStore.build(s, root, corpus, storeTexts = true)
+        val skinny = batch.select(col("doc_id"), col("text"))
+        def drain(cp: String): Unit = {
+          val src = s.readStream.schema(skinny.schema)
+            .option("maxFilesPerTrigger", 1).parquet(staged)
+          graft.streaming.ScreenedTextIngest.maintain(s, root, src, cp)
+            .awaitTermination()
+        }
+        // stage → drain one file at a time, so micro-batch order is the
+        // order the oracle models (file-source ordering is not a contract)
+        skinny.where(col("doc_id") % 10 === 0).repartition(1)
+          .write.mode(SaveMode.Append).parquet(staged)
+        drain(ckpt)
+        skinny.where(col("doc_id") % 10 === 5).repartition(1)
+          .write.mode(SaveMode.Append).parquet(staged)
+        drain(ckpt)
+        // fresh checkpoint re-reads BOTH files; ids 0/1 ≤ watermark → no-op
+        drain(ckpt + "_replay")
+        require(TextSigStore.isApplied(s, root, f"stream_${1L}%019d") &&
+          !TextSigStore.isApplied(s, root, f"stream_${2L}%019d"),
+          "expected exactly two applied screened text stream updates")
+        TextSigStore.sigs(s, root)
+          .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_str"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${TextOps.lshCtePrefixForOracle},
+              |drops1 AS (
+              |  SELECT id_b AS id FROM pairs
+              |  WHERE id_b % 10 = 0 AND (id_a % 5 <> 0 OR id_a % 10 = 0)
+              |  UNION
+              |  SELECT id_a FROM pairs
+              |  WHERE id_a % 10 = 0 AND id_b % 5 <> 0),
+              |surv1 AS (SELECT doc_id AS id FROM documents
+              |  WHERE doc_id % 10 = 0
+              |    AND doc_id NOT IN (SELECT id FROM drops1)),
+              |drops2 AS (
+              |  SELECT id_b AS id FROM pairs
+              |  WHERE id_b % 10 = 5
+              |    AND (id_a % 5 <> 0 OR id_a % 10 = 5
+              |         OR id_a IN (SELECT id FROM surv1))
+              |  UNION
+              |  SELECT id_a FROM pairs
+              |  WHERE id_a % 10 = 5
+              |    AND (id_b % 5 <> 0 OR id_b IN (SELECT id FROM surv1)))
+              |SELECT doc_id, array_to_string(sig, ',') AS sig_str FROM sig
+              |WHERE doc_id % 5 <> 0
+              |   OR (doc_id % 10 = 0 AND doc_id NOT IN (SELECT id FROM drops1))
+              |   OR (doc_id % 10 = 5 AND doc_id NOT IN (SELECT id FROM drops2))
               |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -223,6 +223,55 @@ class TextScreenSpec extends SparkSpec {
     assert(raw.nonEmpty, "planted exact groups must pair at hamming 0")
   }
 
+  test("self-contained store: texts-then-sigs crash window heals; compaction folds both sides") {
+    // the streaming twin's discipline (ScreenedTextIngest): survivor
+    // TEXTS write before the signature append commits the tip, so the
+    // one crash window leaves orphaned text rows invisible to readers
+    // and the replay rewrites identical bytes — never a committed
+    // signature whose verification text is missing
+    val all = corpusOf(300).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_textstore_cw").toString + "/store"
+    TextSigStore.build(spark, dir, corpus, storeTexts = true)
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(TextSigStore.textStore(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === corpusIds)
+    // crash exactly between writeTexts and appendSigs
+    spark.conf.set(TextScreen.CrashAfterWriteTextsConf, "true")
+    try intercept[IllegalStateException](TextScreen.screenAndAppend(
+      spark, dir, TextSigStore.textStore(spark, dir), batch, "u0001",
+      storeTexts = true))
+    finally spark.conf.unset(TextScreen.CrashAfterWriteTextsConf)
+    // the orphaned text dir is INVISIBLE (uid > tip): readers see the seed
+    assert(TextSigStore.textStore(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === corpusIds)
+    assert(!TextSigStore.isApplied(spark, dir, "u0001"))
+    // replay heals: applied, both sides agree on the survivors
+    val r = TextScreen.screenAndAppend(spark, dir,
+      TextSigStore.textStore(spark, dir), batch, "u0001", storeTexts = true)
+    assert(r.applied && r.appended > 0 && r.appended < r.batchRows)
+    val sigIds = TextSigStore.sigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    val textIds = TextSigStore.textStore(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigIds === textIds)
+    assert((sigIds -- corpusIds).size.toLong === r.appended)
+    // compaction folds BOTH sides into one base with identical content
+    TextSigStore.compact(spark, dir)
+    assert(TextSigStore.sigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === sigIds)
+    assert(TextSigStore.textStore(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === textIds)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (side <- Seq("sigs", "texts")) {
+      val rem = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/$side"))
+        .map(_.getPath.getName).filterNot(_.startsWith("_"))
+      assert(rem.isEmpty, s"$side deltas must fold away, left ${rem.toSeq}")
+    }
+  }
+
   test("simhash width conf: default pinned at 32; 60-bit chain exact on planted groups") {
     // r15 magnitude finding: 32-bit/h≤3 percolates past ~1M docs (the
     // birthday term alone pairs ~640k random 1M-doc pairs — PROBES r15);
