@@ -25,6 +25,11 @@ import org.apache.spark.sql.functions._
   *     ([[graft.ops.TextScreen.screenAndAppend]]), replay it (must be
   *     inert), audit per planted class; `rerun` also prices the naive
   *     alternative (re-running the batch chain over corpus ∪ batch);
+  *     `batches:M` (M > 1) switches to the SELF-CONTAINED store mode the
+  *     streaming twin runs (`storeTexts = true`, the store maintaining
+  *     both sides): M sequential batches screen against the growing
+  *     store with `compactAt` forced low enough to witness the LSM fold
+  *     mid-sequence — the per-batch cost must stay flat;
   *   - simhash   — q64's hamming chain at magnitude: [nDocs] [clique:K]
   *     [naive] [bits:W] [keep] (`naive` = raw
   *     [[graft.ops.TextOps.simhashPairsOf]] listing; default = the
@@ -245,6 +250,10 @@ object ProbeTextDedup {
       .map(_.stripPrefix("clique:").toInt).getOrElse(5000)
     val batchN = args.find(_.startsWith("batch:"))
       .map(_.stripPrefix("batch:").toLong).getOrElse(50000L)
+    val nBatches = args.find(_.startsWith("batches:"))
+      .map(_.stripPrefix("batches:").toInt).getOrElse(1)
+    require(nBatches >= 1, s"batches: must be >= 1, got $nBatches")
+    if (nBatches > 1) { runScreenSeq(nDocs, clique, batchN, nBatches); return }
     val rerun = args.contains("rerun")
     val keep = args.contains("keep")
     val spark = session()
@@ -346,6 +355,76 @@ object ProbeTextDedup {
     println(f"[probe-text] TOTAL ${(System.nanoTime() - t0) / 1e9}%9.2f s  " +
       f"scratch=${graft.core.DiskStats.scratchBytes() / 1e9}%6.2f GB")
     if (!keep) fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+    spark.stop()
+  }
+
+  /** M sequential batches against a SELF-CONTAINED store — the streaming
+    * twin's regime ([[graft.ops.TextScreen.screenAndAppend]] with
+    * `storeTexts = true`, corpus = the store's own
+    * [[graft.ops.TextSigStore.textStore]]): the claim under test is that
+    * per-batch cost stays FLAT as the store absorbs survivors, and the
+    * LSM fold (forced to fire mid-sequence via `compactAt = 4`) is the
+    * only super-batch-sized event, amortized across the batches between
+    * folds. */
+  private def runScreenSeq(nDocs: Long, clique: Int, batchN: Long,
+      m: Int): Unit = {
+    val spark = session()
+    import spark.implicits._
+    println(s"[probe-text] screenseq nDocs=$nDocs clique=$clique " +
+      s"batch=$batchN batches=$m")
+    val t0 = System.nanoTime()
+    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val storeDir = s"$root/sigstore_seq"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))
+    spark.conf.set(graft.ops.TextSigStore.CompactSigsAtConf, "4")
+    stage("buildstore") {
+      graft.ops.TextSigStore.build(spark, storeDir, docsDf, storeTexts = true)
+      println(s"[probe-text]   sigs=${graft.ops.TextSigStore.sigs(spark, storeDir).count()} (self-contained: texts seeded too)")
+    }
+    dropCaches(spark)
+    for (k <- 0 until m) {
+      val staged = s"$root/batchseq_${batchN}_$k"
+      val marker = new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS")
+      if (!fs.exists(marker)) {
+        val n = nDocs
+        spark.range(nDocs + k * batchN, nDocs + (k + 1) * batchN, 1L, 32)
+          .map(id => (id, batchTextFor(id, n)))
+          .toDF("doc_id", "text")
+          .write.mode("overwrite").parquet(staged)
+      }
+      val bDf = spark.read.parquet(staged)
+      stage(f"screen_$k%02d") {
+        val r = graft.ops.TextScreen.screenAndAppend(spark, storeDir,
+          graft.ops.TextSigStore.textStore(spark, storeDir), bDf,
+          f"u$k%019d", storeTexts = true)
+        require(r.applied, s"batch $k must apply, got $r")
+        println(s"[probe-text]   batch $k flagged=${r.flaggedPairs} " +
+          s"appended=${r.appended} of ${r.batchRows}")
+      }
+      dropCaches(spark)
+    }
+    stage("audit") {
+      val sigIds = graft.ops.TextSigStore.sigs(spark, storeDir).select("doc_id")
+      val textIds = graft.ops.TextSigStore.textStore(spark, storeDir)
+        .select("doc_id")
+      val onlySigs = sigIds.exceptAll(textIds).count()
+      val onlyTexts = textIds.exceptAll(sigIds).count()
+      println(s"[probe-text]   store rows=${sigIds.count()} " +
+        s"sig-only=$onlySigs text-only=$onlyTexts (expect 0/0)")
+      require(onlySigs == 0 && onlyTexts == 0,
+        "self-contained store sides must agree")
+      val sides = Seq("sigs", "texts").map { s =>
+        val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$storeDir/$s"))
+          .map(_.getPath.getName).filterNot(_.startsWith("_"))
+        s"$s unfoldedDeltas=${dirs.length}"
+      }
+      println(s"[probe-text]   ${sides.mkString("  ")} (compactAt=4)")
+    }
+    println(f"[probe-text] TOTAL ${(System.nanoTime() - t0) / 1e9}%9.2f s  " +
+      f"scratch=${graft.core.DiskStats.scratchBytes() / 1e9}%6.2f GB")
+    fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
     spark.stop()
   }
 

@@ -412,8 +412,15 @@ object TextScreen {
     // broadcast-sized semi-join), never a recompute
     val survSigs = batchSigs.join(survIds, "doc_id")
     val applied = TextSigStore.appendSigs(spark, dir, survSigs, updateId)
+    // the report MUST materialize before compaction: survIds is a lazy
+    // plan over this update's just-written text delta, and a fold at the
+    // compactAt threshold deletes that directory — counting it afterwards
+    // dies with FILE_NOT_EXIST (found by the r15 multi-batch probe at the
+    // forced fold; the default compactAt never folds at gate scale)
+    val report =
+      TextIngestReport(applied, batch.count(), pairs.count(), survIds.count())
     if (applied) TextSigStore.maybeCompact(spark, dir)
-    TextIngestReport(applied, batch.count(), pairs.count(), survIds.count())
+    report
   }
 
   // ------------------------------------------------------- catalog defs

@@ -247,9 +247,15 @@ class TextScreenSpec extends SparkSpec {
     assert(TextSigStore.textStore(spark, dir)
       .select("doc_id").as[Long].collect().toSet === corpusIds)
     assert(!TextSigStore.isApplied(spark, dir, "u0001"))
-    // replay heals: applied, both sides agree on the survivors
-    val r = TextScreen.screenAndAppend(spark, dir,
-      TextSigStore.textStore(spark, dir), batch, "u0001", storeTexts = true)
+    // replay heals: applied, both sides agree on the survivors — and with
+    // compactAt=1 the fold fires INSIDE this very cycle, right after the
+    // append: the report must already be materialized when the fold
+    // deletes the update's text delta (the r15 multi-batch probe crashed
+    // here with FILE_NOT_EXIST when the count was still a lazy plan)
+    spark.conf.set(TextSigStore.CompactSigsAtConf, "1")
+    val r = try TextScreen.screenAndAppend(spark, dir,
+        TextSigStore.textStore(spark, dir), batch, "u0001", storeTexts = true)
+      finally spark.conf.unset(TextSigStore.CompactSigsAtConf)
     assert(r.applied && r.appended > 0 && r.appended < r.batchRows)
     val sigIds = TextSigStore.sigs(spark, dir)
       .select("doc_id").as[Long].collect().toSet
