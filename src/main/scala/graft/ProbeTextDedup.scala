@@ -257,11 +257,21 @@ object ProbeTextDedup {
     val rerun = args.contains("rerun")
     val keep = args.contains("keep")
     val spark = session()
+    // `lsh:NxB` → the banding operating point (PROBES r15 lshcurve);
+    // the store dir is per-point, since signatures are only comparable
+    // within one operating point (TextSigStore.requireParams)
+    args.find(_.startsWith("lsh:")).map(_.stripPrefix("lsh:")).foreach { s =>
+      val Array(nh, nb) = s.split("x").map(_.trim)
+      spark.conf.set(graft.ops.TextOps.NumHashesConf, nh)
+      spark.conf.set(graft.ops.TextOps.BandsConf, nb)
+    }
+    val lp = graft.ops.TextOps.lshParams(spark)
     import spark.implicits._
-    println(s"[probe-text] screen nDocs=$nDocs clique=$clique batch=$batchN")
+    println(s"[probe-text] screen nDocs=$nDocs clique=$clique batch=$batchN " +
+      s"lsh=${lp.numHashes}x${lp.bands}")
     val t0 = System.nanoTime()
     val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
-    val storeDir = s"$root/sigstore"
+    val storeDir = s"$root/sigstore_${lp.numHashes}x${lp.bands}"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))
