@@ -431,7 +431,11 @@ object TextScreen {
   private val BatchMod = 5
 
   private def split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val all = t(s, d, "documents").repartition(col("doc_id"))
+    // no repartition: every derived value (sigs, bands, pairs, survivor
+    // sets) is a function of text content alone and outputs are ordered,
+    // so the gate split must not pay a corpus shuffle the operator
+    // doesn't need
+    val all = t(s, d, "documents")
     (all.where(col("doc_id") % BatchMod =!= 0),
       all.where(col("doc_id") % BatchMod === 0))
   }
