@@ -307,10 +307,28 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     val e = vectors
     val drained = new org.apache.hadoop.fs.Path(s"$outDir/_DRAINED")
     val fs = drained.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (resume && fs.exists(drained))
+    // The sentinel carries the drain's OPERATING POINT (ADVICE r15): a
+    // bare marker would let resume silently reuse pairs drained at a
+    // different simThreshold/multiProbe — or from a different corpus
+    // pointed at the same outDir — producing a wrong survivor set with
+    // no error (the silent-stale-reuse class the Scaladoc above rejects
+    // _SUCCESS for). Corpus identity = row count (the fingerprint the
+    // facade can check without a content scan); validation mirrors
+    // [[graft.ops.TextSigStore.requireParams]]: fail fast, name the fix.
+    def stamp(rows: Long) = s"$simThreshold\n$multiProbe\n$rows\n"
+    if (resume && fs.exists(drained)) {
+      val in = fs.open(drained)
+      val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      val want = stamp(e.count())
+      require(got == want,
+        s"drained pairs at $outDir were produced at a different operating " +
+          s"point (stored [${got.trim.replace("\n", "/")}] vs requested " +
+          s"[${want.trim.replace("\n", "/")}] = simThreshold/multiProbe/" +
+          "corpusRows) — resuming would silently reuse a wrong pair set; " +
+          "re-drain with resume=false or delete the outDir")
       System.err.println(
         s"[graft] semDedupCorpusChunked: resuming a completed drain at $outDir")
-    else {
+    } else {
       val h = EngineOps.index(spark, sfDir) // one handle for cells AND sizing
       val cells = dedupCells(h, multiProbe, e)
       val n = if (nChunks > 0) nChunks
@@ -322,7 +340,8 @@ final class GraftApi(spark: SparkSession, sfDir: String,
         df.select("id_a", "id_b")
           .write.mode(if (c == 0) "overwrite" else "append").parquet(outDir)
       }
-      fs.create(drained, true).close()
+      val out = fs.create(drained, true)
+      try out.write(stamp(e.count()).getBytes("UTF-8")) finally out.close()
     }
     val edges = spark.read.parquet(outDir)
     val losers = graft.ops.TextOps.minLabelComponents(edges)

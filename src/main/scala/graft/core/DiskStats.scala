@@ -28,6 +28,44 @@ object DiskStats {
         .sum
     }.getOrElse(-1L)
 
+  /** Machine-wide CPU jiffies from `/proc/stat`'s aggregate `cpu` line,
+    * split into (busy, iowait+steal). Busy = user+nice+system+irq+softirq
+    * (+guest fields when present). Returns (-1,-1) where unreadable.
+    *
+    * Why (VERDICT r15 "what's wrong #1"): the r15 record carried 30-40 s
+    * release passes with ZERO read-bytes — CPU/memory contention that the
+    * disk channel cannot see. The foreign-CPU delta (machine busy minus
+    * this JVM's own CPU) makes a co-tenant burst self-identify in the
+    * committed record the same way read-bytes identifies a cold cache. */
+  def machineCpuJiffies(): (Long, Long) =
+    scala.util.Try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
+      // fields: user nice system idle iowait irq softirq steal guest gnice
+      def at(i: Int) = if (f.length > i) f(i) else 0L
+      val busy = at(0) + at(1) + at(2) + at(5) + at(6) + at(8) + at(9)
+      val iowaitSteal = at(4) + at(7)
+      (busy, iowaitSteal)
+    }.getOrElse((-1L, -1L))
+
+  /** This process's own CPU jiffies (utime+stime from `/proc/self/stat`).
+    * Parsed from after the last ')' — the comm field may contain spaces. */
+  def selfCpuJiffies(): Long =
+    scala.util.Try {
+      val line = scala.io.Source.fromFile("/proc/self/stat").mkString
+      val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
+      // rest(0) = state; utime/stime are fields 14/15 of the full line =
+      // rest(11)/rest(12)
+      rest(11).toLong + rest(12).toLong
+    }.getOrElse(-1L)
+
+  /** 1-minute load average, or -1 where unreadable. */
+  def loadAvg1(): Double =
+    scala.util.Try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+")(0).toDouble
+    }.getOrElse(-1.0)
+
   /** Recursive byte size of this session's Spark scratch dirs (blockmgr +
     * spark-* under java.io.tmpdir) — the "scratch stays flat" witness the
     * magnitude probes print per stage. */

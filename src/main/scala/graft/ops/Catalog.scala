@@ -34,6 +34,23 @@ object Tables {
   val requiredConf: Map[String, String] =
     Map("spark.sql.legacy.parquet.nanosAsLong" -> "true")
 
+  /** Override for where catalog queries put their gate-local scratch
+    * artifacts (stores, stream checkpoints, staged sources, sink
+    * fixtures). */
+  val ScratchDirConf = "spark.graft.scratchDir"
+
+  /** Root for gate-local scratch artifacts: `<working dir>/target` by
+    * default (the sbt/driver launch directory), overridable via
+    * [[ScratchDirConf]]. Derived, never hardcoded to a checkout path —
+    * r15 shipped q106/q108 writing under a literal `/root/repo/target`,
+    * which broke gate runs from any other location (ADVICE r15). */
+  private[graft] def scratch(spark: SparkSession, sub: String): String = {
+    val root = spark.conf.get(ScratchDirConf,
+      System.getProperty("user.dir",
+        System.getProperty("java.io.tmpdir", "/tmp")) + "/target")
+    s"$root/$sub"
+  }
+
   /** Normalize an events-shaped frame so `ts` is always a session-zoned
     * TIMESTAMP (µs instants, UTC session): the three on-disk shapes are
     *   - LONG ns-since-epoch (TIMESTAMP(NANOS) under nanosAsLong),

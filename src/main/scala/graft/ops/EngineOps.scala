@@ -40,10 +40,13 @@ object EngineOps {
     * persisted by older code from silently serving a newer session. */
   private val FormatVersion = "3"
 
-  /** Durable index root — env-overridable; `target/` keeps everything
-    * inside the repo tree. */
+  /** Durable index root — env-overridable; `<working dir>/target/` keeps
+    * everything inside the launch tree without hardcoding a checkout
+    * path (ADVICE r15). */
   def indexRoot: String =
-    sys.env.getOrElse("GRAFT_INDEX_ROOT", "/root/repo/target/graft-index")
+    sys.env.getOrElse("GRAFT_INDEX_ROOT",
+      System.getProperty("user.dir",
+        System.getProperty("java.io.tmpdir", "/tmp")) + "/target/graft-index")
 
   def indexDir(sfDir: String): String =
     s"$indexRoot/${new java.io.File(sfDir).getName}"

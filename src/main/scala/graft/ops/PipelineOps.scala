@@ -62,7 +62,8 @@ object PipelineOps {
     * text file each — the on-disk layout `LocalImagePusher` walks
     * (`pusher/local_images_pusher.py:59-70`). Idempotent per (sf, version). */
   private def ensureFiles(d: String): String = {
-    val dir = java.nio.file.Paths.get(s"/root/repo/target/graft-files/${sfName(d)}")
+    val dir = java.nio.file.Paths.get(Tables.scratch(
+      org.apache.spark.sql.SparkSession.active, s"graft-files/${sfName(d)}"))
     val marker = dir.resolve("_WRITTEN")
     if (!java.nio.file.Files.exists(marker)) {
       java.nio.file.Files.createDirectories(dir)
@@ -219,7 +220,7 @@ object PipelineOps {
           .withColumn("version", lit(2L))
         val merged = upsert(upsert(base, u1, Seq("c_custkey"), "version"),
           u2, Seq("c_custkey"), "version")
-        val out = s"/root/repo/target/graft-sink/${sfName(d)}/customer_upsert"
+        val out = Tables.scratch(s, s"graft-sink/${sfName(d)}/customer_upsert")
         merged.write.mode(SaveMode.Overwrite).parquet(out)
         s.read.parquet(out)
           .select(col("c_custkey"), col("c_name"),

@@ -107,7 +107,8 @@ object StreamingOps {
     QueryDef(
       "q50_stream_foreachbatch",
       (s, d) => {
-        val root = s"/root/repo/target/graft-stream/${new java.io.File(d).getName}"
+        val root = Tables.scratch(s,
+          s"graft-stream/${new java.io.File(d).getName}")
         val out = s"$root/fb_out"
         val ckpt = s"$root/fb_ckpt"
         deleteDir(s, out); deleteDir(s, ckpt)
@@ -146,7 +147,8 @@ object StreamingOps {
         import s.implicits._
         val shards = 8
         val batchSize = 256
-        val root = s"/root/repo/target/graft-stream/${new java.io.File(d).getName}/sizebatch_src"
+        val root = Tables.scratch(s,
+          s"graft-stream/${new java.io.File(d).getName}/sizebatch_src")
         deleteDir(s, root)
         val ev = t(s, d, "events") // Tables already converts ts → timestamp
           .select((col("user_id") % shards).as("shard"),
@@ -250,7 +252,8 @@ object StreamingOps {
       "q68_kafka_wire_roundtrip",
       (s, d) => {
         import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
-        val root = s"/root/repo/target/graft-stream/${new java.io.File(d).getName}/wire"
+        val root = Tables.scratch(s,
+          s"graft-stream/${new java.io.File(d).getName}/wire")
         deleteDir(s, root)
         val topic = s"$root/topic"
         val schema = StructType(Seq(

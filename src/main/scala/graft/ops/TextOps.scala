@@ -152,6 +152,24 @@ object TextOps {
     b
   }
 
+  /** The simhash GATES (q26/q64/q107) are pinned at the 32-bit default:
+    * their oracle CTEs are built eagerly at object init (before any
+    * session exists), so they replay [[DefaultSimhashBits]]/
+    * [[SimBandBits]] and cannot follow the session conf. Running Verify
+    * with [[SimhashBitsConf]] set would fail all three hash gates for a
+    * reason the mismatch report can't name (ADVICE r15) — so the gate
+    * lambdas refuse up front with the explanation instead. Production
+    * callers ([[simhashPairsOf]]/[[simhashEdgesOf]] outside the catalog)
+    * are unaffected: the conf is theirs. */
+  private def requireOracleSimhashWidth(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    require(simhashBits(s) == DefaultSimhashBits,
+      s"the q26/q64/q107 oracles replay the $DefaultSimhashBits-bit " +
+        s"default width; $SimhashBitsConf=${simhashBits(s)} would " +
+        "hash-mismatch them for an operating-point reason, not a bug — " +
+        "unset the conf for gate runs (the width conf is for production " +
+        "chains, PROBES.md r15)")
+
   /** DuckDB SimHash: majority vote per bit over md5-hashed tokens — the
     * oracle twin of [[graft.functions.TextFunctions.simhash]], shared by
     * q26 (signatures) and q64 (hamming pairing). */
@@ -349,13 +367,30 @@ object TextOps {
   private def collapsedEdgesOf(d: org.apache.spark.sql.DataFrame)(
       pairsOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // group key = (md5, byte length): a bare-md5 collision between
-    // UNRELATED texts would contract them into one component and emit
-    // star edges whose always-verifies verdict was never checked (ADVICE
-    // r14); requiring equal length too means a silent contraction needs
-    // an equal-length md5 collision — strictly harder than md5's already
-    // negligible 2^-64 birthday regime at any real corpus size, and the
-    // extra key column costs one codegen'd length() per row
+    val (reps, stars) = exactRepsOf(d)
+    pairsOf(reps).select("id_a", "id_b").unionAll(stars)
+  }
+
+  /** The exact-content contraction itself, shared by [[collapsedEdgesOf]]
+    * and the incremental screen's batch side
+    * ([[TextScreen.screenPairs]], r15 "what's wrong #2"): byte-identical
+    * docs contract onto their min-id representative via one
+    * map-side-combinable aggregation. Returns the representatives
+    * (`(doc_id, text)`, localCheckpoint-pinned — every caller scans them
+    * at least twice: the star join here plus a banding chain) and the
+    * contracted cliques' star edges (`id_a` = representative < `id_b` =
+    * member — TRUE id order, so the conservative-prefix drop rule reads
+    * them like any verified pair).
+    *
+    * Group key = (md5, byte length): a bare-md5 collision between
+    * UNRELATED texts would contract them into one component and emit
+    * star edges whose always-verifies verdict was never checked (ADVICE
+    * r14); requiring equal length too means a silent contraction needs
+    * an equal-length md5 collision — strictly harder than md5's already
+    * negligible 2^-64 birthday regime at any real corpus size, and the
+    * extra key column costs one codegen'd length() per row. */
+  private[graft] def exactRepsOf(d: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val keyed = d.select(col("doc_id"), col("text"),
       md5(col("text")).as("_h"), length(col("text")).as("_l"))
     val reps = keyed.groupBy("_h", "_l")
@@ -368,8 +403,7 @@ object TextOps {
         Seq("_h", "_l"))
       .where(col("id_a") =!= col("id_b"))
       .select("id_a", "id_b")
-    pairsOf(reps.select("doc_id", "text"))
-      .select("id_a", "id_b").unionAll(stars)
+    (reps.select("doc_id", "text"), stars)
   }
 
   /** q64's verified SimHash hamming pairs, frame-parametric (the
@@ -741,11 +775,13 @@ object TextOps {
     // SimhashBitsConf session conf — default 32, the oracle's width)
     QueryDef(
       "q26_simhash",
-      (s, d) =>
+      (s, d) => {
+        requireOracleSimhashWidth(s)
         docs(s, d)
           .select(col("doc_id"),
             simhash(tokens(col("text")), simhashBits(s)).as("simhash"))
-          .orderBy("doc_id"),
+          .orderBy("doc_id")
+      },
       Some(s"""WITH $simhashCtes
               |SELECT doc_id, simhash FROM shsig ORDER BY doc_id""".stripMargin)),
 
@@ -761,7 +797,10 @@ object TextOps {
     // the corpus-magnitude point — see the conf's Scaladoc and PROBES r15).
     QueryDef(
       "q64_simhash_hamming_pairs",
-      (s, d) => simhashPairsOf(docs(s, d)).orderBy("id_a", "id_b"),
+      (s, d) => {
+        requireOracleSimhashWidth(s)
+        simhashPairsOf(docs(s, d)).orderBy("id_a", "id_b")
+      },
       Some(s"""WITH $simhashCtes,
               |$simhashPairCtes
               |SELECT id_a, id_b, hamming FROM spairs
@@ -779,6 +818,7 @@ object TextOps {
     QueryDef(
       "q107_simhash_components",
       (s, d) => {
+        requireOracleSimhashWidth(s)
         val edges = simhashEdgesOf(docs(s, d)).localCheckpoint()
         minLabelComponents(edges)
           .select(col("id").as("doc_id"), col("comp").as("component"),
@@ -1490,7 +1530,8 @@ object TextOps {
     QueryDef(
       "q89_stream_curation",
       (s, d) => {
-        val root = s"/root/repo/target/graft-stream/${new java.io.File(d).getName}"
+        val root = Tables.scratch(s,
+          s"graft-stream/${new java.io.File(d).getName}")
         val src = s"$root/cur_src"; val out = s"$root/cur_out"
         val ckpt = s"$root/cur_ckpt"
         Seq(src, out, ckpt).foreach { p =>

@@ -145,6 +145,64 @@ class IngestSpec extends SparkSpec {
     del(dir)
   }
 
+  test("tiered side-store valve: minor folds update dirs into a tier " +
+      "(base untouched); read path equal; major only when due") {
+    val dir = s"$root/tier"
+    del(dir)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def ids(): Seq[Long] = IngestOps
+      .vectorStore(spark, dir, "vec_id", "embedding")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vroot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    def entries() = fs.listStatus(vroot).map(_.getPath.getName).sorted.toSeq
+    def baseFiles() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/vectors/_base"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .toSet
+    // seed a compacted base from three updates
+    (0 until 3).foreach { i =>
+      IngestOps.writeVectors(spark, dir, e.where(col("vec_id") % 5 === i),
+        "vec_id", "embedding", f"stream_$i%019d")
+    }
+    IngestOps.compactVectors(spark, dir)
+    assert(entries() == Seq("_base"))
+    val base0 = baseFiles()
+    spark.conf.set(IngestOps.CompactVectorsAtConf, "1")
+    try {
+      // two valve firings: each minor-folds into the tier, never the base
+      IngestOps.writeVectors(spark, dir, e.where(col("vec_id") % 5 === 3),
+        "vec_id", "embedding", f"stream_${3}%019d")
+      IngestOps.maybeCompactVectors(spark, dir)
+      assert(entries() == Seq("_base", "_tier"),
+        "the valve must minor-fold the update dir into a tier")
+      assert(baseFiles() == base0, "a minor fold must never touch the base")
+      IngestOps.writeVectors(spark, dir, e.where(col("vec_id") % 5 === 4),
+        "vec_id", "embedding", f"stream_${4}%019d")
+      IngestOps.maybeCompactVectors(spark, dir)
+      assert(entries() == Seq("_base", "_tier") && baseFiles() == base0)
+      val want = e.select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(ids().sorted == want,
+        "read path across (base + tier) must see every stored row once")
+      // ratio 0 forces the major leg: an overlapping replay update folds
+      // through the tier into ONE base, dedup healing the overlap
+      spark.conf.set(graft.ops.SideStoreFold.MajorRatioConf, "0.0")
+      IngestOps.writeVectors(spark, dir, e.where(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", f"stream_${5}%019d")
+      IngestOps.maybeCompactVectors(spark, dir)
+      assert(entries() == Seq("_base"),
+        "ratio 0 must major-fold the tier into the base")
+      assert(ids().sorted == want,
+        "the major fold's dedup must heal the overlapping replay rows")
+    } finally {
+      spark.conf.unset(IngestOps.CompactVectorsAtConf)
+      spark.conf.unset(graft.ops.SideStoreFold.MajorRatioConf)
+    }
+    del(dir)
+  }
+
   test("a screened stream screens later batches against the COMPACTED side-store") {
     spark.conf.set(graft.ops.IngestOps.CompactVectorsAtConf, "1")
     try {
@@ -167,8 +225,9 @@ class IngestSpec extends SparkSpec {
         .select("id").collect().map(_.getLong(0)).toSet
       val survivor = after0.min
       // batch 1: one exact copy of a batch-0 survivor — its vector now
-      // lives ONLY in the compacted base (compactAt=1 folded batch 0's
-      // update dir), so the drop proves the screen reads the base
+      // lives ONLY in the compacted store (compactAt=1 minor-folded batch
+      // 0's update dir into the tier), so the drop proves the screen
+      // reads the folded levels, not just update dirs
       drainOne(e.where(col("vec_id") === survivor)
         .select((col("vec_id") + 40000000L).as("vec_id"), col("embedding")))
       val after1 = LopqIndexStore.readCodes(spark, dir)

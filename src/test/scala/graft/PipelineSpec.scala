@@ -305,5 +305,16 @@ class PipelineSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       api.curateCorpus(multiProbe = true, resume = true))
     assert(ex.getMessage.contains("outDir"), ex.getMessage)
+    // (d) ADVICE r15: the sentinel carries the drain's operating point
+    // (simThreshold / multiProbe / corpus rows) — resuming at a different
+    // point must fail fast, never silently reuse the wrong pair set
+    val ex2 = intercept[IllegalArgumentException](
+      api.curateCorpus(simThreshold = 0.777, outDir = Some(out),
+        nChunks = 3, multiProbe = true, resume = true))
+    assert(ex2.getMessage.contains("operating"), ex2.getMessage)
+    val ex3 = intercept[IllegalArgumentException](
+      api.curateCorpus(outDir = Some(out), nChunks = 3, multiProbe = false,
+        resume = true))
+    assert(ex3.getMessage.contains("operating"), ex3.getMessage)
   }
 }

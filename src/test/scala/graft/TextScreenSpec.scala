@@ -46,7 +46,8 @@ class TextScreenSpec extends SparkSpec {
     df.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("screenPairs ≡ the batch chain's pairs restricted to ≥1 batch side") {
+  test("screenPairs ≡ the batch chain's pairs restricted to ≥1 batch side, " +
+      "contracted onto batch exact-dup representatives; survivors raw-equal") {
     val all = corpusOf(400).localCheckpoint()
     val (corpus, batch) = splitOf(all)
     val p = TextOps.lshParams(spark)
@@ -55,7 +56,37 @@ class TextScreenSpec extends SparkSpec {
     val batchIds = batch.select("doc_id").as[Long].collect().toSet
     val full = pairSet(TextOps.lshPairsOf(all))
       .filter(p => batchIds(p._1) || batchIds(p._2))
-    assert(got === full)
+    // r16 listing semantics (r15 "what's wrong #2"): batch byte-identical
+    // docs contract onto their min-id representative — a clique is K−1
+    // star edges, a cross-content pair lists the representative side —
+    // so the expectation is the RAW restricted chain with batch members
+    // mapped to reps (self-pairs dropped) plus the star edges themselves
+    val batchTexts = batch.select("doc_id", "text").as[(Long, String)]
+      .collect()
+    val repOf: Map[Long, Long] = batchTexts.groupBy(_._2)
+      .values.flatMap { g =>
+        val rep = g.map(_._1).min
+        g.map(d => d._1 -> rep)
+      }.toMap
+    val stars = repOf.collect { case (m, r) if m != r => (r, m) }.toSet
+    assert(stars.nonEmpty, "the generator must plant batch exact groups " +
+      "(ids ≡ 15 mod 20 copy id−5) or this pin is vacuous")
+    val contracted = full.flatMap { case (a, b) =>
+      val (a2, b2) = (repOf.getOrElse(a, a), repOf.getOrElse(b, b))
+      if (a2 == b2) None
+      else Some((math.min(a2, b2), math.max(a2, b2)))
+    }
+    assert(got === contracted ++ stars)
+    // the semantic contract is DROP-rule equivalence: survivors from the
+    // collapsed listing equal survivors from the raw restricted chain
+    // (an identical member near-dups exactly what its rep near-dups and
+    // always drops against it)
+    def survivorsFrom(ps: Set[(Long, Long)]): Set[Long] = {
+      val df = ps.toSeq.toDF("id_a", "id_b")
+      graft.ops.VectorQueries.screenSurvivors(batch, "doc_id", df)
+        .select("doc_id").as[Long].collect().toSet
+    }
+    assert(survivorsFrom(got) === survivorsFrom(full))
     assert(got.exists { case (a, b) => !batchIds(a) || !batchIds(b) },
       "planted corpus×batch dups must flag")
     assert(got.exists { case (a, b) => batchIds(a) && batchIds(b) },
@@ -172,6 +203,69 @@ class TextScreenSpec extends SparkSpec {
     // all deltas folded: only the base remains under sigs/
     val roots = new java.io.File(s"$dir/sigs").listFiles().map(_.getName)
     assert(roots.toSet === Set("_base"))
+  }
+
+  test("tiered LSM valve: minor folds deltas into a tier (base bytes untouched); " +
+      "read path equal across tier states; major fires only when due") {
+    val all = corpusOf(300).localCheckpoint()
+    val (corpus, batchAll) = splitOf(all)
+    val batch1 = batchAll.where(col("doc_id") % 10 === 0)
+    val batch2 = batchAll.where(col("doc_id") % 10 === 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_texttier").toString + "/store"
+    TextSigStore.build(spark, dir, corpus)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def entries() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/sigs"))
+      .map(_.getPath.getName).sorted.toSeq
+    def content() = TextSigStore.sigs(spark, dir)
+      .select(col("doc_id"), concat_ws(",", col("sig")).as("s"))
+      .as[(Long, String)].collect().toSet
+    // the base's files (name, len, mtime): a MINOR fold must leave every
+    // one byte-identical — the whole point of the split (r15's fold
+    // rewrote the base each compactAt, O(corpus) maintenance forever)
+    def baseFiles() = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/sigs/_base"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .toSet
+    val base0 = baseFiles()
+    spark.conf.set(TextSigStore.CompactSigsAtConf, "1")
+    try {
+      TextScreen.screenAndAppend(spark, dir, corpus, batch1, "u0001")
+      assert(entries() === Seq("_base", "_tier"),
+        "compactAt=1 must minor-fold the delta into a tier")
+      assert(baseFiles() === base0, "a minor fold must never touch the base")
+      val c1 = content()
+      val corpus2 = all.where(col("doc_id").isin(c1.map(_._1).toSeq: _*))
+      TextScreen.screenAndAppend(spark, dir, corpus2, batch2, "u0002")
+      assert(entries() === Seq("_base", "_tier"),
+        "the second minor fold re-folds the tier, not the base")
+      assert(baseFiles() === base0,
+        "tier ≪ base at the default ratio: still no base rewrite")
+      val c2 = content()
+      assert(c1.subsetOf(c2) && c2.size > c1.size)
+      // read-path equivalence across tier states: the same rows read
+      // from (base + tier) and from the explicitly full-folded base
+      TextSigStore.compact(spark, dir)
+      assert(entries() === Seq("_base"))
+      assert(content() === c2)
+      // force the major path (ratio 0 ⇒ any tier is due): the next
+      // cycle's valve minor-folds its delta then majors tier → base
+      spark.conf.set(graft.ops.SideStoreFold.MajorRatioConf, "0.0")
+      val corpus3 = all.where(col("doc_id").isin(c2.map(_._1).toSeq: _*))
+      val batch3 = Seq((990001L, "zz wholly novel probe text for the major" +
+        " fold trigger row alpha beta gamma delta epsilon zeta eta theta" +
+        " iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi"))
+        .toDF("doc_id", "text")
+      TextScreen.screenAndAppend(spark, dir, corpus3, batch3, "u0003")
+      assert(entries() === Seq("_base"),
+        "ratio 0 must major-fold the tier into the base inside the valve")
+      val c3 = content()
+      assert(c3.map(_._1).contains(990001L) && c2.subsetOf(c3))
+    } finally {
+      spark.conf.unset(TextSigStore.CompactSigsAtConf)
+      spark.conf.unset(graft.ops.SideStoreFold.MajorRatioConf)
+    }
   }
 
   test("LSH operating-point confs: defaults pinned; store refuses a mismatched session") {
@@ -308,6 +402,18 @@ class TextScreenSpec extends SparkSpec {
       // so the exact groups (the planted structure) stay merged
       val exactGroups = at32.groupBy(_._2).filter(_._2.size > 1)
       assert(exactGroups.nonEmpty)
+      // (d) gate lambdas refuse a non-default width UP FRONT (ADVICE
+      // r15): the q26/q64/q107 oracle CTEs replay the 32-bit default, so
+      // a Verify run with the conf set would hash-mismatch for an
+      // operating-point reason — the refusal names it instead (and fires
+      // before any input dir is touched)
+      for (q <- Seq("q26_simhash", "q64_simhash_hamming_pairs",
+          "q107_simhash_components")) {
+        val qd = TextOps.defs.find(_.name == q).get
+        val ex = intercept[IllegalArgumentException](
+          qd.run(spark, "/nonexistent"))
+        assert(ex.getMessage.contains("oracle"), s"$q: ${ex.getMessage}")
+      }
     } finally spark.conf.unset(TextOps.SimhashBitsConf)
   }
 
