@@ -265,23 +265,38 @@ object ProbeTextDedup {
       spark.conf.set(graft.ops.TextOps.NumHashesConf, nh)
       spark.conf.set(graft.ops.TextOps.BandsConf, nb)
     }
+    // `simtier` → the store carries the simhash near-exact side (r16);
+    // `bits:W` sets the width (use 60 at corpus magnitude — PROBES r15)
+    val simTier = args.contains("simtier")
+    args.find(_.startsWith("bits:")).map(_.stripPrefix("bits:")).foreach(b =>
+      spark.conf.set(graft.ops.TextOps.SimhashBitsConf, b))
+    val simBits = graft.ops.TextOps.simhashBits(spark)
+    // `nobroadcast` → force every byte-gated broadcast to the shuffle
+    // fallback (the cluster-regime shape, VERDICT r15 #7)
+    if (args.contains("nobroadcast"))
+      spark.conf.set(graft.ops.TextOps.CcBroadcastMaxBytesConf, "0")
     val lp = graft.ops.TextOps.lshParams(spark)
     import spark.implicits._
     println(s"[probe-text] screen nDocs=$nDocs clique=$clique batch=$batchN " +
-      s"lsh=${lp.numHashes}x${lp.bands}")
+      s"lsh=${lp.numHashes}x${lp.bands}" +
+      (if (simTier) s" simtier=$simBits-bit" else "") +
+      (if (args.contains("nobroadcast")) " nobroadcast" else ""))
     val t0 = System.nanoTime()
     val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
-    val storeDir = s"$root/sigstore_${lp.numHashes}x${lp.bands}"
+    val storeDir = s"$root/sigstore_${lp.numHashes}x${lp.bands}" +
+      (if (simTier) s"_sim$simBits" else "")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))
 
     // ---- the one-time index build (amortized across every nightly batch) ----
     val haveStore = fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/meta")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/sigs/_base/_SUCCESS"))
+      fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/sigs/_base/_SUCCESS")) &&
+      (!simTier ||
+        fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/simsigs/_base/_SUCCESS")))
     if (haveStore) println(s"[probe-text] sig store reused: $storeDir")
     else stage("buildstore") {
-      graft.ops.TextSigStore.build(spark, storeDir, docsDf)
+      graft.ops.TextSigStore.build(spark, storeDir, docsDf, simhashTier = simTier)
       println(s"[probe-text]   sigs=${graft.ops.TextSigStore.sigs(spark, storeDir).count()}")
     }
     dropCaches(spark)

@@ -124,8 +124,8 @@ object TextOps {
   // CTE is pinned at.
   private val SimBands = 4
   private val SimBandBits = 8 // oracle-side: DefaultSimhashBits / SimBands
-  private val SimMaxHamming = 3
-  private val DefaultSimhashBits = 32
+  private[graft] val SimMaxHamming = 3
+  private[graft] val DefaultSimhashBits = 32
 
   /** SimHash signature WIDTH as a session conf (r15, found by the
     * magnitude probe): at hamming ≤ 3 a W-bit simhash pairs a RANDOM doc
@@ -161,7 +161,7 @@ object TextOps {
     * lambdas refuse up front with the explanation instead. Production
     * callers ([[simhashPairsOf]]/[[simhashEdgesOf]] outside the catalog)
     * are unaffected: the conf is theirs. */
-  private def requireOracleSimhashWidth(
+  private[graft] def requireOracleSimhashWidth(
       s: org.apache.spark.sql.SparkSession): Unit =
     require(simhashBits(s) == DefaultSimhashBits,
       s"the q26/q64/q107 oracles replay the $DefaultSimhashBits-bit " +
@@ -173,16 +173,27 @@ object TextOps {
   /** DuckDB SimHash: majority vote per bit over md5-hashed tokens — the
     * oracle twin of [[graft.functions.TextFunctions.simhash]], shared by
     * q26 (signatures) and q64 (hamming pairing). */
-  private def simhashCtes: String = {
+  private def simhashCtes: String = s"$toksCte,\n$simhashCtesNoToks"
+
+  /** [[simhashCtes]] WITHOUT the leading `toks` CTE, for oracles that
+    * already carry it through [[lshCtePrefix]] — the simhash-tier screen
+    * gate (q109) chains both pair generators in one `WITH`. */
+  private def simhashCtesNoToks: String = {
     val bitTerms = (0 until 32).map { b =>
       s"""CASE WHEN list_aggregate(list_transform(h, x ->
          |  CASE WHEN (x >> $b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
          |  THEN ${1L << b} ELSE 0 END""".stripMargin.replace("\n", " ")
     }.mkString(" + ")
-    s"""$toksCte,
-       |hashed AS (SELECT doc_id, list_transform(t, tok -> ${hx("tok")}) AS h FROM toks),
+    s"""hashed AS (SELECT doc_id, list_transform(t, tok -> ${hx("tok")}) AS h FROM toks),
        |shsig AS (SELECT doc_id, ($bitTerms)::BIGINT AS simhash FROM hashed)""".stripMargin
   }
+
+  /** The full simhash pair chain (`shsig` → `spairs`) minus `toks`, to
+    * append after [[lshCtePrefixForOracle]] (which carries `toks`) in a
+    * combined oracle — [[TextScreen]]'s simhash-tier gate. Replays the
+    * pinned 32-bit default width like every simhash oracle CTE. */
+  private[graft] def simhashTierCtesForOracle: String =
+    s"$simhashCtesNoToks,\n$simhashPairCtes"
 
   /** DuckDB side of [[simhashPairsOf]] (follows [[simhashCtes]]): band
     * rows → candidate bucket join → hamming-verified `spairs`. Shared by
@@ -414,17 +425,8 @@ object TextOps {
   private[graft] def simhashPairsOf(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bits = simhashBits(d.sparkSession)
-    val bandBits = bits / SimBands
-    val sig = d.select(col("doc_id"), simhash(tokens(col("text")), bits).as("sh"))
-      .localCheckpoint()
-    val bandCol = explode(array((0 until SimBands).map { b =>
-      struct(lit(b.toLong).as("band"),
-        shiftright(col("sh"), b * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("bsig"))
-    }: _*))
-    val bands = sig.select(col("doc_id"), col("sh"), bandCol.as("bb"))
-      .select(col("doc_id"), col("sh"),
-        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
+    val sig = simhashSigsOf(d, bits).localCheckpoint()
+    val bands = simhashBandRowsOf(sig, bits)
     val ham = graft.functions.TextFunctions
       .hammingDistance(col("a.sh"), col("b.sh"))
     bands.as("a")
@@ -435,6 +437,30 @@ object TextOps {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         ham.as("hamming"))
       .distinct()
+  }
+
+  /** SimHash signatures `(doc_id, sh)` at the given width — the
+    * persisted shape of [[TextScreen]]'s simhash tier (one long per doc)
+    * and the first stage of [[simhashPairsOf]]. */
+  private[graft] def simhashSigsOf(d: org.apache.spark.sql.DataFrame,
+      bits: Int): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), simhash(tokens(col("text")), bits).as("sh"))
+
+  /** Pigeonhole band rows `(doc_id, sh, band, bsig)` over a simhash
+    * signatures frame: [[SimBands]] disjoint `bits/SimBands`-wide pieces,
+    * the signature riding along so a hamming verify runs inside the
+    * bucket join's output with no rejoin. */
+  private[graft] def simhashBandRowsOf(sig: org.apache.spark.sql.DataFrame,
+      bits: Int): org.apache.spark.sql.DataFrame = {
+    val bandBits = bits / SimBands
+    val bandCol = explode(array((0 until SimBands).map { b =>
+      struct(lit(b.toLong).as("band"),
+        shiftright(col("sh"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bsig"))
+    }: _*))
+    sig.select(col("doc_id"), col("sh"), bandCol.as("bb"))
+      .select(col("doc_id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bsig").as("bsig"))
   }
 
   /** Connected components over an undirected pair graph by min-label

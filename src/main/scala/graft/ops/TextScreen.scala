@@ -49,6 +49,7 @@ object TextSigStore {
   private def sigsDir(dir: String) = s"$dir/sigs"
   private def basePath(dir: String) = s"${sigsDir(dir)}/_base"
   private def textsDir(dir: String) = s"$dir/texts"
+  private def simsigsDir(dir: String) = s"$dir/simsigs"
   private[graft] def textsUpdateDir(dir: String, updateId: String) =
     s"${textsDir(dir)}/$updateId"
   private def tipPath(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/tip")
@@ -64,9 +65,19 @@ object TextSigStore {
     * the DEDUPED corpus a production loop maintains (q72's survivors) —
     * the screen stays correct either way, but an un-deduped corpus makes
     * every batch doc near a boilerplate clique collide with the whole
-    * clique. */
+    * clique.
+    *
+    * Operating point: a NEW store is the one cheap moment to pick the
+    * banding — the measured curve (PROBES.md r15 `lshcurve`) shows the
+    * 16×4 default catches ~67 % of pairs at its own j ≥ 0.5 threshold
+    * while 16×8 (`spark.graft.text.lsh.bands = 8`) catches 98.3 % at
+    * identical banding wall and identical signature cost; consider
+    * seeding at 16×8 unless you need the gates' pinned default. The
+    * store fingerprints whatever point it was built at (`meta`) and
+    * [[requireParams]] refuses a mismatched session, so the choice is
+    * made once, here. */
   def build(spark: SparkSession, dir: String, corpus: DataFrame,
-      storeTexts: Boolean = false): Unit = {
+      storeTexts: Boolean = false, simhashTier: Boolean = false): Unit = {
     val p = TextOps.lshParams(spark)
     val fs = fsOf(spark, dir)
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
@@ -79,8 +90,21 @@ object TextSigStore {
     // text as `texts/_base` and survivors append under their update id.
     if (storeTexts) corpus.select(col("doc_id"), col("text"))
       .write.mode(SaveMode.Overwrite).parquet(s"${textsDir(dir)}/_base")
+    // `simhashTier` (r16): a THIRD maintained side, `simsigs/` — one
+    // simhash long per stored doc at the session's width conf
+    // ([[TextOps.SimhashBitsConf]]; set 60 at corpus magnitude — the
+    // 32-bit default percolates past ~1M docs, PROBES.md r15). The
+    // screen settles near-exact candidates (templates, tiny edits) by a
+    // pigeonhole band join + one-long hamming verify BEFORE any shingle
+    // verification touches text ([[TextScreen.screenAndAppend]]).
+    val simBits = TextOps.simhashBits(spark)
+    if (simhashTier)
+      TextOps.simhashSigsOf(corpus, simBits)
+        .write.mode(SaveMode.Overwrite).parquet(s"${simsigsDir(dir)}/_base")
+    val meta = s"${p.numHashes}\n${p.bands}\n" +
+      (if (simhashTier) s"$simBits\n" else "")
     val out = fs.create(metaPath(dir), true)
-    try out.write(s"${p.numHashes}\n${p.bands}\n".getBytes("UTF-8"))
+    try out.write(meta.getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -113,15 +137,56 @@ object TextSigStore {
     * never collide correctly, which would silently screen nothing. */
   private[graft] def requireParams(spark: SparkSession, dir: String,
       p: TextOps.LshParams): Unit = {
-    val in = fsOf(spark, dir).open(metaPath(dir))
-    val lines = try new String(in.readAllBytes(), "UTF-8").split("\n")
-      finally in.close()
+    val lines = metaLines(spark, dir)
     require(lines(0).toInt == p.numHashes && lines(1).toInt == p.bands,
       s"text sig store at $dir was built at numHashes=${lines(0)} " +
         s"bands=${lines(1)}, session confs say ${p.numHashes}/${p.bands} — " +
         s"set ${TextOps.NumHashesConf}/${TextOps.BandsConf} to match or " +
         "rebuild the store")
+    // a simhash-tier store fingerprints its width too: band keys from a
+    // different width never collide correctly (same failure mode as a
+    // banding mismatch — a silent under-screen, so fail fast instead)
+    simhashTierBits(lines).foreach(stored =>
+      require(stored == TextOps.simhashBits(spark),
+        s"text sig store at $dir carries a simhash tier at $stored bits, " +
+          s"session says ${TextOps.simhashBits(spark)} — set " +
+          s"${TextOps.SimhashBitsConf}=$stored or rebuild the store"))
   }
+
+  private def metaLines(spark: SparkSession, dir: String): Array[String] = {
+    val in = fsOf(spark, dir).open(metaPath(dir))
+    try new String(in.readAllBytes(), "UTF-8").split("\n")
+    finally in.close()
+  }
+
+  private def simhashTierBits(lines: Array[String]): Option[Int] =
+    lines.drop(2).headOption.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+
+  /** Whether the store was [[build]]t with the simhash tier (`meta`'s
+    * third line records the width). */
+  def hasSimhashTier(spark: SparkSession, dir: String): Boolean =
+    simhashTierBits(metaLines(spark, dir)).isDefined
+
+  /** Every stored simhash row `(doc_id, sh)` — the tier's skinny index,
+    * same multi-root tip-gated scan as [[sigs]]. */
+  def simsigs(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsOf(spark, dir)
+    val roots = committedDirs(spark, dir, simsigsDir(dir)).map(_.toString) ++
+      baseToRead(fs, simsigsDir(dir))
+    require(roots.nonEmpty,
+      s"no simhash tier at $dir — build(simhashTier = true) first")
+    spark.read.parquet(roots: _*)
+  }
+
+  /** Write one update's SURVIVOR simhashes under its id — idempotent
+    * overwrite, always BEFORE [[appendSigs]] advances the tip (the
+    * texts-then-sigs order extended to a third side): a crash after this
+    * write leaves an orphan delta invisible to [[simsigs]] (uid > tip)
+    * that the replay overwrites with identical bytes. */
+  private[graft] def writeSimsigs(spark: SparkSession, dir: String,
+      simRows: DataFrame, updateId: String): Unit =
+    simRows.select(col("doc_id"), col("sh"))
+      .write.mode(SaveMode.Overwrite).parquet(s"${simsigsDir(dir)}/$updateId")
 
   /** Every stored signature row `(doc_id, sig)`: the compacted base
     * (preferring a committed `_base_next`) plus COMMITTED deltas — a
@@ -245,7 +310,7 @@ object TextSigStore {
       f: (org.apache.hadoop.fs.FileSystem, String,
           Seq[org.apache.hadoop.fs.Path]) => Unit): Unit = {
     val fs = fsOf(spark, dir)
-    for (root <- Seq(sigsDir(dir), textsDir(dir))
+    for (root <- Seq(sigsDir(dir), textsDir(dir), simsigsDir(dir))
          if fs.exists(new org.apache.hadoop.fs.Path(root)))
       f(fs, root, committedDirs(spark, dir, root))
   }
@@ -312,14 +377,59 @@ object TextScreen {
       batch: DataFrame): DataFrame =
     screenImpl(corpus, corpusSigs, batch)._1
 
+  /** The simhash TIER's verified pairs (r16): batch simhashes banded
+    * against the store's `simsigs/` side and against themselves, the
+    * one-long hamming verify running INSIDE the bucket join (the
+    * signature rides the band rows — [[TextOps.simhashBandRowsOf]]).
+    * Near-exact batch docs (templates, tiny edits) are settled here for
+    * the cost of a skinny long scan — no shingle recompute, no text
+    * touched — and the pairs this tier verifies are anti-joined out of
+    * the MinHash candidate set before its (text-touching) jaccard
+    * verification. Same broadcast byte gate and same shape as the
+    * MinHash band join. */
+  private def simTierPairs(corpusSims: DataFrame, batchSims: DataFrame,
+      bits: Int): DataFrame = {
+    val spark = batchSims.sparkSession
+    val batchBands = TextOps.simhashBandRowsOf(batchSims, bits)
+      .localCheckpoint()
+    val corpusBands = TextOps.simhashBandRowsOf(corpusSims, bits)
+    val bSide =
+      if (batchBands.count() <= TextOps.ccBroadcastRowCap(spark))
+        broadcast(batchBands) else batchBands
+    val hamNO = graft.functions.TextFunctions
+      .hammingDistance(col("c.sh"), col("b.sh"))
+    val newOld = corpusBands.as("c")
+      .join(bSide.as("b"),
+        col("c.band") === col("b.band") && col("c.bsig") === col("b.bsig"))
+      .where(hamNO <= TextOps.SimMaxHamming)
+      .select(least(col("c.doc_id"), col("b.doc_id")).as("id_a"),
+        greatest(col("c.doc_id"), col("b.doc_id")).as("id_b"))
+    val hamNN = graft.functions.TextFunctions
+      .hammingDistance(col("a.sh"), col("b.sh"))
+    val newNew = batchBands.as("a")
+      .join(batchBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .where(hamNN <= TextOps.SimMaxHamming)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    newOld.unionAll(newNew).distinct()
+  }
+
   private def screenImpl(corpus: DataFrame, corpusSigs: DataFrame,
-      batch: DataFrame): (DataFrame, DataFrame) = {
+      batch: DataFrame, tier: Option[(DataFrame, Int)] = None)
+      : (DataFrame, DataFrame, Option[(DataFrame, DataFrame)]) = {
     val spark = batch.sparkSession
     val p = TextOps.lshParams(spark)
     val (reps, stars) = TextOps.exactRepsOf(batch)
     val batchSigs = TextOps.minhashSigsOf(reps, p).localCheckpoint()
     val batchBands = TextOps.bandRowsOf(batchSigs, p).localCheckpoint()
     val corpusBands = TextOps.bandRowsOf(corpusSigs, p)
+    // simhash tier first: its pairs are verified WITHOUT touching text,
+    // and they prune the jaccard verification below
+    val sims = tier.map { case (corpusSims, bits) =>
+      val batchSims = TextOps.simhashSigsOf(reps, bits).localCheckpoint()
+      (simTierPairs(corpusSims, batchSims, bits).localCheckpoint(), batchSims)
+    }
     // bounded-batch contract: band rows are |batch|·bands skinny rows
     // with a driver-known count, so the broadcast decision is exact
     // (same byte gate as the CC node map — ~(long, long-ish-string) rows)
@@ -336,7 +446,20 @@ object TextScreen {
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    val cand = newOld.unionAll(newNew).distinct().localCheckpoint()
+    val cand0 = newOld.unionAll(newNew).distinct()
+    // a pair the tier already condemned needs no jaccard re-verification:
+    // for the conservative-prefix drop rule only pair EXISTENCE matters,
+    // and the tier's hamming verdict is final — anti-joining it out here
+    // is what makes near-exact batches cheap (the tier pair set is
+    // O(batch·collisions), broadcast under the same byte gate)
+    val cand = (sims match {
+      case Some((tierPairs, _)) =>
+        val tSide =
+          if (tierPairs.count() <= TextOps.ccBroadcastRowCap(spark))
+            broadcast(tierPairs) else tierPairs
+        cand0.join(tSide, Seq("id_a", "id_b"), "left_anti")
+      case None => cand0
+    }).localCheckpoint()
     val candIds = cand.select(col("id_a").as("doc_id"))
       .unionAll(cand.select(col("id_b").as("doc_id")))
       .distinct().localCheckpoint()
@@ -356,7 +479,7 @@ object TextScreen {
     // verdict; id order is already representative < member
     val pairs = verified.unionAll(
       stars.select(col("id_a"), col("id_b"), lit(1.0).as("jaccard")))
-    (pairs, batchSigs)
+    (pairs, batchSigs, sims)
   }
 
   /** Fault-injection seam for the crash-window spec (the
@@ -397,9 +520,23 @@ object TextScreen {
       return TextIngestReport(applied = false, 0L, 0L, 0L)
     val p = TextOps.lshParams(spark)
     TextSigStore.requireParams(spark, dir, p)
-    val (pairs0, batchSigs) =
-      screenImpl(corpus, TextSigStore.sigs(spark, dir), batch)
-    val pairs = pairs0.localCheckpoint()
+    // the tier is STORE-driven: a store built with `simhashTier = true`
+    // carries a `simsigs/` side and every screen against it runs the
+    // near-exact tier first (width validated by requireParams above)
+    val tier =
+      if (TextSigStore.hasSimhashTier(spark, dir))
+        Some((TextSigStore.simsigs(spark, dir), TextOps.simhashBits(spark)))
+      else None
+    val (minhashPairs, batchSigs, sims) =
+      screenImpl(corpus, TextSigStore.sigs(spark, dir), batch, tier)
+    // the drop rule needs pair EXISTENCE only: tier-verified pairs join
+    // the jaccard-verified ones (they were anti-joined out of the
+    // verification, never out of the verdict)
+    val pairs = (sims match {
+      case Some((tierPairs, _)) => minhashPairs.select("id_a", "id_b")
+        .unionAll(tierPairs).distinct()
+      case None => minhashPairs.select("id_a", "id_b")
+    }).localCheckpoint()
     // checkpoint the text column only when the STORE owns the content
     // side — the caller-owned-content path uses nothing but survivor ids,
     // and pinning fat text rows in the block manager for it is pure waste
@@ -418,7 +555,15 @@ object TextScreen {
           .select("doc_id")
       } else survivors.select("doc_id")
     // survivors' sigs: slice the already-computed batch signatures (a
-    // broadcast-sized semi-join), never a recompute
+    // broadcast-sized semi-join), never a recompute. The tier's side
+    // appends the same way (survivors ⊆ representatives — every exact
+    // member drops via its star edge, so the rep-level sims cover them),
+    // BEFORE appendSigs advances the tip: a crash here leaves an orphan
+    // simsigs delta invisible to readers, healed by the replay.
+    sims.foreach { case (_, batchSims) =>
+      TextSigStore.writeSimsigs(spark, dir,
+        batchSims.join(survIds, "doc_id"), updateId)
+    }
     val survSigs = batchSigs.join(survIds, "doc_id")
     val applied = TextSigStore.appendSigs(spark, dir, survSigs, updateId)
     // the report MUST materialize before compaction: survIds is a lazy
@@ -580,6 +725,53 @@ object TextScreen {
               |WHERE doc_id % 5 <> 0
               |   OR (doc_id % 10 = 0 AND doc_id NOT IN (SELECT id FROM drops1))
               |   OR (doc_id % 10 = 5 AND doc_id NOT IN (SELECT id FROM drops2))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // The SIMHASH-TIER screened store (r16): q106's loop over a store
+    // built with the near-exact tier on — batch docs are settled against
+    // the store's `simsigs/` side by a pigeonhole band join + one-long
+    // hamming verify BEFORE any shingle verification touches text, and
+    // the drop rule unions BOTH pair generators (a batch doc drops when
+    // it jaccard-matches OR hamming-matches an indexed/smaller-id doc).
+    // Oracle: minhash `pairs` ∪ simhash `spairs` through the same
+    // conservative-prefix rule — the two CTE chains share one `toks`.
+    // Pinned at the 32-bit default width like every simhash oracle
+    // (refused up front otherwise, the q26/q64/q107 discipline); the
+    // magnitude operating point (60 bits) is the probe's.
+    QueryDef(
+      "q109_text_screen_simtier",
+      (s, d) => {
+        TextOps.requireOracleSimhashWidth(s)
+        val root = Tables.scratch(s,
+          s"graft-text-store/simtier_${new java.io.File(d).getName}")
+        val (corpus, batch) = split(s, d)
+        TextSigStore.build(s, root, corpus, simhashTier = true)
+        val r1 = screenAndAppend(s, root, corpus, batch, "u0001")
+        val r2 = screenAndAppend(s, root, corpus, batch, "u0001")
+        require(r1.applied && !r2.applied,
+          s"simtier screened ingest replay must be inert: first=$r1 replay=$r2")
+        // the two maintained index sides must agree row-for-row
+        val sigIds = TextSigStore.sigs(s, root).select("doc_id")
+        val simIds = TextSigStore.simsigs(s, root).select("doc_id")
+        require(sigIds.exceptAll(simIds).isEmpty &&
+          simIds.exceptAll(sigIds).isEmpty,
+          "sigs and simsigs sides must hold the same doc ids")
+        TextSigStore.sigs(s, root)
+          .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_str"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${TextOps.lshCtePrefixForOracle},
+              |${TextOps.simhashTierCtesForOracle},
+              |allp AS (SELECT id_a, id_b FROM pairs
+              |         UNION SELECT id_a, id_b FROM spairs),
+              |drops AS (
+              |  SELECT id_b AS id FROM allp WHERE id_b % $BatchMod = 0
+              |  UNION
+              |  SELECT id_a FROM allp
+              |  WHERE id_a % $BatchMod = 0 AND id_b % $BatchMod <> 0)
+              |SELECT doc_id, array_to_string(sig, ',') AS sig_str FROM sig
+              |WHERE doc_id % $BatchMod <> 0
+              |   OR doc_id NOT IN (SELECT id FROM drops)
               |ORDER BY doc_id""".stripMargin))
   )
 }

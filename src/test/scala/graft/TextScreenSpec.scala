@@ -417,6 +417,99 @@ class TextScreenSpec extends SparkSpec {
     } finally spark.conf.unset(TextOps.SimhashBitsConf)
   }
 
+  test("screenPairs past the broadcast byte gate: the shuffle-join fallback " +
+      "is pair-identical (the cluster regime, forced)") {
+    // VERDICT r15 next-round #7: the screen's batch band rows broadcast
+    // under the byte gate; past it (a cluster-regime batch, or a tiny
+    // forced cap) every join falls back to shuffles — same pairs, only
+    // the physical shape moves
+    val all = corpusOf(400).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val p = TextOps.lshParams(spark)
+    val sigs = TextOps.minhashSigsOf(corpus, p).localCheckpoint()
+    val byDefault = pairSet(TextScreen.screenPairs(corpus, sigs, batch))
+    spark.conf.set(TextOps.CcBroadcastMaxBytesConf, "0")
+    try {
+      val byShuffle = pairSet(TextScreen.screenPairs(corpus, sigs, batch))
+      assert(byShuffle === byDefault)
+    } finally spark.conf.unset(TextOps.CcBroadcastMaxBytesConf)
+  }
+
+  test("simhash-tier store: survivors by the UNION drop rule (jaccard OR " +
+      "hamming); sides agree; replay inert") {
+    val all = corpusOf(300).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_simtier").toString + "/store"
+    TextSigStore.build(spark, dir, corpus, simhashTier = true)
+    assert(TextSigStore.hasSimhashTier(spark, dir))
+    val r1 = TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001")
+    assert(r1.applied)
+    // independent verdict: the batch chain's pairs from BOTH generators,
+    // restricted to ≥1 batch side, through the brute-force rule
+    val batchIds = batch.select("doc_id").as[Long].collect().toSet
+    val ps = (pairSet(TextOps.lshPairsOf(all)) ++
+        pairSet(TextOps.simhashPairsOf(all)))
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(pairSet(TextOps.simhashPairsOf(all))
+      .exists(p => batchIds(p._1) || batchIds(p._2)),
+      "planted exact copies must pair at hamming 0 or this pin is vacuous")
+    val drops = batchIds.filter(x => ps.exists { case (a, b) =>
+      (b == x && (!batchIds(a) || a < x)) || (a == x && !batchIds(b))
+    })
+    val corpusIds = corpus.select("doc_id").as[Long].collect().toSet
+    val stored = TextSigStore.sigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored === corpusIds ++ (batchIds -- drops))
+    // the tier side holds exactly the same ids (seeded corpus + survivors)
+    assert(TextSigStore.simsigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === stored)
+    val r2 = TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001")
+    assert(!r2.applied)
+    // a store built WITHOUT the tier never runs it (meta has no width)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_simtier2").toString + "/store"
+    TextSigStore.build(spark, dir2, corpus)
+    assert(!TextSigStore.hasSimhashTier(spark, dir2))
+    intercept[IllegalArgumentException](TextSigStore.simsigs(spark, dir2))
+  }
+
+  test("simhash-tier store refuses a mismatched session width; orphan " +
+      "simsigs delta invisible until its tip commits") {
+    val all = corpusOf(200).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_simtier3").toString + "/store"
+    TextSigStore.build(spark, dir, corpus, simhashTier = true) // at 32
+    spark.conf.set(TextOps.SimhashBitsConf, "60")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001"))
+      assert(ex.getMessage.contains(TextOps.SimhashBitsConf), ex.getMessage)
+    } finally spark.conf.unset(TextOps.SimhashBitsConf)
+    // crash window: the simsigs delta lands, the tip never advances —
+    // readers must not see it (an uncommitted update), and the replay
+    // overwrites it and commits all three sides together
+    val before = TextSigStore.simsigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    TextSigStore.writeSimsigs(spark, dir,
+      TextOps.simhashSigsOf(batch, 32), "u0001")
+    assert(TextSigStore.simsigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === before)
+    val r = TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001")
+    assert(r.applied)
+    val sigIds = TextSigStore.sigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(TextSigStore.simsigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === sigIds)
+    // and the fold carries the third side with the other two
+    TextSigStore.compact(spark, dir)
+    assert(TextSigStore.simsigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === sigIds)
+    val rem = new java.io.File(s"$dir/simsigs").listFiles().map(_.getName)
+    assert(rem.toSet === Set("_base"), rem.toSeq.toString)
+  }
+
   test("legacy CC broadcast row-cap conf still honored when the byte conf is unset") {
     assert(TextOps.ccBroadcastRowCap(spark) ===
       TextOps.DefaultCcBroadcastMaxBytes / TextOps.CcBroadcastBytesPerRow)
