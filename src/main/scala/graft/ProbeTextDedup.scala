@@ -253,7 +253,14 @@ object ProbeTextDedup {
     val nBatches = args.find(_.startsWith("batches:"))
       .map(_.stripPrefix("batches:").toInt).getOrElse(1)
     require(nBatches >= 1, s"batches: must be >= 1, got $nBatches")
-    if (nBatches > 1) { runScreenSeq(nDocs, clique, batchN, nBatches); return }
+    // `major:R` (seq mode only) → force the tiered valve's major-fold
+    // ratio, so a magnitude run can witness the base rewrite cost the
+    // geometric trigger amortizes (default 1.0 = tier rivals base)
+    val majorRatio = args.find(_.startsWith("major:"))
+      .map(_.stripPrefix("major:").toDouble)
+    if (nBatches > 1) {
+      runScreenSeq(nDocs, clique, batchN, nBatches, majorRatio); return
+    }
     val rerun = args.contains("rerun")
     val keep = args.contains("keep")
     val spark = session()
@@ -392,11 +399,14 @@ object ProbeTextDedup {
     * only super-batch-sized event, amortized across the batches between
     * folds. */
   private def runScreenSeq(nDocs: Long, clique: Int, batchN: Long,
-      m: Int): Unit = {
+      m: Int, majorRatio: Option[Double] = None): Unit = {
     val spark = session()
     import spark.implicits._
+    majorRatio.foreach(r =>
+      spark.conf.set(graft.ops.SideStoreFold.MajorRatioConf, r.toString))
     println(s"[probe-text] screenseq nDocs=$nDocs clique=$clique " +
-      s"batch=$batchN batches=$m")
+      s"batch=$batchN batches=$m" +
+      majorRatio.map(r => s" majorRatio=$r").getOrElse(""))
     val t0 = System.nanoTime()
     val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
     val storeDir = s"$root/sigstore_seq"

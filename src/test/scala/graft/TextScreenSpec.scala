@@ -510,6 +510,63 @@ class TextScreenSpec extends SparkSpec {
     assert(rem.toSet === Set("_base"), rem.toSeq.toString)
   }
 
+  test("streaming ingest against a self-contained simhash-tier store ≡ the " +
+      "batch loop; fresh-checkpoint replay refused") {
+    // the tier is STORE-driven, so the streaming twin inherits it with no
+    // code of its own — this row pins the combination: two real
+    // micro-batches over one checkpoint against a (storeTexts, simhashTier)
+    // store equal the batch-mode chain with the same update ids, on all
+    // THREE maintained sides
+    val all = corpusOf(300).localCheckpoint()
+    val (corpus, batchAll) = splitOf(all)
+    val b1 = batchAll.where(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val b2 = batchAll.where(col("doc_id") % 10 === 5).select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_simtier_stream").toString
+    val dirS = s"$root/stream"; val dirB = s"$root/batch"
+    val staged = s"$root/src"; val ckpt = s"$root/ckpt"
+    TextSigStore.build(spark, dirS, corpus, storeTexts = true, simhashTier = true)
+    TextSigStore.build(spark, dirB, corpus, storeTexts = true, simhashTier = true)
+    def drain(cp: String): Unit = {
+      val src = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+      graft.streaming.ScreenedTextIngest.maintain(spark, dirS, src, cp)
+        .awaitTermination()
+    }
+    b1.repartition(1).write.mode("append").parquet(staged); drain(ckpt)
+    b2.repartition(1).write.mode("append").parquet(staged); drain(ckpt)
+    TextScreen.screenAndAppend(spark, dirB,
+      TextSigStore.textStore(spark, dirB), b1, f"stream_${0L}%019d",
+      storeTexts = true)
+    TextScreen.screenAndAppend(spark, dirB,
+      TextSigStore.textStore(spark, dirB), b2, f"stream_${1L}%019d",
+      storeTexts = true)
+    def ids(f: => DataFrame): Set[Long] =
+      f.select("doc_id").as[Long].collect().toSet
+    val sIds = ids(TextSigStore.sigs(spark, dirS))
+    assert(sIds === ids(TextSigStore.sigs(spark, dirB)))
+    assert(ids(TextSigStore.simsigs(spark, dirS)) === sIds)
+    assert(ids(TextSigStore.textStore(spark, dirS)) === sIds)
+    assert(ids(TextSigStore.simsigs(spark, dirB)) === sIds)
+    // the tier must have had an effect somewhere in the chain, or the
+    // combination pin is vacuous: against a TIER-LESS twin of the same
+    // stream, the union rule may only REMOVE survivors
+    val dirP = s"$root/plain"
+    TextSigStore.build(spark, dirP, corpus, storeTexts = true)
+    TextScreen.screenAndAppend(spark, dirP,
+      TextSigStore.textStore(spark, dirP), b1, f"stream_${0L}%019d",
+      storeTexts = true)
+    TextScreen.screenAndAppend(spark, dirP,
+      TextSigStore.textStore(spark, dirP), b2, f"stream_${1L}%019d",
+      storeTexts = true)
+    assert(sIds.subsetOf(ids(TextSigStore.sigs(spark, dirP))))
+    // fresh checkpoint re-reads both files; the watermark refuses both
+    drain(ckpt + "_replay")
+    assert(ids(TextSigStore.sigs(spark, dirS)) === sIds)
+    assert(TextSigStore.isApplied(spark, dirS, f"stream_${1L}%019d") &&
+      !TextSigStore.isApplied(spark, dirS, f"stream_${2L}%019d"))
+  }
+
   test("legacy CC broadcast row-cap conf still honored when the byte conf is unset") {
     assert(TextOps.ccBroadcastRowCap(spark) ===
       TextOps.DefaultCcBroadcastMaxBytes / TextOps.CcBroadcastBytesPerRow)
