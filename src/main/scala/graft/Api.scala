@@ -320,6 +320,14 @@ final class GraftApi(spark: SparkSession, sfDir: String,
       val in = fs.open(drained)
       val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       val want = stamp(e.count())
+      // a bare sentinel is the pre-stamp (r15) format, not a mismatched
+      // operating point — name the actual situation and its fix
+      require(got.trim.nonEmpty,
+        s"the _DRAINED sentinel at $outDir is the pre-stamp format (no " +
+          "operating point recorded), so this resume cannot verify the " +
+          "pairs match the requested simThreshold/multiProbe/corpus — " +
+          "re-drain with resume=false (or delete the outDir) once; the " +
+          "new sentinel will carry the stamp")
       require(got == want,
         s"drained pairs at $outDir were produced at a different operating " +
           s"point (stored [${got.trim.replace("\n", "/")}] vs requested " +

@@ -80,6 +80,7 @@ object Bench {
     val passTimes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val passReadBytes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
     val passForeignCpu = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val passIowaitSteal = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val rerunSpread = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     /** Time `Passes` runs of `run`; record per-pass times + median.
@@ -109,9 +110,10 @@ object Bench {
       //     passes) shows up here when read-bytes shows nothing.
       val reads = scala.collection.mutable.ArrayBuffer.empty[Long]
       val foreign = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val iowSteal = scala.collection.mutable.ArrayBuffer.empty[Double]
       def onePass(): Double = {
         val b0 = graft.core.DiskStats.readBytes()
-        val (m0, _) = graft.core.DiskStats.machineCpuJiffies()
+        val (m0, w0) = graft.core.DiskStats.machineCpuJiffies()
         val s0 = graft.core.DiskStats.selfCpuJiffies()
         val t0 = System.nanoTime()
         val r = run() match {
@@ -121,13 +123,18 @@ object Bench {
             -1.0
         }
         val b1 = graft.core.DiskStats.readBytes()
-        val (m1, _) = graft.core.DiskStats.machineCpuJiffies()
+        val (m1, w1) = graft.core.DiskStats.machineCpuJiffies()
         val s1 = graft.core.DiskStats.selfCpuJiffies()
         reads += (if (b0 < 0 || b1 < 0) -1L else b1 - b0)
         // USER_HZ = 100 on every Linux this runs on; negative clamped
         // (counter races at sub-jiffy passes), -1 when unreadable
         foreign += (if (m0 < 0 || s0 < 0 || m1 < 0 || s1 < 0) -1.0
                     else math.max(0L, (m1 - m0) - (s1 - s0)) / 100.0)
+        // iowait + steal: a hypervisor co-tenant (steal) or a saturated
+        // disk (iowait) is contention the busy-minus-own channel can't
+        // see — the third attribution channel, seconds per pass
+        iowSteal += (if (w0 < 0 || w1 < 0) -1.0
+                     else math.max(0L, w1 - w0) / 100.0)
         r
       }
       var times = (1 to Passes).map(_ => onePass())
@@ -149,8 +156,16 @@ object Bench {
       passTimes(name) = times
       passReadBytes(name) = reads.toSeq
       passForeignCpu(name) = foreign.toSeq
-      if (times.contains(-1.0)) name -> -1.0
-      else name -> median(times.takeRight(Passes))
+      passIowaitSteal(name) = iowSteal.toSeq
+      val first = times.take(Passes)
+      val last = times.takeRight(Passes)
+      if (first.contains(-1.0)) name -> -1.0
+      // a transient failure INSIDE the spread-triggered re-run must not
+      // discard the complete valid measurement that triggered it: fall
+      // back to the flagged attempt's median (still spread-annotated via
+      // rerunSpread, so the row self-identifies as contended)
+      else if (last.contains(-1.0)) name -> median(first)
+      else name -> median(last)
     }
 
     // 1 untimed warmup per catalog row AT THE MEASURED SF (the sf0.001
@@ -337,11 +352,14 @@ object Bench {
     val fc = passForeignCpu.map { case (k, xs) =>
       jstr(k) + ":" + xs.map(x => math.round(x * 100.0) / 100.0).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val ws = passIowaitSteal.map { case (k, xs) =>
+      jstr(k) + ":" + xs.map(x => math.round(x * 100.0) / 100.0).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val rr = rerunSpread.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val endLoad = graft.core.DiskStats.loadAvg1()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","startedAt":"$startedAt","queries":$qs,"passes":$ps,"passReadBytes":$rb,"passForeignCpuSec":$fc,"rerunSpread":$rr,"endLoadAvg1":$endLoad,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","startedAt":"$startedAt","queries":$qs,"passes":$ps,"passReadBytes":$rb,"passForeignCpuSec":$fc,"passIowaitStealSec":$ws,"rerunSpread":$rr,"endLoadAvg1":$endLoad,"errors":$es,"sf":"$sfDir"}"""
     // The harness that snapshots this run keeps only the LAST 2000 chars
     // of stdout and tries to parse a JSON line out of them — the full
     // record (35+ rows with per-pass arrays) is ~3 KB, so for three

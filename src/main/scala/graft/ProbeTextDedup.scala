@@ -259,29 +259,12 @@ object ProbeTextDedup {
     val majorRatio = args.find(_.startsWith("major:"))
       .map(_.stripPrefix("major:").toDouble)
     if (nBatches > 1) {
-      runScreenSeq(nDocs, clique, batchN, nBatches, majorRatio); return
+      runScreenSeq(nDocs, clique, batchN, nBatches, majorRatio, args); return
     }
     val rerun = args.contains("rerun")
     val keep = args.contains("keep")
     val spark = session()
-    // `lsh:NxB` → the banding operating point (PROBES r15 lshcurve);
-    // the store dir is per-point, since signatures are only comparable
-    // within one operating point (TextSigStore.requireParams)
-    args.find(_.startsWith("lsh:")).map(_.stripPrefix("lsh:")).foreach { s =>
-      val Array(nh, nb) = s.split("x").map(_.trim)
-      spark.conf.set(graft.ops.TextOps.NumHashesConf, nh)
-      spark.conf.set(graft.ops.TextOps.BandsConf, nb)
-    }
-    // `simtier` → the store carries the simhash near-exact side (r16);
-    // `bits:W` sets the width (use 60 at corpus magnitude — PROBES r15)
-    val simTier = args.contains("simtier")
-    args.find(_.startsWith("bits:")).map(_.stripPrefix("bits:")).foreach(b =>
-      spark.conf.set(graft.ops.TextOps.SimhashBitsConf, b))
-    val simBits = graft.ops.TextOps.simhashBits(spark)
-    // `nobroadcast` → force every byte-gated broadcast to the shuffle
-    // fallback (the cluster-regime shape, VERDICT r15 #7)
-    if (args.contains("nobroadcast"))
-      spark.conf.set(graft.ops.TextOps.CcBroadcastMaxBytesConf, "0")
+    val (simTier, simBits) = applyScreenConfs(spark, args)
     val lp = graft.ops.TextOps.lshParams(spark)
     import spark.implicits._
     println(s"[probe-text] screen nDocs=$nDocs clique=$clique batch=$batchN " +
@@ -398,15 +381,40 @@ object ProbeTextDedup {
     * LSM fold (forced to fire mid-sequence via `compactAt = 4`) is the
     * only super-batch-sized event, amortized across the batches between
     * folds. */
+  /** Apply the screen modes' shared conf args to a fresh session:
+    * `lsh:NxB` (the banding operating point — PROBES r15 lshcurve),
+    * `bits:W` (simhash width; 60 at corpus magnitude), `nobroadcast`
+    * (force every byte-gated broadcast onto the shuffle fallback — the
+    * cluster-regime shape, VERDICT r15 #7). Returns the `simtier` flag
+    * (the store carries the simhash near-exact side, r16) plus the
+    * resolved width. Shared by the single and seq modes so no flag is
+    * ever silently dropped by a `batches:` dispatch (r16 review). */
+  private def applyScreenConfs(spark: SparkSession, args: Array[String])
+      : (Boolean, Int) = {
+    args.find(_.startsWith("lsh:")).map(_.stripPrefix("lsh:")).foreach { s =>
+      val Array(nh, nb) = s.split("x").map(_.trim)
+      spark.conf.set(graft.ops.TextOps.NumHashesConf, nh)
+      spark.conf.set(graft.ops.TextOps.BandsConf, nb)
+    }
+    args.find(_.startsWith("bits:")).map(_.stripPrefix("bits:")).foreach(b =>
+      spark.conf.set(graft.ops.TextOps.SimhashBitsConf, b))
+    if (args.contains("nobroadcast"))
+      spark.conf.set(graft.ops.TextOps.CcBroadcastMaxBytesConf, "0")
+    (args.contains("simtier"), graft.ops.TextOps.simhashBits(spark))
+  }
+
   private def runScreenSeq(nDocs: Long, clique: Int, batchN: Long,
-      m: Int, majorRatio: Option[Double] = None): Unit = {
+      m: Int, majorRatio: Option[Double], args: Array[String]): Unit = {
     val spark = session()
     import spark.implicits._
     majorRatio.foreach(r =>
       spark.conf.set(graft.ops.SideStoreFold.MajorRatioConf, r.toString))
+    val (simTier, simBits) = applyScreenConfs(spark, args)
     println(s"[probe-text] screenseq nDocs=$nDocs clique=$clique " +
       s"batch=$batchN batches=$m" +
-      majorRatio.map(r => s" majorRatio=$r").getOrElse(""))
+      majorRatio.map(r => s" majorRatio=$r").getOrElse("") +
+      (if (simTier) s" simtier=$simBits-bit" else "") +
+      (if (args.contains("nobroadcast")) " nobroadcast" else ""))
     val t0 = System.nanoTime()
     val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
     val storeDir = s"$root/sigstore_seq"
@@ -415,7 +423,8 @@ object ProbeTextDedup {
     val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))
     spark.conf.set(graft.ops.TextSigStore.CompactSigsAtConf, "4")
     stage("buildstore") {
-      graft.ops.TextSigStore.build(spark, storeDir, docsDf, storeTexts = true)
+      graft.ops.TextSigStore.build(spark, storeDir, docsDf,
+        storeTexts = true, simhashTier = simTier)
       println(s"[probe-text]   sigs=${graft.ops.TextSigStore.sigs(spark, storeDir).count()} (self-contained: texts seeded too)")
     }
     dropCaches(spark)

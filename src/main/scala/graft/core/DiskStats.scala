@@ -30,7 +30,13 @@ object DiskStats {
 
   /** Machine-wide CPU jiffies from `/proc/stat`'s aggregate `cpu` line,
     * split into (busy, iowait+steal). Busy = user+nice+system+irq+softirq
-    * (+guest fields when present). Returns (-1,-1) where unreadable.
+    * — guest/guest_nice are deliberately EXCLUDED: the kernel already
+    * accounts guest time inside user/nice, so adding fields 8/9 would
+    * double-count it and inflate the foreign-CPU channel on any host
+    * running VMs (the misattribution this channel exists to prevent).
+    * Steal is not busy work on this machine either — it rides the second
+    * element with iowait, where a hypervisor co-tenant shows up.
+    * Returns (-1,-1) where unreadable.
     *
     * Why (VERDICT r15 "what's wrong #1"): the r15 record carried 30-40 s
     * release passes with ZERO read-bytes — CPU/memory contention that the
@@ -43,7 +49,7 @@ object DiskStats {
         .find(_.startsWith("cpu ")).get.trim.split("\\s+").drop(1).map(_.toLong)
       // fields: user nice system idle iowait irq softirq steal guest gnice
       def at(i: Int) = if (f.length > i) f(i) else 0L
-      val busy = at(0) + at(1) + at(2) + at(5) + at(6) + at(8) + at(9)
+      val busy = at(0) + at(1) + at(2) + at(5) + at(6)
       val iowaitSteal = at(4) + at(7)
       (busy, iowaitSteal)
     }.getOrElse((-1L, -1L))

@@ -283,6 +283,35 @@ object TextSigStore {
     true
   }
 
+  /** Purge UNCOMMITTED orphan deltas (id above the tip) on every side,
+    * except the update currently being applied. Run by
+    * [[TextScreen.screenAndAppend]] before any screen work (r16 review):
+    * the tip visibility rule alone stops protecting a crashed,
+    * never-replayed update once a LATER id advances the tip PAST it —
+    * its partial side dirs would become retroactively "committed" even
+    * though some sides never landed. The simsigs side made this hole
+    * index-ACTIVE (a phantom simsig row drops future batch content
+    * against text the store does not hold — silent data loss; phantom
+    * texts/sigs are merely inert or under-screening). A single writer
+    * drives the store (the tip discipline's standing assumption), so any
+    * above-tip dir here is a dead attempt: the id being applied now
+    * overwrites its own dirs anyway, and any OTHER id's orphan is an
+    * update the caller abandoned — deleting it keeps every side
+    * all-or-nothing under the tip. */
+  private[graft] def purgeOrphans(spark: SparkSession, dir: String,
+      exceptId: String): Unit = {
+    val tip = readTip(spark, dir)
+      .map(graft.engine.LopqIndexStore.normalizeUpdateId)
+    val keep = graft.engine.LopqIndexStore.normalizeUpdateId(exceptId)
+    val fs = fsOf(spark, dir)
+    for (root <- Seq(sigsDir(dir), textsDir(dir), simsigsDir(dir))
+         if fs.exists(new org.apache.hadoop.fs.Path(root));
+         p <- updateDirs(spark, root)) {
+      val n = graft.engine.LopqIndexStore.normalizeUpdateId(p.getName)
+      if (n != keep && !tip.exists(n <= _)) { fs.delete(p, true); () }
+    }
+  }
+
   /** Past this many un-folded delta directories, [[TextScreen
     * .screenAndAppend]] folds them into the base after the batch commits
     * (the LSM pressure valve — every screen re-lists O(updates-ever)
@@ -520,6 +549,11 @@ object TextScreen {
       return TextIngestReport(applied = false, 0L, 0L, 0L)
     val p = TextOps.lshParams(spark)
     TextSigStore.requireParams(spark, dir, p)
+    // a crashed, never-replayed EARLIER id must not become retroactively
+    // visible when this update advances the tip past it: purge abandoned
+    // above-tip side dirs before any screen work (this id's own dirs are
+    // kept — the replay overwrite handles them)
+    TextSigStore.purgeOrphans(spark, dir, updateId)
     // the tier is STORE-driven: a store built with `simhashTier = true`
     // carries a `simsigs/` side and every screen against it runs the
     // near-exact tier first (width validated by requireParams above)

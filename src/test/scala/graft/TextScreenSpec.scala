@@ -567,6 +567,39 @@ class TextScreenSpec extends SparkSpec {
       !TextSigStore.isApplied(spark, dirS, f"stream_${2L}%019d"))
   }
 
+  test("an abandoned crashed update's orphan deltas are purged before a " +
+      "LATER id advances the tip past them (no retroactive visibility)") {
+    // r16 review: tip visibility protects an orphan only while the tip
+    // stays below it — if the caller abandons a crashed u0001 and applies
+    // u0002, the tip passes u0001 and its partial side dirs would read as
+    // committed. On the simsigs side that is index-ACTIVE (a phantom row
+    // drops future content against text the store doesn't hold), so the
+    // screen purges abandoned above-tip dirs before any work.
+    val all = corpusOf(200).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_purge").toString + "/store"
+    TextSigStore.build(spark, dir, corpus, simhashTier = true)
+    // u0001 "crashes" after its simsigs delta landed, sigs/tip never ran
+    TextSigStore.writeSimsigs(spark, dir,
+      TextOps.simhashSigsOf(batch, 32), "u0001")
+    assert(new java.io.File(s"$dir/simsigs/u0001").exists())
+    // the caller abandons u0001 and applies u0002 with different content
+    val batch2 = Seq((900001L, "wholly novel purge-row probe text alpha" +
+      " beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu" +
+      " xi omicron pi rho sigma tau upsilon phi chi psi omega"))
+      .toDF("doc_id", "text")
+    val r = TextScreen.screenAndAppend(spark, dir, corpus, batch2, "u0002")
+    assert(r.applied)
+    // the orphan was purged, NOT promoted by the passing tip
+    assert(!new java.io.File(s"$dir/simsigs/u0001").exists())
+    val sigIds = TextSigStore.sigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(TextSigStore.simsigs(spark, dir)
+      .select("doc_id").as[Long].collect().toSet === sigIds)
+    assert(!sigIds.exists(batch.select("doc_id").as[Long].collect().toSet))
+  }
+
   test("legacy CC broadcast row-cap conf still honored when the byte conf is unset") {
     assert(TextOps.ccBroadcastRowCap(spark) ===
       TextOps.DefaultCcBroadcastMaxBytes / TextOps.CcBroadcastBytesPerRow)
