@@ -316,6 +316,11 @@ object ProbeTextDedup {
         spark, storeDir, docsDf, batchDf, "u0000000000000000001")
       println(s"[probe-text]   applied=${r.applied} batchRows=${r.batchRows} " +
         s"flaggedPairs=${r.flaggedPairs} appended=${r.appended}")
+      println(s"[probe-text]   bandJoin=" +
+        spark.conf.get(graft.ops.TextScreen.LastBandJoinNote, "?") +
+        (if (simTier) " simBandJoin=" +
+          spark.conf.get(graft.ops.TextScreen.LastSimBandJoinNote, "?")
+         else ""))
       r
     }
     require(report.applied, "first screen must apply")

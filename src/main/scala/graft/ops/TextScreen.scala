@@ -416,15 +416,29 @@ object TextScreen {
     * the MinHash candidate set before its (text-touching) jaccard
     * verification. Same broadcast byte gate and same shape as the
     * MinHash band join. */
+  /** Post-run regime notes (the annJoin `spark.graft.annjoin.last.*`
+    * discipline): which physical shape the byte-gated band joins took —
+    * `broadcast` (batch bands map-side against the streaming corpus
+    * table) or `shuffle` (the cluster regime past the cap). Written per
+    * screen so probes and specs read the decision the run actually
+    * made instead of re-deriving the arithmetic. */
+  val LastBandJoinNote = "spark.graft.screen.last.bandJoin"
+  val LastSimBandJoinNote = "spark.graft.screen.last.simBandJoin"
+
+  private def gated(spark: org.apache.spark.sql.SparkSession,
+      bands: DataFrame, note: String): DataFrame = {
+    val fits = bands.count() <= TextOps.ccBroadcastRowCap(spark)
+    spark.conf.set(note, if (fits) "broadcast" else "shuffle")
+    if (fits) broadcast(bands) else bands
+  }
+
   private def simTierPairs(corpusSims: DataFrame, batchSims: DataFrame,
       bits: Int): DataFrame = {
     val spark = batchSims.sparkSession
     val batchBands = TextOps.simhashBandRowsOf(batchSims, bits)
       .localCheckpoint()
     val corpusBands = TextOps.simhashBandRowsOf(corpusSims, bits)
-    val bSide =
-      if (batchBands.count() <= TextOps.ccBroadcastRowCap(spark))
-        broadcast(batchBands) else batchBands
+    val bSide = gated(spark, batchBands, LastSimBandJoinNote)
     val hamNO = graft.functions.TextFunctions
       .hammingDistance(col("c.sh"), col("b.sh"))
     val newOld = corpusBands.as("c")
@@ -462,9 +476,7 @@ object TextScreen {
     // bounded-batch contract: band rows are |batch|·bands skinny rows
     // with a driver-known count, so the broadcast decision is exact
     // (same byte gate as the CC node map — ~(long, long-ish-string) rows)
-    val bSide =
-      if (batchBands.count() <= TextOps.ccBroadcastRowCap(spark))
-        broadcast(batchBands) else batchBands
+    val bSide = gated(spark, batchBands, LastBandJoinNote)
     val newOld = corpusBands.as("c")
       .join(bSide.as("b"),
         col("c.band") === col("b.band") && col("c.bsig") === col("b.bsig"))

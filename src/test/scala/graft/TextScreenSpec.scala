@@ -428,10 +428,14 @@ class TextScreenSpec extends SparkSpec {
     val p = TextOps.lshParams(spark)
     val sigs = TextOps.minhashSigsOf(corpus, p).localCheckpoint()
     val byDefault = pairSet(TextScreen.screenPairs(corpus, sigs, batch))
+    // the screen self-reports which physical shape the gated band join
+    // took (the annjoin last.* regime-note discipline)
+    assert(spark.conf.get(TextScreen.LastBandJoinNote) === "broadcast")
     spark.conf.set(TextOps.CcBroadcastMaxBytesConf, "0")
     try {
       val byShuffle = pairSet(TextScreen.screenPairs(corpus, sigs, batch))
       assert(byShuffle === byDefault)
+      assert(spark.conf.get(TextScreen.LastBandJoinNote) === "shuffle")
     } finally spark.conf.unset(TextOps.CcBroadcastMaxBytesConf)
   }
 
