@@ -312,28 +312,37 @@ final class GraftApi(spark: SparkSession, sfDir: String,
     // different simThreshold/multiProbe — or from a different corpus
     // pointed at the same outDir — producing a wrong survivor set with
     // no error (the silent-stale-reuse class the Scaladoc above rejects
-    // _SUCCESS for). Corpus identity = row count (the fingerprint the
-    // facade can check without a content scan); validation mirrors
+    // _SUCCESS for). Corpus identity = row count PLUS the id range
+    // (ADVICE r16: a bare count is a weak fingerprint — a same-
+    // cardinality content swap would resume silently against stale
+    // pairs; count+min+max catches any swap that touches the id space,
+    // for the same single skinny agg job). Computed at most once per
+    // call, whichever branch needs it; validation mirrors
     // [[graft.ops.TextSigStore.requireParams]]: fail fast, name the fix.
-    def stamp(rows: Long) = s"$simThreshold\n$multiProbe\n$rows\n"
+    lazy val corpusFp: String = {
+      val r = e.agg(count(lit(1)), min(col("vec_id")), max(col("vec_id"))).head()
+      s"${r.get(0)}\n${r.get(1)}\n${r.get(2)}"
+    }
+    def stamp() = s"$simThreshold\n$multiProbe\n$corpusFp\n"
     if (resume && fs.exists(drained)) {
       val in = fs.open(drained)
       val got = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      val want = stamp(e.count())
-      // a bare sentinel is the pre-stamp (r15) format, not a mismatched
-      // operating point — name the actual situation and its fix
-      require(got.trim.nonEmpty,
-        s"the _DRAINED sentinel at $outDir is the pre-stamp format (no " +
-          "operating point recorded), so this resume cannot verify the " +
-          "pairs match the requested simThreshold/multiProbe/corpus — " +
-          "re-drain with resume=false (or delete the outDir) once; the " +
-          "new sentinel will carry the stamp")
+      // a bare or short sentinel is an older stamp format (pre-r15 bare /
+      // r16 count-only), not a mismatched operating point — name the
+      // actual situation and its fix
+      require(got.trim.split("\n").length >= 5,
+        s"the _DRAINED sentinel at $outDir is an older stamp format, so " +
+          "this resume cannot verify the pairs match the requested " +
+          "simThreshold/multiProbe/corpus — re-drain with resume=false " +
+          "(or delete the outDir) once; the new sentinel will carry the " +
+          "full fingerprint")
+      val want = stamp()
       require(got == want,
         s"drained pairs at $outDir were produced at a different operating " +
           s"point (stored [${got.trim.replace("\n", "/")}] vs requested " +
           s"[${want.trim.replace("\n", "/")}] = simThreshold/multiProbe/" +
-          "corpusRows) — resuming would silently reuse a wrong pair set; " +
-          "re-drain with resume=false or delete the outDir")
+          "corpusRows/minId/maxId) — resuming would silently reuse a " +
+          "wrong pair set; re-drain with resume=false or delete the outDir")
       System.err.println(
         s"[graft] semDedupCorpusChunked: resuming a completed drain at $outDir")
     } else {
@@ -349,7 +358,7 @@ final class GraftApi(spark: SparkSession, sfDir: String,
           .write.mode(if (c == 0) "overwrite" else "append").parquet(outDir)
       }
       val out = fs.create(drained, true)
-      try out.write(stamp(e.count()).getBytes("UTF-8")) finally out.close()
+      try out.write(stamp().getBytes("UTF-8")) finally out.close()
     }
     val edges = spark.read.parquet(outDir)
     val losers = graft.ops.TextOps.minLabelComponents(edges)

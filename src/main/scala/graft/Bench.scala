@@ -157,14 +157,13 @@ object Bench {
       passReadBytes(name) = reads.toSeq
       passForeignCpu(name) = foreign.toSeq
       passIowaitSteal(name) = iowSteal.toSeq
-      val first = times.take(Passes)
       val last = times.takeRight(Passes)
-      if (first.contains(-1.0)) name -> -1.0
-      // a transient failure INSIDE the spread-triggered re-run must not
-      // discard the complete valid measurement that triggered it: fall
-      // back to the flagged attempt's median (still spread-annotated via
-      // rerunSpread, so the row self-identifies as contended)
-      else if (last.contains(-1.0)) name -> median(first)
+      // ANY errored pass — original attempt or spread-triggered re-run —
+      // keeps the -1 sentinel (ADVICE r16): consumers key success on
+      // value >= 0, so a success-shaped median next to an errors entry
+      // would read a partially-errored row as clean. The flagged
+      // attempt's valid passes stay reviewable in the `passes` array.
+      if (times.contains(-1.0)) name -> -1.0
       else name -> median(last)
     }
 

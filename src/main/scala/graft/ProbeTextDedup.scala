@@ -408,6 +408,38 @@ object ProbeTextDedup {
     (args.contains("simtier"), graft.ops.TextOps.simhashBits(spark))
   }
 
+  /** Per-batch store-lifetime report (VERDICT r16 next-round #1): what
+    * the valve did this cycle ([[graft.ops.SideStoreFold.FoldNoteConf]]),
+    * each side's base bytes / run-ladder layout / un-folded delta count,
+    * and the reader's root-list size — the minor-cost-vs-tier-size curve
+    * and read-path health the lifetime run records. */
+  private def printStoreState(spark: SparkSession, storeDir: String,
+      simTier: Boolean): Unit = {
+    val note = spark.conf
+      .get(graft.ops.SideStoreFold.FoldNoteConf, "")
+    if (note.nonEmpty) println(s"[probe-text]   folds: $note")
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (side <- Seq("sigs", "texts") ++ (if (simTier) Seq("simsigs") else Nil)) {
+      val root = s"$storeDir/$side"
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fs.exists(rp)) {
+        val basePath = new org.apache.hadoop.fs.Path(s"$root/_base")
+        val baseMb =
+          if (fs.exists(basePath))
+            fs.getContentSummary(basePath).getLength / 1e6
+          else 0.0
+        val runs = graft.ops.SideStoreFold.runLayout(fs, root)
+        val deltas = fs.listStatus(rp)
+          .count(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+        val roots = graft.ops.SideStoreFold.storedRoots(fs, root).size + deltas
+        println(f"[probe-text]   $side%-8s base=$baseMb%8.1fMB  runs=[" +
+          runs.map { case (n, b) => f"$n:${b / 1e6}%.1fMB" }.mkString(" ") +
+          s"]  deltas=$deltas roots=$roots")
+      }
+    }
+  }
+
   private def runScreenSeq(nDocs: Long, clique: Int, batchN: Long,
       m: Int, majorRatio: Option[Double], args: Array[String]): Unit = {
     val spark = session()
@@ -415,10 +447,19 @@ object ProbeTextDedup {
     majorRatio.foreach(r =>
       spark.conf.set(graft.ops.SideStoreFold.MajorRatioConf, r.toString))
     val (simTier, simBits) = applyScreenConfs(spark, args)
+    // `compactAt:N` — the valve cadence (default 4, the r15/r16 probes'
+    // forced-low shape); `stream` — drive every batch through the REAL
+    // streaming twin (graft.streaming.ScreenedTextIngest, one file-source
+    // micro-batch per staged file) instead of calling screenAndAppend
+    // directly (VERDICT r16 next-round #5's composition shape)
+    val compactAt = args.find(_.startsWith("compactAt:"))
+      .map(_.stripPrefix("compactAt:").toInt).getOrElse(4)
+    val viaStream = args.contains("stream")
     println(s"[probe-text] screenseq nDocs=$nDocs clique=$clique " +
-      s"batch=$batchN batches=$m" +
+      s"batch=$batchN batches=$m compactAt=$compactAt" +
       majorRatio.map(r => s" majorRatio=$r").getOrElse("") +
       (if (simTier) s" simtier=$simBits-bit" else "") +
+      (if (viaStream) " stream" else "") +
       (if (args.contains("nobroadcast")) " nobroadcast" else ""))
     val t0 = System.nanoTime()
     val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
@@ -426,7 +467,10 @@ object ProbeTextDedup {
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val docsDf = spark.read.parquet(ensureCorpus(spark, nDocs, clique))
-    spark.conf.set(graft.ops.TextSigStore.CompactSigsAtConf, "4")
+    spark.conf.set(graft.ops.TextSigStore.CompactSigsAtConf,
+      compactAt.toString)
+    val ckpt = s"$storeDir/_probeckpt"
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     stage("buildstore") {
       graft.ops.TextSigStore.build(spark, storeDir, docsDf,
         storeTexts = true, simhashTier = simTier)
@@ -444,13 +488,36 @@ object ProbeTextDedup {
           .write.mode("overwrite").parquet(staged)
       }
       val bDf = spark.read.parquet(staged)
+      graft.ops.SideStoreFold.resetFoldNote(spark)
       stage(f"screen_$k%02d") {
-        val r = graft.ops.TextScreen.screenAndAppend(spark, storeDir,
-          graft.ops.TextSigStore.textStore(spark, storeDir), bDf,
-          f"u$k%019d", storeTexts = true)
-        require(r.applied, s"batch $k must apply, got $r")
-        println(s"[probe-text]   batch $k flagged=${r.flaggedPairs} " +
-          s"appended=${r.appended} of ${r.batchRows}")
+        if (viaStream) {
+          // the streaming twin: stage this batch as ONE file into the
+          // stream's source dir, drain it as one micro-batch (the q108
+          // one-drain-per-file discipline keeps batch order deterministic)
+          val srcDir = s"$storeDir/_probesrc"
+          bDf.repartition(1).write.mode("append").parquet(srcDir)
+          val src = spark.readStream.schema(bDf.schema)
+            .option("maxFilesPerTrigger", 1).parquet(srcDir)
+          graft.streaming.ScreenedTextIngest.maintain(spark, storeDir, src, ckpt)
+            .awaitTermination()
+          require(graft.ops.TextSigStore
+            .isApplied(spark, storeDir, f"stream_$k%019d"),
+            s"stream batch $k must have applied")
+          println(s"[probe-text]   batch $k drained via ScreenedTextIngest")
+        } else {
+          val r = graft.ops.TextScreen.screenAndAppend(spark, storeDir,
+            graft.ops.TextSigStore.textStore(spark, storeDir), bDf,
+            f"u$k%019d", storeTexts = true)
+          require(r.applied, s"batch $k must apply, got $r")
+          println(s"[probe-text]   batch $k flagged=${r.flaggedPairs} " +
+            s"appended=${r.appended} of ${r.batchRows}")
+        }
+        println(s"[probe-text]   bandJoin=" +
+          spark.conf.get(graft.ops.TextScreen.LastBandJoinNote, "?") +
+          (if (simTier) " simBandJoin=" +
+            spark.conf.get(graft.ops.TextScreen.LastSimBandJoinNote, "?")
+           else ""))
+        printStoreState(spark, storeDir, simTier)
       }
       dropCaches(spark)
     }
@@ -469,7 +536,36 @@ object ProbeTextDedup {
           .map(_.getPath.getName).filterNot(_.startsWith("_"))
         s"$s unfoldedDeltas=${dirs.length}"
       }
-      println(s"[probe-text]   ${sides.mkString("  ")} (compactAt=4)")
+      println(s"[probe-text]   ${sides.mkString("  ")}")
+      // order-independent content fingerprint (sum of per-row hashes):
+      // two runs of the same batches through different REGIMES (broadcast
+      // vs shuffle, direct vs streaming twin) must land the same store
+      val storeHash = graft.ops.TextSigStore.sigs(spark, storeDir)
+        .select(sum(xxhash64(col("doc_id"),
+          concat_ws(",", col("sig")))).as("h")).head().getLong(0)
+      println(s"[probe-text]   storeHash=$storeHash")
+      // per planted batch class (the single-mode audit over ALL batches):
+      // catch rates per class — the combined-operating-point record
+      val batchLo = nDocs
+      val stored = graft.ops.TextSigStore.sigs(spark, storeDir)
+        .where(col("doc_id") >= batchLo).select("doc_id").localCheckpoint()
+      val allBatches = spark.range(nDocs, nDocs + m * batchN).toDF("doc_id")
+      allBatches.select(col("doc_id"),
+          when(col("doc_id") % 1000 === 6, "boilerplate")
+            .when(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 2, "neardup")
+            .when(col("doc_id") % 10 === 3, "exactcopy")
+            .when(col("doc_id") % 10 === 4 || col("doc_id") % 10 === 5, "batchpair")
+            .otherwise("organic").as("cls"))
+        .join(stored.withColumn("kept", lit(true)), Seq("doc_id"), "left")
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept"))
+        .orderBy("cls")
+        .collect().foreach { r =>
+          val (c, n, k) = (r.getString(0), r.getLong(1), r.getLong(2))
+          println(f"[probe-text]   class=$c%-12s n=$n%7d kept=$k%7d " +
+            f"dropped=${n - k}%7d (${100.0 * (n - k) / n}%.2f%% dropped)")
+        }
     }
     println(f"[probe-text] TOTAL ${(System.nanoTime() - t0) / 1e9}%9.2f s  " +
       f"scratch=${graft.core.DiskStats.scratchBytes() / 1e9}%6.2f GB")

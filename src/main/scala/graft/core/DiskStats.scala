@@ -54,15 +54,19 @@ object DiskStats {
       (busy, iowaitSteal)
     }.getOrElse((-1L, -1L))
 
-  /** This process's own CPU jiffies (utime+stime from `/proc/self/stat`).
-    * Parsed from after the last ')' — the comm field may contain spaces. */
+  /** This process's own CPU jiffies (utime+stime+cutime+cstime from
+    * `/proc/self/stat`). Parsed from after the last ')' — the comm field
+    * may contain spaces. Reaped-child CPU (cutime/cstime, fields 16/17)
+    * counts as "our own" work (ADVICE r16): without it, any subprocess a
+    * timed pass spawns would inflate the foreign-CPU attribution channel
+    * — the exact misattribution the channel exists to prevent. */
   def selfCpuJiffies(): Long =
     scala.util.Try {
       val line = scala.io.Source.fromFile("/proc/self/stat").mkString
       val rest = line.substring(line.lastIndexOf(')') + 2).split("\\s+")
-      // rest(0) = state; utime/stime are fields 14/15 of the full line =
-      // rest(11)/rest(12)
-      rest(11).toLong + rest(12).toLong
+      // rest(0) = state; utime/stime/cutime/cstime are fields 14-17 of
+      // the full line = rest(11)..rest(14)
+      rest(11).toLong + rest(12).toLong + rest(13).toLong + rest(14).toLong
     }.getOrElse(-1L)
 
   /** 1-minute load average, or -1 where unreadable. */

@@ -221,11 +221,14 @@ object IngestOps {
   }
 
   /** The in-loop LSM valve, TIERED like the text twin (VERDICT r15
-    * "what's missing #2"): at the delta-count bound, MINOR-fold the
-    * update dirs into `vectors/_tier` (O(recent + tier)) and MAJOR-fold
-    * tier → base only when the tier's bytes rival the base's
+    * "what's missing #2"; r17: size-tiered run ladder): at the
+    * delta-count bound, MINOR-fold the update dirs into one new run under
+    * `vectors/_runs` (O(recent), geometric ladder cascade) and MAJOR-fold
+    * ladder → base only when the ladder's bytes rival the base's
     * ([[SideStoreFold.MajorRatioConf]]) — the screened stream stops
-    * rewriting its whole vector history every `compactAt` batches. */
+    * rewriting its whole vector history every `compactAt` batches, and no
+    * minor fold ever rewrites the whole accumulated tier (the r16
+    * pre-major tail). */
   def maybeCompactVectors(spark: SparkSession, dir: String): Unit = {
     val at = spark.conf
       .get(CompactVectorsAtConf, DefaultCompactVectorsAt.toString).toInt
@@ -233,6 +236,7 @@ object IngestOps {
     if (deltas.size >= at) {
       val fs = new org.apache.hadoop.fs.Path(vectorsDir(dir))
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      SideStoreFold.resetFoldNote(spark)
       SideStoreFold.minorFold(spark, fs, vectorsDir(dir), deltas, "id")
       SideStoreFold.majorFoldIfDue(spark, fs, vectorsDir(dir), "id")
     }

@@ -3,143 +3,343 @@ package graft.ops
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{SaveMode, SparkSession}
 
-/** Tiered (minor/major) LSM folding shared by the two content side-stores
-  * ([[TextSigStore]]'s signatures + survivor texts, [[IngestOps]]'s raw
-  * vectors) — VERDICT r15 "what's missing #2".
+/** Tiered LSM folding shared by the content side-stores ([[TextSigStore]]'s
+  * signatures / survivor texts / simhashes, [[IngestOps]]'s raw vectors) —
+  * VERDICT r15 "what's missing #2", r16 "what's missing #1".
   *
   * r15's single-level fold rewrote the ENTIRE base every `compactAt`
-  * deltas (`dedup(base ∪ deltas)` → `_base`): the 8-batch magnitude probe
-  * measured fold batches spiking 19-40 s → 88-92 s / 4.5 GB scratch
-  * rewriting the ~3.5 GB texts base, and a long-lived store re-pays that
-  * O(corpus) rewrite every `compactAt` batches FOREVER — at 100 TB the
-  * maintenance bill dwarfs the ingest. The fix is HBase's own
-  * minor-vs-major compaction split (the store these side-stores replace):
+  * deltas — O(corpus) maintenance forever. r16 split it minor/major
+  * (HBase's compaction levels), but its minor fold still rewrote the
+  * whole single `_tier` directory every firing: the minute before a
+  * major fires, a minor costs ~O(base · majorRatio) — the very spike the
+  * split exists to amortize, just less frequent (the r16 verdict's
+  * "pre-major minor tail"). r17 completes the design with HBase's file-
+  * SELECTION policy: the tier is a ladder of size-tiered RUNS, merged
+  * geometrically.
   *
-  *   - MINOR fold (every `compactAt` deltas): deltas + the current
-  *     delta-tier → one `_tier` directory. Cost O(tier + recent); the
-  *     tier is bounded by the major trigger, so a fold batch never
-  *     touches the base.
-  *   - MAJOR fold (only when the tier's bytes RIVAL the base's —
-  *     [[MajorRatioConf]], default tier ≥ base): `dedup(base ∪ tier)` →
-  *     `_base`, tier removed. Geometric trigger ⇒ each row is rewritten
-  *     O(log(corpus/batch)) times over the store's lifetime instead of
-  *     once per `compactAt` batches.
+  *   - MINOR fold (every `compactAt` deltas): the deltas alone dedup into
+  *     ONE NEW RUN (`_runs/rNNNNN`) — O(recent), no existing run and no
+  *     base is read. Then the ladder cascade: while the newest run's
+  *     bytes ≥ [[RunMergeRatioConf]] × the next-older run's, the two
+  *     merge (binary-counter dynamics ⇒ run sizes grow geometrically,
+  *     each row is re-merged O(log(tier/batch)) times, and the run COUNT
+  *     — the reader's multi-root list — stays O(log) bounded).
+  *   - MAJOR fold (only when the ladder's TOTAL bytes rival the base's —
+  *     [[MajorRatioConf]], default tier ≥ base): `dedup(base ∪ runs)` →
+  *     `_base`, runs removed. Geometric trigger ⇒ each row is rewritten
+  *     O(log(corpus/batch)) times over the store's lifetime.
   *
-  * Both levels run the `_SUCCESS`-gated write-`<level>_next` /
-  * delete-sources / promote schedule the r15 fold proved out, so the
-  * crash-window story is unchanged in kind: a COMPLETE un-promoted
-  * `_next` is preferred by readers (a superset of its level) and
-  * promoted by the next fold; a PARTIAL `_next` is invisible and
-  * discarded (promoting it would replace the level with a subset and
-  * lose previously-folded rows for good — the IngestSpec rule); a crash
-  * between source deletion steps leaves only bit-identical duplicate
-  * rows, which every reader tolerates and the next fold's dedup removes.
+  * Crash windows keep the `_SUCCESS`-gated discipline the r15/r16 folds
+  * proved out, per artifact:
+  *   - a NEW RUN is complete iff parquet's own `_SUCCESS` landed; its
+  *     source deltas are deleted only after — a partial run is invisible
+  *     to readers and discarded by the next fold's heal (the deltas still
+  *     hold every row), a complete-run-then-crash window leaves only
+  *     bit-identical duplicate rows (run ∪ deltas), which every reader
+  *     tolerates and the next fold's dedup removes;
+  *   - a MERGE writes `_runs/mLLLLL_HHHHH` (covering run seqs L..H): a
+  *     COMPLETE merge artifact is preferred by readers (a superset of the
+  *     runs it covers, which they skip) and promoted by the next fold's
+  *     heal (covered runs deleted, artifact renamed to `rLLLLL`); a
+  *     PARTIAL one is invisible and discarded;
+  *   - the MAJOR level keeps the r15 `_base_next` schedule unchanged
+  *     (complete preferred + promoted; partial invisible + discarded —
+  *     promoting a partial would replace the base with a subset and lose
+  *     folded rows for good, the IngestSpec rule);
+  *   - LEGACY single-tier artifacts (`_tier`/`_tier_next` from a pre-r17
+  *     store) stay readable in place and are ADOPTED as the ladder's
+  *     oldest run by the next fold's heal, with the old preference rule
+  *     (a complete `_tier_next` supersedes `_tier`; a partial one is
+  *     discarded).
   */
 private[graft] object SideStoreFold {
 
-  /** Major-fold trigger: rewrite the base when tier bytes ≥ ratio × base
-    * bytes. 1.0 = HBase-style "tier rivals the base"; 0.0 forces a major
-    * fold whenever a tier exists (the single-level r15 behavior, and the
-    * spec's forcing lever). */
+  /** Major-fold trigger: rewrite the base when the run ladder's total
+    * bytes ≥ ratio × base bytes. 1.0 = HBase-style "tier rivals the
+    * base"; 0.0 forces a major fold whenever any run exists (the spec's
+    * forcing lever). */
   val MajorRatioConf = "spark.graft.store.majorRatio"
   val DefaultMajorRatio = 1.0
 
-  private def lvlPath(root: String, lvl: String) = new Path(s"$root/$lvl")
-  private def nextPath(root: String, lvl: String) = new Path(s"$root/${lvl}_next")
+  /** Ladder cascade trigger: merge the newest two runs while the newest's
+    * bytes ≥ ratio × the next-older's. 0.75 gives binary-counter run
+    * growth (sizes roughly double up the ladder); a huge value (> any
+    * realistic byte count) would disable merging and let the run list
+    * grow linearly — so keep it O(1). */
+  val RunMergeRatioConf = "spark.graft.store.runMergeRatio"
+  val DefaultRunMergeRatio = 0.75
+
+  /** Post-fold note (the screen's `last.bandJoin` discipline): every fold
+    * op appends one line — `<side> <op> <secs>s <detail>` — so probes and
+    * specs read what the valve actually did (which level, what it cost)
+    * instead of re-deriving it from directory listings. Callers
+    * ([[TextSigStore.maybeCompact]], [[IngestOps.maybeCompactVectors]])
+    * reset it per valve firing. */
+  val FoldNoteConf = "spark.graft.store.last.folds"
+  def resetFoldNote(spark: SparkSession): Unit =
+    spark.conf.set(FoldNoteConf, "")
+  private def note(spark: SparkSession, root: String, line: String): Unit = {
+    val prev = spark.conf.get(FoldNoteConf, "")
+    val side = new Path(root).getName
+    spark.conf.set(FoldNoteConf,
+      (if (prev.isEmpty) "" else prev + "; ") + s"$side $line")
+  }
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def basePath(root: String) = new Path(s"$root/_base")
+  private def baseNextPath(root: String) = new Path(s"$root/_base_next")
+  private def legacyTierPath(root: String) = new Path(s"$root/_tier")
+  private def legacyTierNextPath(root: String) = new Path(s"$root/_tier_next")
+  private def runsRoot(root: String) = new Path(s"$root/_runs")
+  private def runPath(root: String, seq: Int) =
+    new Path(runsRoot(root), f"r$seq%05d")
+  private def mergePath(root: String, lo: Int, hi: Int) =
+    new Path(runsRoot(root), f"m$lo%05d_$hi%05d")
   private def complete(fs: FileSystem, p: Path): Boolean =
     fs.exists(new Path(p, "_SUCCESS"))
+  private def bytesOf(fs: FileSystem, p: Path): Long =
+    fs.getContentSummary(p).getLength
 
-  private def promote(fs: FileSystem, root: String, lvl: String): Unit = {
-    val dst = lvlPath(root, lvl)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(nextPath(root, lvl), dst)
+  /** One ladder artifact: a plain run (`lo == hi`, rNNNNN) or an
+    * in-flight merge (mLLLLL_HHHHH covering seqs lo..hi). */
+  private final case class RunArt(path: Path, lo: Int, hi: Int,
+      isMerge: Boolean, isComplete: Boolean)
+
+  private val RunRe = "r(\\d+)".r
+  private val MergeRe = "m(\\d+)_(\\d+)".r
+
+  private def listArts(fs: FileSystem, root: String): Seq[RunArt] = {
+    val rr = runsRoot(root)
+    if (!fs.exists(rr)) Seq.empty
+    else fs.listStatus(rr).toIndexedSeq.flatMap { st =>
+      st.getPath.getName match {
+        case RunRe(s) =>
+          Some(RunArt(st.getPath, s.toInt, s.toInt, isMerge = false,
+            complete(fs, st.getPath)))
+        case MergeRe(l, h) =>
+          Some(RunArt(st.getPath, l.toInt, h.toInt, isMerge = true,
+            complete(fs, st.getPath)))
+        case _ => None
+      }
+    }
+  }
+
+  private def nextSeq(fs: FileSystem, root: String): Int =
+    (listArts(fs, root).map(_.hi) :+ 0).max + 1
+
+  /** The ladder's readable roots WITHOUT mutation (the reader-side rule):
+    * complete merge artifacts (supersets of the runs they cover, which
+    * are skipped) plus complete uncovered plain runs; incomplete anything
+    * is invisible. Oldest-first, though readers union so order is
+    * cosmetic. */
+  private def runsToRead(fs: FileSystem, root: String): Seq[Path] = {
+    val arts = listArts(fs, root)
+    val merges = arts.filter(a => a.isMerge && a.isComplete)
+    val covered = merges.flatMap(m => m.lo to m.hi).toSet
+    (merges ++ arts.filter(a =>
+      !a.isMerge && a.isComplete && !covered(a.lo)))
+      .sortBy(_.lo).map(_.path)
+  }
+
+  /** Complete plain runs oldest-first — the fold-side view (heal has
+    * already promoted/discarded merges and discarded partial runs). */
+  private def plainRuns(fs: FileSystem, root: String): Seq[RunArt] =
+    listArts(fs, root).filter(a => !a.isMerge && a.isComplete).sortBy(_.lo)
+
+  /** The base level's readable root: a COMPLETE not-yet-promoted
+    * `_base_next` (a superset of `_base` by construction) beats the base
+    * itself. Also used for the LEGACY `_tier` pair on the read path. */
+  private def levelToRead(fs: FileSystem, lvl: Path, next: Path)
+      : Seq[String] =
+    if (complete(fs, next)) Seq(next.toString)
+    else if (fs.exists(lvl)) Seq(lvl.toString)
+    else Seq.empty
+
+  /** Every compacted root a reader unions with the un-folded deltas:
+    * base level, the run ladder, and any legacy single-tier artifact a
+    * pre-r17 store still carries. */
+  def storedRoots(fs: FileSystem, root: String): Seq[String] =
+    levelToRead(fs, basePath(root), baseNextPath(root)) ++
+      runsToRead(fs, root).map(_.toString) ++
+      levelToRead(fs, legacyTierPath(root), legacyTierNextPath(root))
+
+  /** The ladder's current complete plain runs as `(name, bytes)`,
+    * oldest-first — the probe-facing layout view. */
+  def runLayout(fs: FileSystem, root: String): Seq[(String, Long)] =
+    plainRuns(fs, root).map(a => (a.path.getName, bytesOf(fs, a.path)))
+
+  // ------------------------------------------------------------- healing
+
+  private def healBase(fs: FileSystem, root: String): Unit = {
+    val n = baseNextPath(root)
+    if (fs.exists(n)) {
+      if (complete(fs, n)) {
+        val dst = basePath(root)
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(n, dst)
+      } else fs.delete(n, true)
+      ()
+    }
+  }
+
+  /** Promote a complete merge artifact: delete the plain runs it covers,
+    * then rename it to the lowest covered seq. Idempotent — a crash
+    * between the deletes and the rename re-enters here. */
+  private def promoteMerge(fs: FileSystem, root: String, m: RunArt): Unit = {
+    (m.lo to m.hi).foreach { s =>
+      val p = runPath(root, s)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    fs.rename(m.path, runPath(root, m.lo))
     ()
   }
 
-  /** Finish (complete) or discard (partial) an interrupted promotion at
-    * `lvl` — every fold entry point heals both levels first, so at most
-    * one readable artifact per level survives into the fold's source
-    * listing. */
-  private def heal(fs: FileSystem, root: String, lvl: String): Unit = {
-    val n = nextPath(root, lvl)
-    if (fs.exists(n)) {
-      if (complete(fs, n)) promote(fs, root, lvl)
-      else { fs.delete(n, true); () }
+  private def healRuns(fs: FileSystem, root: String): Unit =
+    listArts(fs, root).foreach { a =>
+      if (a.isMerge) {
+        if (a.isComplete) promoteMerge(fs, root, a)
+        else { fs.delete(a.path, true); () }
+      } else if (!a.isComplete) { fs.delete(a.path, true); () }
+    }
+
+  /** Adopt a legacy (pre-r17) single-tier artifact as the ladder's next
+    * run: a complete `_tier_next` supersedes `_tier` (the old promote's
+    * semantics), a partial one is discarded; a complete `_tier` becomes a
+    * run as-is. Runs AFTER [[healRuns]] so the adopted seq is final. */
+  private def adoptLegacy(fs: FileSystem, root: String): Unit = {
+    def adopt(p: Path): Unit = {
+      fs.mkdirs(runsRoot(root))
+      fs.rename(p, runPath(root, nextSeq(fs, root)))
+      ()
+    }
+    val tn = legacyTierNextPath(root)
+    val t = legacyTierPath(root)
+    if (fs.exists(tn)) {
+      if (complete(fs, tn)) {
+        adopt(tn)
+        if (fs.exists(t)) fs.delete(t, true)
+      } else fs.delete(tn, true)
+      ()
+    }
+    if (fs.exists(t)) {
+      if (complete(fs, t)) adopt(t) else { fs.delete(t, true); () }
     }
   }
 
   private def healAll(fs: FileSystem, root: String): Unit = {
-    heal(fs, root, "_tier")
-    heal(fs, root, "_base")
+    healRuns(fs, root)
+    adoptLegacy(fs, root)
+    healBase(fs, root)
   }
 
-  /** The level's readable root: a COMPLETE not-yet-promoted `_next`
-    * (a superset of the level by construction) beats the level itself. */
-  private def levelToRead(fs: FileSystem, root: String, lvl: String)
-      : Seq[String] =
-    if (complete(fs, nextPath(root, lvl))) Seq(nextPath(root, lvl).toString)
-    else if (fs.exists(lvlPath(root, lvl))) Seq(lvlPath(root, lvl).toString)
-    else Seq.empty
-
-  /** Every compacted root a reader unions with the un-folded deltas:
-    * base level plus delta-tier. */
-  def storedRoots(fs: FileSystem, root: String): Seq[String] =
-    levelToRead(fs, root, "_base") ++ levelToRead(fs, root, "_tier")
+  /** A fold that emptied the ladder drops the container too, so a fully
+    * folded side lists exactly `_base` (the spec-pinned layout). */
+  private def dropRunsRootIfEmpty(fs: FileSystem, root: String): Unit = {
+    val rr = runsRoot(root)
+    if (fs.exists(rr) && fs.listStatus(rr).isEmpty) { fs.delete(rr, true); () }
+  }
 
   private def foldInto(spark: SparkSession, srcs: Seq[String], dst: Path,
       key: String): Unit =
     spark.read.parquet(srcs: _*).dropDuplicates(key)
       .write.mode(SaveMode.Overwrite).parquet(dst.toString)
 
-  /** MINOR fold: `deltas` (+ the current tier) → `_tier`. Never reads or
-    * writes the base — O(tier + recent). */
+  // --------------------------------------------------------------- folds
+
+  /** MINOR fold: the deltas alone dedup into one NEW run — O(recent),
+    * nothing existing is read — then the ladder cascade merges
+    * geometrically ([[RunMergeRatioConf]]). */
   def minorFold(spark: SparkSession, fs: FileSystem, root: String,
       deltas: Seq[Path], key: String): Unit = {
     healAll(fs, root)
     if (deltas.isEmpty) return
-    val srcs = deltas.map(_.toString) ++ levelToRead(fs, root, "_tier")
-    foldInto(spark, srcs, nextPath(root, "_tier"), key)
+    val seq = nextSeq(fs, root)
+    val dst = runPath(root, seq)
+    val (_, sec) = timed {
+      foldInto(spark, deltas.map(_.toString), dst, key)
+    }
     deltas.foreach(p => fs.delete(p, true))
-    promote(fs, root, "_tier")
+    note(spark, root, f"minor $sec%.1fs ${dst.getName} " +
+      f"${bytesOf(fs, dst) / 1e6}%.1fMB")
+    mergeDue(spark, fs, root, key)
   }
 
-  /** MAJOR fold, only when due: `dedup(base ∪ tier)` → `_base`, tier
-    * removed. Due = tier bytes ≥ [[MajorRatioConf]] × base bytes (a
-    * missing base counts 0 bytes, so the first tier majors immediately —
-    * the store seeded without a base converges to the same layout). */
+  /** The ladder cascade: while the newest run rivals the next-older one
+    * ([[RunMergeRatioConf]]), merge the two — `_SUCCESS`-gated
+    * `mLLLLL_HHHHH` artifact, promoted by [[promoteMerge]]'s schedule.
+    * Binary-counter dynamics: each row is re-merged O(log) times and the
+    * run count stays O(log(tier bytes / batch bytes)). */
+  private def mergeDue(spark: SparkSession, fs: FileSystem, root: String,
+      key: String): Unit = {
+    val ratio = spark.conf
+      .get(RunMergeRatioConf, DefaultRunMergeRatio.toString).toDouble
+    var more = true
+    while (more) {
+      val runs = plainRuns(fs, root)
+      if (runs.size < 2) more = false
+      else {
+        val newest = runs.last
+        val prev = runs(runs.size - 2)
+        if (bytesOf(fs, newest.path) >= ratio * bytesOf(fs, prev.path)) {
+          val dst = mergePath(root, prev.lo, newest.hi)
+          val (_, sec) = timed {
+            foldInto(spark,
+              Seq(prev.path.toString, newest.path.toString), dst, key)
+          }
+          promoteMerge(fs, root,
+            RunArt(dst, prev.lo, newest.hi, isMerge = true, isComplete = true))
+          note(spark, root, f"merge $sec%.1fs r${prev.lo}%05d..r${newest.hi}%05d " +
+            f"${bytesOf(fs, runPath(root, prev.lo)) / 1e6}%.1fMB")
+        } else more = false
+      }
+    }
+  }
+
+  /** MAJOR fold, only when due: `dedup(base ∪ ladder)` → `_base`, runs
+    * removed. Due = the ladder's TOTAL bytes ≥ [[MajorRatioConf]] × base
+    * bytes (a missing base counts 0, so the first run majors immediately —
+    * a store seeded without a base converges to the same layout). */
   def majorFoldIfDue(spark: SparkSession, fs: FileSystem, root: String,
       key: String): Unit = {
     healAll(fs, root)
-    val tier = lvlPath(root, "_tier")
-    if (!fs.exists(tier)) return
+    val runs = plainRuns(fs, root)
+    if (runs.isEmpty) return
     val ratio = spark.conf
       .get(MajorRatioConf, DefaultMajorRatio.toString).toDouble
-    val base = lvlPath(root, "_base")
-    val baseBytes =
-      if (fs.exists(base)) fs.getContentSummary(base).getLength else 0L
-    if (fs.getContentSummary(tier).getLength < ratio * baseBytes) return
-    val srcs = Seq(tier.toString) ++
+    val base = basePath(root)
+    val baseBytes = if (fs.exists(base)) bytesOf(fs, base) else 0L
+    val runBytes = runs.map(a => bytesOf(fs, a.path)).sum
+    if (runBytes < ratio * baseBytes) return
+    val srcs = runs.map(_.path.toString) ++
       (if (fs.exists(base)) Seq(base.toString) else Seq.empty)
-    foldInto(spark, srcs, nextPath(root, "_base"), key)
-    fs.delete(tier, true)
-    promote(fs, root, "_base")
+    val (_, sec) = timed {
+      foldInto(spark, srcs, baseNextPath(root), key)
+    }
+    runs.foreach(a => fs.delete(a.path, true))
+    dropRunsRootIfEmpty(fs, root)
+    healBase(fs, root) // promotes the complete _base_next
+    note(spark, root, f"major $sec%.1fs runs=${runs.size} " +
+      f"${bytesOf(fs, basePath(root)) / 1e6}%.1fMB base")
   }
 
   /** FULL fold — the explicit `compact()` contract the specs pin:
-    * everything (`deltas ∪ tier ∪ base`) → one `_base`, nothing else
-    * left at `root` but the deltas the caller didn't pass. */
+    * everything (`deltas ∪ ladder ∪ legacy tier ∪ base`) → one `_base`,
+    * nothing else left at `root` but the deltas the caller didn't pass. */
   def fullFold(spark: SparkSession, fs: FileSystem, root: String,
       deltas: Seq[Path], key: String): Unit = {
     healAll(fs, root)
-    val tier = lvlPath(root, "_tier")
-    val hasTier = fs.exists(tier)
-    if (deltas.isEmpty && !hasTier) return
-    val srcs = deltas.map(_.toString) ++
-      (if (hasTier) Seq(tier.toString) else Seq.empty) ++
-      levelToRead(fs, root, "_base")
-    foldInto(spark, srcs, nextPath(root, "_base"), key)
+    val runs = plainRuns(fs, root)
+    if (deltas.isEmpty && runs.isEmpty) return
+    val srcs = deltas.map(_.toString) ++ runs.map(_.path.toString) ++
+      levelToRead(fs, basePath(root), baseNextPath(root))
+    foldInto(spark, srcs, baseNextPath(root), key)
     deltas.foreach(p => fs.delete(p, true))
-    if (hasTier) fs.delete(tier, true)
-    promote(fs, root, "_base")
+    runs.foreach(a => fs.delete(a.path, true))
+    dropRunsRootIfEmpty(fs, root)
+    healBase(fs, root)
   }
 }

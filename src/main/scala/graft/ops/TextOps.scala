@@ -124,8 +124,31 @@ object TextOps {
   // CTE is pinned at.
   private val SimBands = 4
   private val SimBandBits = 8 // oracle-side: DefaultSimhashBits / SimBands
-  private[graft] val SimMaxHamming = 3
+  private[graft] val DefaultSimMaxHamming = 3
   private[graft] val DefaultSimhashBits = 32
+
+  /** SimHash verification RADIUS as a session conf (VERDICT r16 optional
+    * #6): the width became a conf in r15 because magnitude moved its
+    * operating point, and the radius has the same character — a wider
+    * signature can afford a larger radius before the birthday term bites
+    * (the acceptance probability sums C(W, 0..h) / 2^W). Pigeonhole-exact
+    * candidate recall REQUIRES `h < SimBands` (h differing bits can touch
+    * at most h of the bands, so at least one band must stay identical) —
+    * validated here, fail-fast. Gates and oracle CTEs stay pinned at the
+    * default 3 ([[requireOracleSimhashWidth]] refuses a changed radius
+    * the same way it refuses a changed width); a simhash-tier store
+    * fingerprints the radius it was built for in its `meta`. */
+  private[graft] val SimMaxHammingConf = "spark.graft.text.simhash.maxHamming"
+
+  private[graft] def simMaxHamming(
+      spark: org.apache.spark.sql.SparkSession): Int = {
+    val h = spark.conf
+      .get(SimMaxHammingConf, DefaultSimMaxHamming.toString).toInt
+    require(h >= 0 && h < SimBands,
+      s"$SimMaxHammingConf must be in [0, ${SimBands - 1}] — pigeonhole " +
+        s"candidate recall needs maxHamming < $SimBands bands, got $h")
+    h
+  }
 
   /** SimHash signature WIDTH as a session conf (r15, found by the
     * magnitude probe): at hamming ≤ 3 a W-bit simhash pairs a RANDOM doc
@@ -162,13 +185,21 @@ object TextOps {
     * callers ([[simhashPairsOf]]/[[simhashEdgesOf]] outside the catalog)
     * are unaffected: the conf is theirs. */
   private[graft] def requireOracleSimhashWidth(
-      s: org.apache.spark.sql.SparkSession): Unit =
+      s: org.apache.spark.sql.SparkSession): Unit = {
     require(simhashBits(s) == DefaultSimhashBits,
       s"the q26/q64/q107 oracles replay the $DefaultSimhashBits-bit " +
         s"default width; $SimhashBitsConf=${simhashBits(s)} would " +
         "hash-mismatch them for an operating-point reason, not a bug — " +
         "unset the conf for gate runs (the width conf is for production " +
         "chains, PROBES.md r15)")
+    // same discipline for the verification radius (r17): the oracle CTE
+    // replays hamming ≤ DefaultSimMaxHamming
+    require(simMaxHamming(s) == DefaultSimMaxHamming,
+      s"the simhash oracles replay hamming ≤ $DefaultSimMaxHamming; " +
+        s"$SimMaxHammingConf=${simMaxHamming(s)} would hash-mismatch them " +
+        "for an operating-point reason, not a bug — unset the conf for " +
+        "gate runs")
+  }
 
   /** DuckDB SimHash: majority vote per bit over md5-hashed tokens — the
     * oracle twin of [[graft.functions.TextFunctions.simhash]], shared by
@@ -208,7 +239,7 @@ object TextOps {
        |spairs AS (SELECT id_a, id_b,
        |        bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
        |   FROM scand JOIN shsig x ON x.doc_id = id_a JOIN shsig y ON y.doc_id = id_b
-       |   WHERE bit_count(xor(x.simhash, y.simhash)) <= $SimMaxHamming)""".stripMargin
+       |   WHERE bit_count(xor(x.simhash, y.simhash)) <= $DefaultSimMaxHamming)""".stripMargin
 
   /** Verified MinHash-LSH near-dup pairs `(id_a, id_b, jaccard)` — the
     * shared candidate pipeline behind q25 (pair listing) and q63
@@ -433,7 +464,7 @@ object TextOps {
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
           && col("a.doc_id") < col("b.doc_id"))
-      .where(ham <= SimMaxHamming)
+      .where(ham <= simMaxHamming(d.sparkSession))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         ham.as("hamming"))
       .distinct()

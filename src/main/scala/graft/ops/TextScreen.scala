@@ -36,9 +36,11 @@ object TextSigStore {
     *   - `sigs/<updateId>/` — one delta directory per applied update
     *     (`(doc_id, sig)` rows, written with overwrite so a replayed
     *     partial attempt rewrites identical bytes);
-    *   - `sigs/_base` and `sigs/_tier` (+ `_base_next`/`_tier_next`
-    *     mid-promotion) — the compaction levels ([[SideStoreFold]]'s
-    *     tiered minor/major schedule; [[compact]] is the explicit
+    *   - `sigs/_base` (+ `_base_next` mid-promotion) and the
+    *     `sigs/_runs/rNNNNN` size-tiered ladder — the compaction levels
+    *     ([[SideStoreFold]]'s minor/merge/major schedule; legacy
+    *     `_tier`/`_tier_next` artifacts stay readable and are adopted
+    *     into the ladder; [[compact]] is the explicit
     *     fold-everything-to-`_base` lever);
     *   - `tip` — the lexicographic update-id high-watermark (atomic
     *     write-temp + overwrite-rename, the codes store's discipline);
@@ -101,8 +103,11 @@ object TextSigStore {
     if (simhashTier)
       TextOps.simhashSigsOf(corpus, simBits)
         .write.mode(SaveMode.Overwrite).parquet(s"${simsigsDir(dir)}/_base")
+    // a simhash-tier store fingerprints its verification RADIUS alongside
+    // its width (r17): both are part of the operating point the stored
+    // signatures are only comparable within
     val meta = s"${p.numHashes}\n${p.bands}\n" +
-      (if (simhashTier) s"$simBits\n" else "")
+      (if (simhashTier) s"$simBits\n${TextOps.simMaxHamming(spark)}\n" else "")
     val out = fs.create(metaPath(dir), true)
     try out.write(meta.getBytes("UTF-8"))
     finally out.close()
@@ -146,11 +151,22 @@ object TextSigStore {
     // a simhash-tier store fingerprints its width too: band keys from a
     // different width never collide correctly (same failure mode as a
     // banding mismatch — a silent under-screen, so fail fast instead)
-    simhashTierBits(lines).foreach(stored =>
+    simhashTierBits(lines).foreach { stored =>
       require(stored == TextOps.simhashBits(spark),
         s"text sig store at $dir carries a simhash tier at $stored bits, " +
           s"session says ${TextOps.simhashBits(spark)} — set " +
-          s"${TextOps.SimhashBitsConf}=$stored or rebuild the store"))
+          s"${TextOps.SimhashBitsConf}=$stored or rebuild the store")
+      // the radius rides the same fingerprint (r17): screening at a wider
+      // radius than the store was built for would silently change which
+      // near-exact pairs the tier settles (legacy 3-line meta = the
+      // pinned default 3)
+      val storedH = simhashTierMaxHamming(lines)
+      require(storedH == TextOps.simMaxHamming(spark),
+        s"text sig store at $dir carries a simhash tier verified at " +
+          s"hamming ≤ $storedH, session says " +
+          s"${TextOps.simMaxHamming(spark)} — set " +
+          s"${TextOps.SimMaxHammingConf}=$storedH or rebuild the store")
+    }
   }
 
   private def metaLines(spark: SparkSession, dir: String): Array[String] = {
@@ -161,6 +177,10 @@ object TextSigStore {
 
   private def simhashTierBits(lines: Array[String]): Option[Int] =
     lines.drop(2).headOption.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+
+  private def simhashTierMaxHamming(lines: Array[String]): Int =
+    lines.drop(3).headOption.map(_.trim).filter(_.nonEmpty).map(_.toInt)
+      .getOrElse(TextOps.DefaultSimMaxHamming)
 
   /** Whether the store was [[build]]t with the simhash tier (`meta`'s
     * third line records the width). */
@@ -283,8 +303,8 @@ object TextSigStore {
     true
   }
 
-  /** Purge UNCOMMITTED orphan deltas (id above the tip) on every side,
-    * except the update currently being applied. Run by
+  /** Purge UNCOMMITTED orphan deltas — ids above the tip but strictly
+    * BELOW the update now being applied — on every side. Run by
     * [[TextScreen.screenAndAppend]] before any screen work (r16 review):
     * the tip visibility rule alone stops protecting a crashed,
     * never-replayed update once a LATER id advances the tip PAST it —
@@ -292,23 +312,27 @@ object TextSigStore {
     * though some sides never landed. The simsigs side made this hole
     * index-ACTIVE (a phantom simsig row drops future batch content
     * against text the store does not hold — silent data loss; phantom
-    * texts/sigs are merely inert or under-screening). A single writer
-    * drives the store (the tip discipline's standing assumption), so any
-    * above-tip dir here is a dead attempt: the id being applied now
-    * overwrites its own dirs anyway, and any OTHER id's orphan is an
-    * update the caller abandoned — deleting it keeps every side
-    * all-or-nothing under the tip. */
+    * texts/sigs are merely inert or under-screening). Only ids BELOW the
+    * incoming one are dead by the monotone-id contract (a lower id can
+    * never commit once this one advances the tip past it); an id ABOVE
+    * the incoming one is left alone (ADVICE r16): under the single-writer
+    * assumption it is equally dead and a later apply purges it, but never
+    * touching a later id means an overlapping writer mid-apply — an
+    * operator retry racing a stream — cannot have its in-flight side dirs
+    * deleted out from under it. The retroactive-visibility hole stays
+    * closed either way: the tip only ever advances to the id whose purge
+    * already ran. */
   private[graft] def purgeOrphans(spark: SparkSession, dir: String,
       exceptId: String): Unit = {
     val tip = readTip(spark, dir)
       .map(graft.engine.LopqIndexStore.normalizeUpdateId)
-    val keep = graft.engine.LopqIndexStore.normalizeUpdateId(exceptId)
+    val incoming = graft.engine.LopqIndexStore.normalizeUpdateId(exceptId)
     val fs = fsOf(spark, dir)
     for (root <- Seq(sigsDir(dir), textsDir(dir), simsigsDir(dir))
          if fs.exists(new org.apache.hadoop.fs.Path(root));
          p <- updateDirs(spark, root)) {
       val n = graft.engine.LopqIndexStore.normalizeUpdateId(p.getName)
-      if (n != keep && !tip.exists(n <= _)) { fs.delete(p, true); () }
+      if (n < incoming && !tip.exists(n <= _)) { fs.delete(p, true); () }
     }
   }
 
@@ -344,22 +368,28 @@ object TextSigStore {
       f(fs, root, committedDirs(spark, dir, root))
   }
 
-  /** The in-loop LSM valve, TIERED (VERDICT r15 "what's missing #2"):
-    * when the committed un-folded delta count reaches the conf bound,
-    * run a MINOR fold (deltas → the `_tier` directory, O(recent + tier),
-    * the base untouched) and then a MAJOR fold ONLY if the tier's bytes
-    * rival the base's ([[SideStoreFold.MajorRatioConf]]) — so a
-    * long-lived store stops rewriting its whole history every
-    * `compactAt` batches (the r15 8-batch probe's 88-92 s fold spikes
-    * were exactly that base rewrite). */
+  /** The in-loop LSM valve, TIERED (VERDICT r15 "what's missing #2";
+    * r17: size-tiered run ladder, r16 "what's missing #1"): when the
+    * committed un-folded delta count reaches the conf bound, run a MINOR
+    * fold (deltas → one new run, O(recent) — the geometric ladder cascade
+    * bounds both re-merge work and the reader's root count at O(log))
+    * and then a MAJOR fold ONLY if the ladder's bytes rival the base's
+    * ([[SideStoreFold.MajorRatioConf]]) — so a long-lived store stops
+    * rewriting its whole history every `compactAt` batches (the r15
+    * 8-batch probe's 88-92 s fold spikes were exactly that base rewrite),
+    * and no minor fold ever approaches the base rewrite it replaced (the
+    * r16 single-`_tier` design's pre-major tail). What each valve firing
+    * did is readable at [[SideStoreFold.FoldNoteConf]]. */
   def maybeCompact(spark: SparkSession, dir: String): Unit = {
     val at = spark.conf
       .get(CompactSigsAtConf, DefaultCompactSigsAt.toString).toInt
-    if (committedDeltaDirs(spark, dir).size >= at)
+    if (committedDeltaDirs(spark, dir).size >= at) {
+      SideStoreFold.resetFoldNote(spark)
       foreachSide(spark, dir) { (fs, root, deltas) =>
         SideStoreFold.minorFold(spark, fs, root, deltas, "doc_id")
         SideStoreFold.majorFoldIfDue(spark, fs, root, "doc_id")
       }
+    }
   }
 }
 
@@ -435,6 +465,7 @@ object TextScreen {
   private def simTierPairs(corpusSims: DataFrame, batchSims: DataFrame,
       bits: Int): DataFrame = {
     val spark = batchSims.sparkSession
+    val maxH = TextOps.simMaxHamming(spark) // store-validated by requireParams
     val batchBands = TextOps.simhashBandRowsOf(batchSims, bits)
       .localCheckpoint()
     val corpusBands = TextOps.simhashBandRowsOf(corpusSims, bits)
@@ -444,7 +475,7 @@ object TextScreen {
     val newOld = corpusBands.as("c")
       .join(bSide.as("b"),
         col("c.band") === col("b.band") && col("c.bsig") === col("b.bsig"))
-      .where(hamNO <= TextOps.SimMaxHamming)
+      .where(hamNO <= maxH)
       .select(least(col("c.doc_id"), col("b.doc_id")).as("id_a"),
         greatest(col("c.doc_id"), col("b.doc_id")).as("id_b"))
     val hamNN = graft.functions.TextFunctions
@@ -453,7 +484,7 @@ object TextScreen {
       .join(batchBands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
           && col("a.doc_id") < col("b.doc_id"))
-      .where(hamNN <= TextOps.SimMaxHamming)
+      .where(hamNN <= maxH)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     newOld.unionAll(newNew).distinct()
   }

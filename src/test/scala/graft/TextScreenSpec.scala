@@ -232,16 +232,20 @@ class TextScreenSpec extends SparkSpec {
     spark.conf.set(TextSigStore.CompactSigsAtConf, "1")
     try {
       TextScreen.screenAndAppend(spark, dir, corpus, batch1, "u0001")
-      assert(entries() === Seq("_base", "_tier"),
-        "compactAt=1 must minor-fold the delta into a tier")
+      assert(entries() === Seq("_base", "_runs"),
+        "compactAt=1 must minor-fold the delta into a ladder run")
       assert(baseFiles() === base0, "a minor fold must never touch the base")
       val c1 = content()
       val corpus2 = all.where(col("doc_id").isin(c1.map(_._1).toSeq: _*))
       TextScreen.screenAndAppend(spark, dir, corpus2, batch2, "u0002")
-      assert(entries() === Seq("_base", "_tier"),
-        "the second minor fold re-folds the tier, not the base")
+      assert(entries() === Seq("_base", "_runs"),
+        "the second minor fold grows the ladder, not the base")
       assert(baseFiles() === base0,
-        "tier ≪ base at the default ratio: still no base rewrite")
+        "ladder ≪ base at the default ratio: still no base rewrite")
+      // similar-size sibling runs cascade-merge: the ladder stays O(log)
+      val fs2 = new org.apache.hadoop.fs.Path(s"$dir/sigs/_runs")
+      assert(fs.listStatus(fs2).length <= 2,
+        "the geometric cascade must bound the run count")
       val c2 = content()
       assert(c1.subsetOf(c2) && c2.size > c1.size)
       // read-path equivalence across tier states: the same rows read
@@ -259,7 +263,7 @@ class TextScreenSpec extends SparkSpec {
         .toDF("doc_id", "text")
       TextScreen.screenAndAppend(spark, dir, corpus3, batch3, "u0003")
       assert(entries() === Seq("_base"),
-        "ratio 0 must major-fold the tier into the base inside the valve")
+        "ratio 0 must major-fold the ladder into the base inside the valve")
       val c3 = content()
       assert(c3.map(_._1).contains(990001L) && c2.subsetOf(c3))
     } finally {
@@ -415,6 +419,53 @@ class TextScreenSpec extends SparkSpec {
         assert(ex.getMessage.contains("oracle"), s"$q: ${ex.getMessage}")
       }
     } finally spark.conf.unset(TextOps.SimhashBitsConf)
+  }
+
+  test("simhash radius conf: default pinned at 3; pigeonhole bound " +
+      "validated; store meta fingerprints the radius; gates refuse a " +
+      "non-default radius up front") {
+    // VERDICT r16 optional #6: the radius has the width's character —
+    // magnitude can move it — so it gets the width's discipline: a conf,
+    // a pigeonhole validity check (candidate recall is exact only while
+    // maxHamming < bands), a store-meta fingerprint refused on mismatch,
+    // and a fail-fast in the oracle-pinned gates.
+    assert(TextOps.simMaxHamming(spark) === 3)
+    for (bad <- Seq("4", "-1", "7")) {
+      spark.conf.set(TextOps.SimMaxHammingConf, bad)
+      try intercept[IllegalArgumentException](TextOps.simMaxHamming(spark))
+      finally spark.conf.unset(TextOps.SimMaxHammingConf)
+    }
+    // a tier store built at the default refuses a session at radius 2
+    val all = corpusOf(200).localCheckpoint()
+    val (corpus, batch) = splitOf(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_simradius").toString + "/store"
+    TextSigStore.build(spark, dir, corpus, simhashTier = true)
+    spark.conf.set(TextOps.SimMaxHammingConf, "2")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        TextScreen.screenAndAppend(spark, dir, corpus, batch, "u0001"))
+      assert(ex.getMessage.contains(TextOps.SimMaxHammingConf), ex.getMessage)
+      // and the simhash gates refuse the changed radius before touching
+      // any input (their oracle CTEs replay hamming ≤ 3)
+      val qd = TextOps.defs.find(_.name == "q64_simhash_hamming_pairs").get
+      val ex2 = intercept[IllegalArgumentException](
+        qd.run(spark, "/nonexistent"))
+      assert(ex2.getMessage.contains("oracle"), ex2.getMessage)
+    } finally spark.conf.unset(TextOps.SimMaxHammingConf)
+    // a store BUILT at radius 2 carries it in meta and screens with it
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_simradius2").toString + "/store"
+    spark.conf.set(TextOps.SimMaxHammingConf, "2")
+    try {
+      TextSigStore.build(spark, dir2, corpus, simhashTier = true)
+      val r = TextScreen.screenAndAppend(spark, dir2, corpus, batch, "u0001")
+      assert(r.applied)
+    } finally spark.conf.unset(TextOps.SimMaxHammingConf)
+    // ...and refuses the default-radius session afterwards
+    val ex3 = intercept[IllegalArgumentException](
+      TextScreen.screenAndAppend(spark, dir2, corpus, batch, "u0002"))
+    assert(ex3.getMessage.contains("hamming"), ex3.getMessage)
   }
 
   test("screenPairs past the broadcast byte gate: the shuffle-join fallback " +
@@ -604,14 +655,17 @@ class TextScreenSpec extends SparkSpec {
     assert(!sigIds.exists(batch.select("doc_id").as[Long].collect().toSet))
   }
 
-  test("_tier_next crash windows: a COMPLETE unpromoted tier is preferred " +
-      "and healed; a PARTIAL one is invisible and discarded") {
-    // the _base_next rules (IngestSpec) applied to the tier level the r16
-    // minor fold introduced: a fold that crashed after writing its
-    // `_SUCCESS`-complete `_tier_next` (but before source deletion /
-    // promotion) must be readable — it is a superset of what it folded —
-    // and a fold that died mid-write must be invisible and discarded,
-    // never promoted over rows the level still holds
+  test("legacy _tier_next crash windows: a COMPLETE unpromoted tier is " +
+      "preferred and adopted into the ladder; a PARTIAL one is invisible " +
+      "and discarded") {
+    // the _base_next rules (IngestSpec) applied to the single-tier level
+    // the r16 minor fold introduced — now LEGACY artifacts (r17's ladder
+    // replaced the single `_tier`): a pre-r17 fold that crashed after
+    // writing its `_SUCCESS`-complete `_tier_next` (but before source
+    // deletion / promotion) must stay readable — it is a superset of what
+    // it folded — and be ADOPTED as a ladder run by the next fold's heal;
+    // one that died mid-write must be invisible and discarded, never
+    // promoted over rows the level still holds
     val all = corpusOf(200).localCheckpoint()
     val (corpus, batch) = splitOf(all)
     val dir = java.nio.file.Files
