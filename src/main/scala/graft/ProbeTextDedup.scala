@@ -455,8 +455,16 @@ object ProbeTextDedup {
     val compactAt = args.find(_.startsWith("compactAt:"))
       .map(_.stripPrefix("compactAt:").toInt).getOrElse(4)
     val viaStream = args.contains("stream")
+    // `mergeRatio:R` — the ladder cascade trigger; 0 makes every fold
+    // collapse the whole ladder into ONE run (byte-for-byte the r16
+    // single-`_tier` behavior, the lifetime run's A/B control)
+    val mergeRatio = args.find(_.startsWith("mergeRatio:"))
+      .map(_.stripPrefix("mergeRatio:").toDouble)
+    mergeRatio.foreach(r =>
+      spark.conf.set(graft.ops.SideStoreFold.RunMergeRatioConf, r.toString))
     println(s"[probe-text] screenseq nDocs=$nDocs clique=$clique " +
       s"batch=$batchN batches=$m compactAt=$compactAt" +
+      mergeRatio.map(r => s" mergeRatio=$r").getOrElse("") +
       majorRatio.map(r => s" majorRatio=$r").getOrElse("") +
       (if (simTier) s" simtier=$simBits-bit" else "") +
       (if (viaStream) " stream" else "") +
@@ -541,8 +549,9 @@ object ProbeTextDedup {
       // two runs of the same batches through different REGIMES (broadcast
       // vs shuffle, direct vs streaming twin) must land the same store
       val storeHash = graft.ops.TextSigStore.sigs(spark, storeDir)
-        .select(sum(xxhash64(col("doc_id"),
-          concat_ws(",", col("sig")))).as("h")).head().getLong(0)
+        .select(sum(xxhash64(col("doc_id"), concat_ws(",", col("sig")))
+          .cast("decimal(38,0)")).as("h")) // ANSI: a long sum overflows
+        .head().getDecimal(0)
       println(s"[probe-text]   storeHash=$storeHash")
       // per planted batch class (the single-mode audit over ALL batches):
       // catch rates per class — the combined-operating-point record

@@ -73,8 +73,12 @@ object TextSigStore {
     * banding — the measured curve (PROBES.md r15 `lshcurve`) shows the
     * 16×4 default catches ~67 % of pairs at its own j ≥ 0.5 threshold
     * while 16×8 (`spark.graft.text.lsh.bands = 8`) catches 98.3 % at
-    * identical banding wall and identical signature cost; consider
-    * seeding at 16×8 unless you need the gates' pinned default. The
+    * identical banding wall and identical signature cost. 16×8 is the
+    * RECOMMENDED setting for a new store (promoted r17 after the
+    * combined-point magnitude run: 16×8 + the 60-bit simhash tier caught
+    * 99.97 % of the planted j ≈ 0.8 class over 8 × 50k batches at 1.15×
+    * the 16×4 per-batch wall, organics untouched — PROBES.md r17); the
+    * gates stay at the pinned 16×4 default their oracles replay. The
     * store fingerprints whatever point it was built at (`meta`) and
     * [[requireParams]] refuses a mismatched session, so the choice is
     * made once, here. */
