@@ -85,6 +85,13 @@ object ProbeTextDedup {
     spark
   }
 
+  /** Probe scratch root — derived via [[graft.ops.Tables.scratch]]
+    * (conf override, else `user.dir`/target) instead of a hardcoded repo
+    * path; under sbt this resolves to the same `target/graft-text/...`
+    * the earlier rounds staged, so corpora keep being reused. */
+  private def textRoot(spark: SparkSession, nDocs: Long, clique: Int): String =
+    graft.ops.Tables.scratch(spark, s"graft-text/n${nDocs}_c$clique")
+
   private def stage[A](label: String)(body: => A): A = {
     val b0 = graft.core.DiskStats.readBytes()
     val t0 = System.nanoTime()
@@ -106,7 +113,7 @@ object ProbeTextDedup {
   private def ensureCorpus(spark: SparkSession, nDocs: Long, clique: Int)
       : String = {
     import spark.implicits._
-    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val root = textRoot(spark, nDocs, clique)
     val staged = s"$root/docs"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -141,7 +148,7 @@ object ProbeTextDedup {
     val spark = session()
 
     val route = if (naive) "naive" else "collapsed"
-    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val root = textRoot(spark, nDocs, clique)
     val edgesDir = s"$root/edges_$route"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -272,7 +279,7 @@ object ProbeTextDedup {
       (if (simTier) s" simtier=$simBits-bit" else "") +
       (if (args.contains("nobroadcast")) " nobroadcast" else ""))
     val t0 = System.nanoTime()
-    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val root = textRoot(spark, nDocs, clique)
     val storeDir = s"$root/sigstore_${lp.numHashes}x${lp.bands}" +
       (if (simTier) s"_sim$simBits" else "")
     val fs = new org.apache.hadoop.fs.Path(root)
@@ -470,7 +477,7 @@ object ProbeTextDedup {
       (if (viaStream) " stream" else "") +
       (if (args.contains("nobroadcast")) " nobroadcast" else ""))
     val t0 = System.nanoTime()
-    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val root = textRoot(spark, nDocs, clique)
     val storeDir = s"$root/sigstore_seq"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -602,7 +609,7 @@ object ProbeTextDedup {
     println(s"[probe-text] simhash nDocs=$nDocs clique=$clique route=$route" +
       s" bits=${graft.ops.TextOps.simhashBits(spark)}")
     val t0 = System.nanoTime()
-    val root = s"/root/repo/target/graft-text/n${nDocs}_c$clique"
+    val root = textRoot(spark, nDocs, clique)
     val edgesDir = s"$root/simedges_${route}_b${graft.ops.TextOps.simhashBits(spark)}"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

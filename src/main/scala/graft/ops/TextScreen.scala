@@ -853,6 +853,58 @@ object TextScreen {
               |SELECT doc_id, array_to_string(sig, ',') AS sig_str FROM sig
               |WHERE doc_id % $BatchMod <> 0
               |   OR doc_id NOT IN (SELECT id FROM drops)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // The LSM FOLD PIPELINE under the correctness gate (r17): q106's loop
+    // with the valve forced to fire inside the gate — the update delta
+    // minor-folds into a ladder run and a forced-ratio major folds
+    // ladder + base into one `_base` — then the store is read back and
+    // hash-compared against the SAME oracle as q106. Folding is dedup of
+    // bit-identical content-keyed rows, so the store's CONTENT must be
+    // invariant under any fold schedule; this gate proves that
+    // per-round against DuckDB instead of only in specs (the default
+    // compactAt never folds at gate scale, so q106 alone exercises the
+    // un-folded read path). The replay after the fold also witnesses
+    // that folding never un-applies an update (the tip survives folds).
+    QueryDef(
+      "q110_text_store_ladder_fold",
+      (s, d) => {
+        val root = Tables.scratch(s,
+          s"graft-text-store/fold_${new java.io.File(d).getName}")
+        val (corpus, batch) = split(s, d)
+        TextSigStore.build(s, root, corpus)
+        s.conf.set(TextSigStore.CompactSigsAtConf, "1")
+        s.conf.set(SideStoreFold.MajorRatioConf, "0.0")
+        try {
+          val r1 = screenAndAppend(s, root, corpus, batch, "u0001")
+          require(r1.applied, s"fold-gate first apply must run: $r1")
+          val fs = new org.apache.hadoop.fs.Path(root)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          val entries = fs.listStatus(
+              new org.apache.hadoop.fs.Path(s"$root/sigs"))
+            .map(_.getPath.getName).sorted.toSeq
+          require(entries == Seq("_base"),
+            s"the forced valve must fold delta → run → base, got $entries")
+          val r2 = screenAndAppend(s, root, corpus, batch, "u0001")
+          require(!r2.applied,
+            s"a fold must never un-apply an update (tip survives): $r2")
+        } finally {
+          s.conf.unset(TextSigStore.CompactSigsAtConf)
+          s.conf.unset(SideStoreFold.MajorRatioConf)
+        }
+        TextSigStore.sigs(s, root)
+          .select(col("doc_id"), concat_ws(",", col("sig")).as("sig_str"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${TextOps.lshCtePrefixForOracle},
+              |drops AS (
+              |  SELECT id_b AS id FROM pairs WHERE id_b % $BatchMod = 0
+              |  UNION
+              |  SELECT id_a FROM pairs
+              |  WHERE id_a % $BatchMod = 0 AND id_b % $BatchMod <> 0)
+              |SELECT doc_id, array_to_string(sig, ',') AS sig_str FROM sig
+              |WHERE doc_id % $BatchMod <> 0
+              |   OR doc_id NOT IN (SELECT id FROM drops)
               |ORDER BY doc_id""".stripMargin))
   )
 }
