@@ -437,8 +437,11 @@ object ProbeTextDedup {
             fs.getContentSummary(basePath).getLength / 1e6
           else 0.0
         val runs = graft.ops.SideStoreFold.runLayout(fs, root)
-        val deltas = fs.listStatus(rp)
-          .count(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
+        // COMMITTED (tip-visible) deltas only — readers union exactly
+        // these, so the roots line reports the real read-path list size
+        // (an above-tip orphan dir is invisible; r17 review)
+        val deltas = graft.ops.TextSigStore
+          .committedDirs(spark, storeDir, root).size
         val roots = graft.ops.SideStoreFold.storedRoots(fs, root).size + deltas
         println(f"[probe-text]   $side%-8s base=$baseMb%8.1fMB  runs=[" +
           runs.map { case (n, b) => f"$n:${b / 1e6}%.1fMB" }.mkString(" ") +
@@ -527,13 +530,17 @@ object ProbeTextDedup {
           println(s"[probe-text]   batch $k flagged=${r.flaggedPairs} " +
             s"appended=${r.appended} of ${r.batchRows}")
         }
-        println(s"[probe-text]   bandJoin=" +
-          spark.conf.get(graft.ops.TextScreen.LastBandJoinNote, "?") +
-          (if (simTier) " simBandJoin=" +
-            spark.conf.get(graft.ops.TextScreen.LastSimBandJoinNote, "?")
-           else ""))
-        printStoreState(spark, storeDir, simTier)
       }
+      // reporting OUTSIDE the timed stage (r17 review): the store-state
+      // walk stats the base + every run per side — O(store files)
+      // metadata that must not inflate the per-batch cost curve the
+      // lifetime run exists to record
+      println(s"[probe-text]   bandJoin=" +
+        spark.conf.get(graft.ops.TextScreen.LastBandJoinNote, "?") +
+        (if (simTier) " simBandJoin=" +
+          spark.conf.get(graft.ops.TextScreen.LastSimBandJoinNote, "?")
+         else ""))
+      printStoreState(spark, storeDir, simTier)
       dropCaches(spark)
     }
     stage("audit") {

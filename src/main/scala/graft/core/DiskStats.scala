@@ -59,7 +59,14 @@ object DiskStats {
     * may contain spaces. Reaped-child CPU (cutime/cstime, fields 16/17)
     * counts as "our own" work (ADVICE r16): without it, any subprocess a
     * timed pass spawns would inflate the foreign-CPU attribution channel
-    * — the exact misattribution the channel exists to prevent. */
+    * — the exact misattribution the channel exists to prevent. Caveat
+    * (r17 review): the kernel credits cutime/cstime only when the child
+    * is REAPED, so a child whose lifetime spans pass boundaries still
+    * distorts two windows (its running pass over-reports foreign, its
+    * reaping pass's self-delta jumps and the clamp floors foreign at 0).
+    * Bench itself spawns no subprocesses, so today this is a documented
+    * edge, not an active error; a caller that does spawn per-pass
+    * children should reap them inside the same pass. */
   def selfCpuJiffies(): Long =
     scala.util.Try {
       val line = scala.io.Source.fromFile("/proc/self/stat").mkString

@@ -244,8 +244,8 @@ object TextSigStore {
     * names ARE update ids, so the watermark decides visibility exactly
     * (one tip read for the whole listing); shared by the sigs and texts
     * sides, which commit through the same tip. */
-  private def committedDirs(spark: SparkSession, dir: String, root: String)
-      : Seq[org.apache.hadoop.fs.Path] = {
+  private[graft] def committedDirs(spark: SparkSession, dir: String,
+      root: String): Seq[org.apache.hadoop.fs.Path] = {
     val tip = readTip(spark, dir)
       .map(graft.engine.LopqIndexStore.normalizeUpdateId)
     updateDirs(spark, root).filter(p => tip.exists(t =>
