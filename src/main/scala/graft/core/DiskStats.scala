@@ -76,6 +76,20 @@ object DiskStats {
       rest(11).toLong + rest(12).toLong + rest(13).toLong + rest(14).toLong
     }.getOrElse(-1L)
 
+  /** Dirty + Writeback bytes from `/proc/meminfo` — pending page-cache
+    * writeback. A bench chained right behind a heavy write phase (the
+    * driver runs Bench immediately after the correctness gate's store
+    * writes) starts while the kernel is still flushing those pages; the
+    * flush competes with the timed passes' reads for the device/host IO
+    * budget. Returns -1 where unreadable. */
+  def dirtyWritebackBytes(): Long =
+    scala.util.Try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .filter(l => l.startsWith("Dirty:") || l.startsWith("Writeback:"))
+        .map(_.split("\\s+")(1).toLong * 1024L)
+        .sum
+    }.getOrElse(-1L)
+
   /** 1-minute load average, or -1 where unreadable. */
   def loadAvg1(): Double =
     scala.util.Try {

@@ -88,24 +88,41 @@ class SideStoreFoldSpec extends SparkSpec {
         "a minor fold must never touch the base")
       assert(content(root) === rows(0, 300).as[(Long, String)].collect().toSet)
       assert(readRows(root) === 300L, "no root may be read twice")
-      // default ratio: the two similar-size runs cascade into one on the
-      // next firing (binary-counter dynamics)
+      // default merge ratio: the two similar-size runs cascade into one on
+      // the next firing (binary-counter dynamics). The major is held off
+      // (huge MajorRatioConf) so the cascade is pinned in isolation —
+      // since r18 a firing where the major is ALREADY due skips the
+      // cascade outright (ADVICE r17: the major's dedup(base ∪ runs)
+      // subsumes any merge work), which the next block pins.
       spark.conf.unset(SideStoreFold.RunMergeRatioConf)
+      spark.conf.set(SideStoreFold.MajorRatioConf, "1e18")
       SideStoreFold.minorFold(spark, fs, root,
         Seq(writeDelta(root, "u0004", 300, 400)), "id")
       assert(runNames(root) === Seq("r00001"),
         s"equal-size runs must cascade-merge, got ${runNames(root)}")
       assert(files(s"$root/_base") === base0)
       assert(content(root) === rows(0, 400).as[(Long, String)].collect().toSet)
-      // NATURAL major: the ladder (300 rows) already rivals the base
+      // the firing where the major IS due skips the cascade (r18, ADVICE
+      // r17): r00001 (300 rows) would otherwise carry-chain with the new
+      // run, and the major below immediately rewrites the same bytes
+      spark.conf.unset(SideStoreFold.MajorRatioConf)
+      SideStoreFold.minorFold(spark, fs, root,
+        Seq(writeDelta(root, "u0005", 400, 500)), "id")
+      assert(runNames(root) === Seq("r00001", "r00002"),
+        s"a minor fold with the major due must skip the cascade, got ${runNames(root)}")
+      assert(content(root) === rows(0, 500).as[(Long, String)].collect().toSet)
+      // NATURAL major: the ladder (400 rows) already rivals the base
       // (100 rows) at the default ratio 1.0 — no forcing conf
       SideStoreFold.majorFoldIfDue(spark, fs, root, "id")
       assert(runNames(root).isEmpty &&
         !fs.exists(new Path(s"$root/_runs")) &&
         fs.exists(new Path(s"$root/_base")))
-      assert(content(root) === rows(0, 400).as[(Long, String)].collect().toSet)
-      assert(readRows(root) === 400L)
-    } finally spark.conf.unset(SideStoreFold.RunMergeRatioConf)
+      assert(content(root) === rows(0, 500).as[(Long, String)].collect().toSet)
+      assert(readRows(root) === 500L)
+    } finally {
+      spark.conf.unset(SideStoreFold.RunMergeRatioConf)
+      spark.conf.unset(SideStoreFold.MajorRatioConf)
+    }
   }
 
   test("a small run never triggers a merge against a much larger elder " +
