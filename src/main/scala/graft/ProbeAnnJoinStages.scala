@@ -132,6 +132,7 @@ object ProbeAnnJoinStages {
   private def fusedMain(args: Array[String]): Unit = {
     val s = args.headOption match {
       case Some("v3") => ReleaseShape.V3
+      case Some("v4") => ReleaseShape.V4
       case _ => ReleaseShape.V2
     }
     val n = args.drop(1).headOption.map(_.toInt).getOrElse(1000)

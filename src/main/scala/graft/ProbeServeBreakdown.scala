@@ -17,7 +17,8 @@ import graft.engine.{LopqIndexStore, LopqSearcher, ReleaseShape, RerankShape}
   * Usage: runMain graft.ProbeServeBreakdown [v1|v2|v3|v4] [passes]
   */
 object ProbeServeBreakdown {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    val (confArgs, args) = args0.partition(_.startsWith("conf:"))
     val shapeName = args.headOption.getOrElse("v3")
     val passes = args.lift(1).map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -29,6 +30,12 @@ object ProbeServeBreakdown {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    confArgs.foreach { a =>
+      a.stripPrefix("conf:").split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v); println(s"[serve-breakdown] conf $k=$v")
+        case _ => sys.error(s"bad conf arg: $a")
+      }
+    }
     import spark.implicits._
 
     val s = shapeName match {

@@ -253,6 +253,18 @@ object LopqSearcher {
   val AnnJoinMaxPushedCellsConf = "spark.graft.annjoin.maxPushedCells"
   val DefaultAnnJoinMaxPushedCells = 65536
 
+  /** Conf: the batch join's codes-scan cell IN-list is applied only when
+    * it would DROP at least (1 − this) of the indexed rows — i.e. it is
+    * skipped when the batch's visited-cell union keeps more than this
+    * fraction. Both sides are exact driver-known quantities (histogram
+    * counts). Measured r18 at the v3 release shape: a 15.5k-literal INSET
+    * evaluated on 600k rows cost ~1.5 s to prune 0.4 % of them; skipping
+    * is result-identical (the fan-out join's cell_id equi-key discards
+    * non-visited cells). 0.75 keeps the filter where it still halves the
+    * balanced shuffle (the v4 deployment shape keeps 56 %). */
+  val AnnJoinScanFilterMaxKeepFractionConf = "spark.graft.annjoin.scanFilterMaxKeepFraction"
+  val DefaultAnnJoinScanFilterMaxKeepFraction = 0.75
+
   /** Conf: estimated bytes of materialized per-(query, visited cell) ADC
     * tables above which [[annJoin]] ships the cell-local query PROJECTION
     * (D floats per pair) through the join instead of the tables (M·S
@@ -292,7 +304,8 @@ object LopqSearcher {
     spark.conf.set(AnnJoinLastPrefix + key, v.toString)
   /** The last plan's regime notes, for probes/specs. */
   def lastPlanNotes(spark: org.apache.spark.sql.SparkSession): Map[String, String] =
-    Seq("shipMode", "cellsPushed", "balanced", "qsideBroadcast", "rerankMode",
+    Seq("shipMode", "cellsPushed", "scanKeepFraction", "balanced",
+        "qsideBroadcast", "rerankMode",
         "exactShape", "nPairs", "fanOutRows", "qsidePayloadBytes", "candBound",
         "qvecMaxBytes", "chunks", "chunkRows")
       .flatMap(k => spark.conf.getOption(AnnJoinLastPrefix + k).map(k -> _))
@@ -491,10 +504,31 @@ object LopqSearcher {
 
     val maxPushed = spark.conf
       .get(AnnJoinMaxPushedCellsConf, DefaultAnnJoinMaxPushedCells.toString).toInt
-    ensureInPushdown(spark, math.min(unionCells.length, maxPushed))
-    note(spark, "cellsPushed", unionCells.length <= maxPushed)
+    // Selectivity gate (r18, guide §1/§2 "don't pay for work that buys
+    // nothing"): the cell IN-list is a per-row set probe over EVERY codes
+    // row, and its cost grows with the literal count (measured at the v3
+    // release shape: a 15.5k-value INSET added ~1.5 s to a 0.4 s scan of
+    // 600k rows) while a large batch's visited-cell union often keeps
+    // nearly the whole index (v3: 597519 of 600000 rows — the filter
+    // prunes 0.4 %). Both sides of that trade are DRIVER-KNOWN exactly
+    // (Σ histogram counts over the union vs the histogram total — the r9
+    // rule: gate on engine-known quantities, never plan stats), so the
+    // filter is applied only when it actually prunes: skipping it is
+    // result-identical because the fan-out equi-join on cell_id discards
+    // non-visited cells' rows anyway.
+    val rowsInUnion = cellRows.iterator
+      .map { case (c, _) => index.cellCounts.countOf(c) }.sum
+    val totalRows = index.cellCounts.total
+    val keepFraction = if (totalRows > 0) rowsInUnion.toDouble / totalRows else 1.0
+    val maxKeep = spark.conf
+      .get(AnnJoinScanFilterMaxKeepFractionConf,
+        DefaultAnnJoinScanFilterMaxKeepFraction.toString).toDouble
+    val applyCellFilter = unionCells.length <= maxPushed && keepFraction <= maxKeep
+    if (applyCellFilter) ensureInPushdown(spark, math.min(unionCells.length, maxPushed))
+    note(spark, "cellsPushed", applyCellFilter)
+    note(spark, "scanKeepFraction", math.round(keepFraction * 1000.0) / 1000.0)
     val pruned =
-      if (unionCells.length <= maxPushed)
+      if (applyCellFilter)
         index.codes.where(LopqIndexStore.cellFilter(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(unionCells),
           index.cellBuckets))

@@ -498,6 +498,119 @@ case class BroadcastL2DistSqExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Distinct word-shingle hashes of a text in ONE fused pass (r18):
+  * tokenize on single spaces (empties dropped), form the contiguous
+  * `n`-gram shingles (or ONE whole-text shingle when the text has fewer
+  * than `n` tokens), keep the first occurrence of each distinct shingle,
+  * and hash it — md5, first 15 hex chars as a 60-bit BIGINT, mod P — in
+  * first-occurrence order.
+  *
+  * Bit-identical replacement for the composition it fuses
+  * (`shingleHashes(array_distinct(shingles(text, n)))` in
+  * [[TextFunctions]]), which was the dominant per-document cost of the
+  * MinHash family (q24/q25/q105 and every screened-ingest batch): that
+  * chain materializes the token array, a string per shingle through
+  * interpreted HOF lambdas, a 32-char hex string per shingle, and parses
+  * it back with `conv` — measured ~300 µs/doc at sf0.1. This walks the
+  * UTF-8 bytes once; the md5 is computed directly over each shingle's
+  * bytes and folded to the same `('0x' || substr(md5(x),1,15))::BIGINT % P`
+  * value (the first 8 digest bytes, big-endian, `>>> 4`). Distinctness is
+  * byte-equality on the shingle content — exactly `array_distinct`'s
+  * string equality, never hash equality. DuckDB oracles are unchanged:
+  * same values, same order.
+  *
+  * NULL text yields NULL, matching the HOF chain (split → NULL propagates
+  * through every step). Empty/whitespace-only text yields the single
+  * empty-string shingle's hash, matching `concat_ws` over an empty token
+  * array. */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING and n ≥ 1, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    ShingleHashesExpr.distinctShingleHashes(bytes, n)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object ShingleHashesExpr {
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5(bytes) → first 15 hex chars as BIGINT → mod P. The first 15 hex
+    * chars are the first 8 digest bytes read big-endian, unsigned-shifted
+    * right by 4 (drops the 16th hex char) — identical to
+    * `conv(substring(md5(x), 1, 15), 16, 10)` and the oracle's
+    * `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  private def md5Mod(md: java.security.MessageDigest, b: Array[Byte],
+      off: Int, len: Int): Long = {
+    md.reset()
+    md.update(b, off, len)
+    val d = md.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v >>> 4) % TextFunctions.MinhashPrime
+  }
+
+  private[functions] def distinctShingleHashes(bytes: Array[Byte], n: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // token boundaries: maximal runs of non-space bytes (0x20 never occurs
+    // inside a multi-byte UTF-8 sequence, so byte-splitting == the HOF
+    // chain's split-on-" "-then-drop-empties)
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      if (bytes(i) != 0x20) {
+        val s = i
+        while (i < len && bytes(i) != 0x20) i += 1
+        starts.add(s); ends.add(i)
+      } else i += 1
+    }
+    val nTok = starts.size()
+    val md = md5Local.get()
+    val out = new java.util.ArrayList[java.lang.Long]()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    val buf = new java.io.ByteArrayOutputStream(64)
+    def addShingle(fromTok: Int, toTok: Int): Unit = { // tokens [fromTok, toTok)
+      buf.reset()
+      var t = fromTok
+      while (t < toTok) {
+        if (t > fromTok) buf.write(0x20)
+        buf.write(bytes, starts.get(t), ends.get(t) - starts.get(t))
+        t += 1
+      }
+      val sb = buf.toByteArray
+      if (seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(sb)))
+        out.add(md5Mod(md, sb, 0, sb.length))
+    }
+    if (nTok < n) addShingle(0, nTok) // the whole-text single shingle
+    else {
+      var s = 0
+      while (s + n <= nTok) { addShingle(s, s + n); s += 1 }
+    }
+    val arr = new Array[Long](out.size())
+    var j = 0
+    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
 /** Registration of the graft expressions, two ways:
   *   - [[GraftFunctions.register]]: imperative, idempotent, works on any
   *     existing session (every catalog query calls it via `Tables.apply`);
@@ -518,6 +631,10 @@ object GraftFunctions {
     "graft_minhash" -> ((c: Seq[Expression]) => {
       require(c.size == 2 && c(1).foldable, "graft_minhash(hashes, numHashes-literal)")
       MinhashExpr(c(0), c(1).eval().asInstanceOf[Number].intValue())
+    }),
+    "graft_shingle_hashes" -> ((c: Seq[Expression]) => {
+      require(c.size == 2 && c(1).foldable, "graft_shingle_hashes(text, n-literal)")
+      ShingleHashesExpr(c(0), c(1).eval().asInstanceOf[Number].intValue())
     }),
     "graft_adc_proj" -> ((c: Seq[Expression]) => {
       require(c.size == 5 && c(2).foldable && c(3).foldable && c(4).foldable,

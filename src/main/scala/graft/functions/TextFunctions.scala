@@ -72,6 +72,18 @@ object TextFunctions {
   def shingleHashes(shingleCol: Column): Column =
     transform(shingleCol, s => md5Long(s) % MinhashPrime)
 
+  /** Distinct n-gram shingle hashes straight from the text in ONE fused
+    * native pass ([[graft.functions.ShingleHashesExpr]]) — bit-identical
+    * to `shingleHashes(array_distinct(shingles(text, n)))`, which it
+    * replaces on the MinHash hot path (r18): that chain materializes the
+    * token array, a string per shingle through interpreted HOF lambdas,
+    * and a 32-char hex string per shingle parsed back with `conv` —
+    * measured ~300 µs/doc at sf0.1, the dominant per-document cost of
+    * q24/q25/q105 and every screened text batch. Requires the graft
+    * functions registered on the session ([[GraftFunctions.register]]). */
+  def distinctShingleHashes(text: Column, n: Int): Column =
+    call_function("graft_shingle_hashes", text, lit(n))
+
   /** MinHash signature from pre-hashed shingles ([[shingleHashes]]):
     * sig_j = min over shingles of (a_j·h + b_j) mod P — the classic
     * universal-hash MinHash (Broder '97). One fused native pass

@@ -285,9 +285,19 @@ object TextOps {
     // verification that only ever reads the CANDIDATES' shingles.
     // Recomputing the candidate slice costs one extra candidate-pruned
     // scan of the input, the right trade at any corpus size.
+    // LAZY checkpoints (r18): eager=false keeps every pin (materialize
+    // once, truncate lineage, never recompute a side) but lets the first
+    // consuming action fuse the whole chain into its own job instead of
+    // paying one driver-scheduled job PER checkpoint — at sf0.1 the five
+    // eager jobs were ~0.4 s of pure job latency per call; at any scale
+    // they are one blocking materialization each. Nothing here outlives
+    // this call's actions (the r15 cache-drop hazard needs a checkpoint
+    // REUSED across an external unpersist, which these never are).
     val p = lshParams(d.sparkSession)
-    val sig = minhashSigsOf(d, p).localCheckpoint()
-    val bands = bandRowsOf(sig, p).localCheckpoint()
+    val sig = minhashSigsOf(d, p).localCheckpoint(false)
+    val bands = bandRowsOf(sig, p).localCheckpoint() // EAGER: its first
+    // consumer (the self-join below) scans it twice in one job — a lazy
+    // pin would racily double-compute the band explode per partition
     // checkpointed: scanned once for the skinny candidate-id list and
     // once per verification side — without the pin the band self-join
     // (the quadratic part on duplicate-heavy corpora) would re-run
@@ -297,16 +307,17 @@ object TextOps {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint() // EAGER: first scanned twice (candIds' union legs)
     val candIds = cand.select(col("id_a").as("doc_id"))
       .unionAll(cand.select(col("id_b").as("doc_id")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     // shingles of CANDIDATE docs only: the skinny id list prunes the
     // input map-side (broadcast under the driver-known-count gate, the
     // antiJoinIds bound), shingling runs on the surviving slice, and the
     // O(candidates) result is pinned because both verification sides
     // scan it
-    val shSlice = shingleSliceOf(d, candIds).localCheckpoint()
+    val shSlice = shingleSliceOf(d, candIds).localCheckpoint() // EAGER:
+    // both verification sides scan it in the final job
     val j = graft.functions.TextFunctions.jaccard(col("sa"), col("sb"))
     cand
       .join(shSlice.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")
@@ -324,7 +335,7 @@ object TextOps {
       p: LshParams): org.apache.spark.sql.DataFrame =
     d.select(col("doc_id"),
       minhashFromHashes(
-        shingleHashes(array_distinct(shingles(col("text"), 3))),
+        distinctShingleHashes(col("text"), 3),
         p.numHashes).as("sig"))
 
   /** LSH band rows `(doc_id, band, bsig)` from a signatures frame — the
@@ -439,7 +450,7 @@ object TextOps {
       .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
       .select(col("_h"), col("_l"),
         col("_r.doc_id").as("doc_id"), col("_r.text").as("text"))
-      .localCheckpoint() // scanned by the star join and the banding chain
+      .localCheckpoint(false) // scanned by the star join and the banding chain
     val stars = keyed.select(col("_h"), col("_l"), col("doc_id").as("id_b"))
       .join(reps.select(col("_h"), col("_l"), col("doc_id").as("id_a")),
         Seq("_h", "_l"))
@@ -456,7 +467,8 @@ object TextOps {
   private[graft] def simhashPairsOf(d: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val bits = simhashBits(d.sparkSession)
-    val sig = simhashSigsOf(d, bits).localCheckpoint()
+    val sig = simhashSigsOf(d, bits).localCheckpoint() // EAGER: the band
+    // self-join scans it twice in its first job
     val bands = simhashBandRowsOf(sig, bits)
     val ham = graft.functions.TextFunctions
       .hammingDistance(col("a.sh"), col("b.sh"))
@@ -802,15 +814,13 @@ object TextOps {
     // (one md5 per shingle; see TextFunctions.minhashFromHashes)
     QueryDef(
       "q24_minhash_sig",
-      (s, d) => {
-        val sh = array_distinct(shingles(col("text"), 3))
+      (s, d) =>
         docs(s, d)
-          .select(col("doc_id"), shingleHashes(sh).as("hsh"))
+          .select(col("doc_id"), distinctShingleHashes(col("text"), 3).as("hsh"))
           .select(col("doc_id"),
             concat_ws(",", minhashFromHashes(col("hsh"),
               lshParams(s).numHashes)).as("sig"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some(s"""WITH $toksCte, $shCte, $hshCte
               |SELECT doc_id, array_to_string([${(0 until NumHashes).map(minhashExprSql).mkString(", ")}], ',') AS sig
               |FROM hsh ORDER BY doc_id""".stripMargin),

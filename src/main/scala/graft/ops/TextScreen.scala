@@ -471,7 +471,7 @@ object TextScreen {
     val spark = batchSims.sparkSession
     val maxH = TextOps.simMaxHamming(spark) // store-validated by requireParams
     val batchBands = TextOps.simhashBandRowsOf(batchSims, bits)
-      .localCheckpoint()
+      .localCheckpoint(false)
     val corpusBands = TextOps.simhashBandRowsOf(corpusSims, bits)
     val bSide = gated(spark, batchBands, LastSimBandJoinNote)
     val hamNO = graft.functions.TextFunctions
@@ -499,14 +499,14 @@ object TextScreen {
     val spark = batch.sparkSession
     val p = TextOps.lshParams(spark)
     val (reps, stars) = TextOps.exactRepsOf(batch)
-    val batchSigs = TextOps.minhashSigsOf(reps, p).localCheckpoint()
-    val batchBands = TextOps.bandRowsOf(batchSigs, p).localCheckpoint()
+    val batchSigs = TextOps.minhashSigsOf(reps, p).localCheckpoint(false)
+    val batchBands = TextOps.bandRowsOf(batchSigs, p).localCheckpoint(false)
     val corpusBands = TextOps.bandRowsOf(corpusSigs, p)
     // simhash tier first: its pairs are verified WITHOUT touching text,
     // and they prune the jaccard verification below
     val sims = tier.map { case (corpusSims, bits) =>
-      val batchSims = TextOps.simhashSigsOf(reps, bits).localCheckpoint()
-      (simTierPairs(corpusSims, batchSims, bits).localCheckpoint(), batchSims)
+      val batchSims = TextOps.simhashSigsOf(reps, bits).localCheckpoint(false)
+      (simTierPairs(corpusSims, batchSims, bits).localCheckpoint(false), batchSims)
     }
     // bounded-batch contract: band rows are |batch|·bands skinny rows
     // with a driver-known count, so the broadcast decision is exact
@@ -535,15 +535,15 @@ object TextScreen {
             broadcast(tierPairs) else tierPairs
         cand0.join(tSide, Seq("id_a", "id_b"), "left_anti")
       case None => cand0
-    }).localCheckpoint()
+    }).localCheckpoint() // EAGER: candIds' union legs scan it twice first
     val candIds = cand.select(col("id_a").as("doc_id"))
       .unionAll(cand.select(col("id_b").as("doc_id")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     // shingles of candidate docs only: corpus slice map-side-pruned
     // (ids disjoint, so the union has one row per candidate id)
     val sh = TextOps.shingleSliceOf(corpus, candIds)
       .unionAll(TextOps.shingleSliceOf(batch, candIds))
-      .localCheckpoint()
+      .localCheckpoint() // EAGER: both verification sides scan it first
     val j = TextFunctions.jaccard(col("sa"), col("sb"))
     val verified = cand
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), "id_a")

@@ -673,7 +673,13 @@ object VectorQueries {
         val e = emb(s, d)
           .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
-        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+        // the broadcast side reads the raw table: routing it through emb()'s
+        // core-spreading repartition would shuffle rows just to collect them
+        // back into one broadcast relation (r18 — one Exchange removed; the
+        // stream side keeps the repartition that spreads the O(n²) loop)
+        val eb = t(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding"), l2Norm(col("embedding")).as("nrm"))
+        val b = eb.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
         val sim = dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))
         a.join(broadcast(b), col("id_a") < col("id_b"))
           .where(sim >= NearDupSim)

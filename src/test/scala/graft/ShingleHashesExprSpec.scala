@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The fused one-pass [[graft.functions.ShingleHashesExpr]] must be
+  * bit-identical to the HOF composition it replaces (which the DuckDB
+  * oracles still mirror): `shingleHashes(array_distinct(shingles(text, n)))`
+  * — same tokens (split on single spaces, empties dropped), same n-gram
+  * shingles with the whole-text fallback under n tokens, first-occurrence
+  * distinct on STRING equality, same md5-derived 60-bit mod-P values in the
+  * same order, NULL text → NULL. */
+class ShingleHashesExprSpec extends SparkSpec {
+
+  private def hofChain(n: Int) =
+    TextFunctions.shingleHashes(
+      array_distinct(TextFunctions.shingles(col("text"), n)))
+
+  test("fused shingle hashes equal the HOF chain on real text (n=3)") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val both = docs.select(
+      TextFunctions.distinctShingleHashes(col("text"), 3).as("native"),
+      hofChain(3).as("hof"))
+    assert(both.where(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("edge cases: short/empty/whitespace/duplicate/unicode text, n=1..4, NULL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "a b c d e",
+      "one two",            // fewer than 3 tokens → whole-text shingle
+      "solo",               // single token
+      "",                   // empty → single empty shingle
+      "   ",                // whitespace-only → empty token list
+      "a  b   c",           // consecutive spaces collapse
+      " leading and trailing ",
+      "x y z x y z x y z",  // duplicate shingles → distinct keeps first
+      "héllo wörld ünïcode über tokens",
+      "tab\tand\nnewline stay inside tokens",
+      null
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    (1 to 4).foreach { n =>
+      val rows = df.select(col("id"),
+        TextFunctions.distinctShingleHashes(col("text"), n).as("native"),
+        hofChain(n).as("hof")).collect()
+      rows.foreach { r =>
+        val (nat, hof) = (if (r.isNullAt(1)) null else r.getSeq[Any](1),
+          if (r.isNullAt(2)) null else r.getSeq[Any](2))
+        assert(nat === hof, s"n=$n id=${r.getLong(0)}: $nat != $hof")
+      }
+    }
+  }
+}
