@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   *     Bench times) instead of count() (which lets Catalyst prune).
   */
 object Probe {
-  def main(args: Array[String]): Unit = {
+  def main(args0: Array[String]): Unit = {
+    val (confArgs, args) = args0.partition(_.startsWith("conf:"))
     val sfDir = args(0)
     val names = args(1).split(",").toSeq
     val doExplain = args.length > 2 && args(2) == "explain"
@@ -23,6 +24,12 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    confArgs.foreach { a =>
+      a.stripPrefix("conf:").split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v); println(s"[probe] conf $k=$v")
+        case _ => sys.error(s"bad conf arg (want conf:key=value): $a")
+      }
+    }
     sfDir.split(",").foreach { dir =>
       names.foreach { name =>
         val t0 = System.nanoTime()

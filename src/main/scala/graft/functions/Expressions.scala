@@ -611,6 +611,73 @@ object ShingleHashesExpr {
   }
 }
 
+/** Heuristic quality score in ONE fused pass (r18) — bit-identical to
+  * [[TextFunctions.qualityScore]]'s HOF formulation (which the DuckDB
+  * oracles mirror): length-band score + mean-token-length band score +
+  * alpha ratio, averaged and HALF_UP-rounded to 6 dp. The HOF chain paid
+  * an interpreted `aggregate` lambda per token plus a full
+  * `regexp_replace` (new string) per document — measured ~170 µs/doc at
+  * sf0.1, the whole cost of q22 and the first filter of the q78/q79/q89
+  * curation family.
+  *
+  * Exact-parity notes: tokens are maximal runs of non-space bytes
+  * (== split-on-" "-drop-empties); token/text lengths count CODEPOINTS
+  * (non-continuation UTF-8 bytes), matching `length()`; the alpha count
+  * is the codepoints kept by `regexp_replace(text, "[^a-zA-Z ]", "")` —
+  * all ASCII, so byte counting is exact; the final round replicates
+  * Spark's `Round` (BigDecimal HALF_UP at scale 6); the double
+  * arithmetic folds in the same order. NULL text → NULL. */
+case class QualityScoreExpr(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_quality_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${dt.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var nTok = 0L
+    var sumTokChars = 0L
+    var alphaChars = 0L
+    var textChars = 0L
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      val b = bytes(i)
+      // codepoint start = any byte that is not a UTF-8 continuation byte
+      val isCont = (b & 0xc0) == 0x80
+      if (!isCont) {
+        textChars += 1
+        if (b == 0x20 || (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z'))
+          alphaChars += 1
+      }
+      if (b != 0x20) {
+        if (i == 0 || bytes(i - 1) == 0x20) nTok += 1
+        if (!isCont) sumTokChars += 1
+      }
+      i += 1
+    }
+    val nTokD = nTok.toDouble
+    val lenScore = if (nTokD >= 5 && nTokD <= 1000) 1.0 else 0.0
+    val meanTokLen = if (nTokD == 0) 0.0 else sumTokChars.toDouble / nTokD
+    val tokLenScore = if (meanTokLen >= 2 && meanTokLen <= 12) 1.0 else 0.0
+    val alphaRatio = if (textChars == 0) 0.0
+      else alphaChars.toDouble / textChars.toDouble
+    val q = (lenScore + tokLenScore + alphaRatio) / 3.0
+    // Spark Round(…, 6) on DOUBLE: BigDecimal HALF_UP at scale 6
+    java.math.BigDecimal.valueOf(q)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Registration of the graft expressions, two ways:
   *   - [[GraftFunctions.register]]: imperative, idempotent, works on any
   *     existing session (every catalog query calls it via `Tables.apply`);
@@ -631,6 +698,10 @@ object GraftFunctions {
     "graft_minhash" -> ((c: Seq[Expression]) => {
       require(c.size == 2 && c(1).foldable, "graft_minhash(hashes, numHashes-literal)")
       MinhashExpr(c(0), c(1).eval().asInstanceOf[Number].intValue())
+    }),
+    "graft_quality_score" -> ((c: Seq[Expression]) => {
+      require(c.size == 1, "graft_quality_score(text)")
+      QualityScoreExpr(c(0))
     }),
     "graft_shingle_hashes" -> ((c: Seq[Expression]) => {
       require(c.size == 2 && c(1).foldable, "graft_shingle_hashes(text, n-literal)")

@@ -134,6 +134,13 @@ object TextFunctions {
           / size(dt).cast("double")))
   }
 
+  /** [[qualityScore]] in ONE fused native pass
+    * ([[graft.functions.QualityScoreExpr]]) — bit-identical (spec-pinned);
+    * the HOF chain below stays as the executable definition. Requires the
+    * graft functions registered ([[GraftFunctions.register]]). */
+  def qualityScoreNative(text: Column): Column =
+    call_function("graft_quality_score", text)
+
   /** Heuristic quality score in [0,1]: combines length band, mean token
     * length band, and alpha-ratio. Deterministic + SQL-expressible. */
   def qualityScore(text: Column): Column =

@@ -294,7 +294,11 @@ object TextOps {
     // this call's actions (the r15 cache-drop hazard needs a checkpoint
     // REUSED across an external unpersist, which these never are).
     val p = lshParams(d.sparkSession)
-    val sig = minhashSigsOf(d, p).localCheckpoint(false)
+    val sig = minhashSigsOf(d, p).localCheckpoint() // EAGER: fat-ish
+    // corpus-sized frame — materializing it lazily inside the bands job
+    // doubled the 4M-doc probe's peak block-manager footprint (6.6 vs
+    // 3.0 GB scratch) and cost wall, r18 measured; laziness is reserved
+    // for SKINNY frames below
     val bands = bandRowsOf(sig, p).localCheckpoint() // EAGER: its first
     // consumer (the self-join below) scans it twice in one job — a lazy
     // pin would racily double-compute the band explode per partition
@@ -450,7 +454,9 @@ object TextOps {
       .agg(min(struct(col("doc_id"), col("text"))).as("_r"))
       .select(col("_h"), col("_l"),
         col("_r.doc_id").as("doc_id"), col("_r.text").as("text"))
-      .localCheckpoint(false) // scanned by the star join and the banding chain
+      .localCheckpoint() // EAGER (scanned by the star join and the banding
+    // chain): corpus-sized (doc_id, text) — see the r18 fat-frame rule at
+    // lshPairsOf's sig checkpoint
     val stars = keyed.select(col("_h"), col("_l"), col("doc_id").as("id_b"))
       .join(reps.select(col("_h"), col("_l"), col("doc_id").as("id_a")),
         Seq("_h", "_l"))
@@ -781,7 +787,7 @@ object TextOps {
       "q22_quality_score",
       (s, d) =>
         docs(s, d)
-          .select(col("doc_id"), qualityScore(col("text")).as("quality"))
+          .select(col("doc_id"), qualityScoreNative(col("text")).as("quality"))
           .orderBy("doc_id"),
       Some(s"""WITH $toksCte
               |SELECT doc_id, round((
@@ -1687,12 +1693,20 @@ object TextOps {
     * batch corpus (q78/q79) and over streaming micro-batches (q89). */
   private def qualityKeepOf(in: org.apache.spark.sql.DataFrame) =
     in.select(col("doc_id"), col("text"),
-        qualityScore(col("text")).as("quality"),
+        qualityScoreNative(col("text")).as("quality"),
         size(tokens(col("text"))).cast("long").as("n_tok"),
-        shingles(col("text"), 3).as("sh"))
+        // r18: dup_ratio's inputs without materializing the shingle
+        // strings — size(graft_shingle_hashes) IS the distinct count
+        // (dedup happens on shingle bytes BEFORE hashing), and the total
+        // count is determined by the token count (shingles() emits
+        // max(size - 2, …) n-grams, or ONE whole-text shingle under 3
+        // tokens). Values are bit-identical to
+        // size(array_distinct(sh)) / size(sh) over sh = shingles(text, 3).
+        size(distinctShingleHashes(col("text"), 3)).as("n_dist_sh"))
       .withColumn("dup_ratio",
-        round(lit(1.0) -
-          size(array_distinct(col("sh"))).cast("double") / size(col("sh")), 6))
+        round(lit(1.0) - col("n_dist_sh").cast("double") /
+          when(col("n_tok") <= 2, lit(1)).otherwise(col("n_tok") - 2)
+            .cast("int"), 6))
       .where(col("quality") >= 0.5 && col("dup_ratio") <= 0.01
         && col("n_tok") >= 20)
 

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** The fused [[graft.functions.QualityScoreExpr]] must be bit-identical to
+  * the HOF [[TextFunctions.qualityScore]] it replaces on q22 and the
+  * q78/q79/q89 curation filter (the DuckDB oracles mirror the HOF), and
+  * the r18 dup_ratio fusion (distinct-shingle count from
+  * `graft_shingle_hashes`, total from the token count) must reproduce
+  * `size(array_distinct(sh)) / size(sh)` exactly. */
+class QualityScoreExprSpec extends SparkSpec {
+
+  test("native quality score equals the HOF definition on real text") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val both = docs.select(
+      TextFunctions.qualityScoreNative(col("text")).as("native"),
+      TextFunctions.qualityScore(col("text")).as("hof"))
+    assert(both.where(not(col("native") <=> col("hof"))).count() === 0)
+  }
+
+  test("edge cases: empty/whitespace/unicode/long tokens/NULL") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "", "   ", "a", "one two three four five",
+      "ünïcode tökens über älles with ascii mixed in",
+      "1234 5678 !!!! ????",
+      ("x" * 30 + " ") * 25,          // long tokens → tokLen band miss
+      ("a " * 1500).trim,             // > 1000 tokens → len band miss
+      "tab\tstays inside a token",
+      null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val rows = df.select(col("id"),
+      TextFunctions.qualityScoreNative(col("text")).as("native"),
+      TextFunctions.qualityScore(col("text")).as("hof")).collect()
+    rows.foreach { r =>
+      val nat = if (r.isNullAt(1)) null else r.getDouble(1)
+      val hof = if (r.isNullAt(2)) null else r.getDouble(2)
+      assert(nat === hof, s"id=${r.getLong(0)}: $nat != $hof")
+    }
+  }
+
+  test("fused dup_ratio inputs equal the shingle-array formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .unionAll(Seq((90001L, "one two"), (90002L, ""), (90003L, "a a a a a a"))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), lit("en").as("lang"), lit("t").as("source"),
+          length(col("text")).cast("int").as("n_chars"), col("text"))
+        .select(docs0Cols: _*))
+    val sh = TextFunctions.shingles(col("text"), 3)
+    val nTok = size(TextFunctions.tokens(col("text"))).cast("long")
+    val both = docs.select(
+      size(array_distinct(sh)).as("dist_hof"),
+      size(sh).as("tot_hof"),
+      size(TextFunctions.distinctShingleHashes(col("text"), 3)).as("dist_native"),
+      when(nTok <= 2, lit(1)).otherwise(nTok - 2).cast("int").as("tot_native"))
+    assert(both.where(col("dist_hof") =!= col("dist_native") ||
+      col("tot_hof") =!= col("tot_native")).count() === 0)
+  }
+
+  private def docs0Cols: Seq[org.apache.spark.sql.Column] = {
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    schema.fieldNames.toSeq.map(col)
+  }
+}
