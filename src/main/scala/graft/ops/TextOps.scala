@@ -285,20 +285,18 @@ object TextOps {
     // verification that only ever reads the CANDIDATES' shingles.
     // Recomputing the candidate slice costs one extra candidate-pruned
     // scan of the input, the right trade at any corpus size.
-    // LAZY checkpoints (r18): eager=false keeps every pin (materialize
-    // once, truncate lineage, never recompute a side) but lets the first
-    // consuming action fuse the whole chain into its own job instead of
-    // paying one driver-scheduled job PER checkpoint — at sf0.1 the five
-    // eager jobs were ~0.4 s of pure job latency per call; at any scale
-    // they are one blocking materialization each. Nothing here outlives
-    // this call's actions (the r15 cache-drop hazard needs a checkpoint
-    // REUSED across an external unpersist, which these never are).
+    // Checkpoint eagerness (r18, measured both ways): eager=false keeps a
+    // pin's semantics but fuses its materialization into the first
+    // consuming job, saving one driver-scheduled job per pin. It is used
+    // ONLY where two conditions hold — the first materializing action
+    // scans the frame exactly once (a dual-scan first job, e.g. a
+    // self-join, racily double-computes partitions), and the frame is
+    // SKINNY (lazily materializing the corpus-sized frames inside their
+    // consumer doubled the 4M-doc probe's peak block-manager scratch,
+    // 6.6 vs 2.4 GB, and its wall, 130.7 vs 88.4 s — eager checkpoints
+    // double as memory barriers between jobs).
     val p = lshParams(d.sparkSession)
-    val sig = minhashSigsOf(d, p).localCheckpoint() // EAGER: fat-ish
-    // corpus-sized frame — materializing it lazily inside the bands job
-    // doubled the 4M-doc probe's peak block-manager footprint (6.6 vs
-    // 3.0 GB scratch) and cost wall, r18 measured; laziness is reserved
-    // for SKINNY frames below
+    val sig = minhashSigsOf(d, p).localCheckpoint() // EAGER: corpus-sized
     val bands = bandRowsOf(sig, p).localCheckpoint() // EAGER: its first
     // consumer (the self-join below) scans it twice in one job — a lazy
     // pin would racily double-compute the band explode per partition
