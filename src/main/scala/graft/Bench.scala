@@ -89,7 +89,11 @@ object Bench {
     // probe window reads clean or a bounded wait expires — then run anyway,
     // stamping the outcome so the record self-identifies either way. The
     // timed methodology is UNCHANGED; this only moves when pass 1 starts.
-    val preflightMaxWaitSec = sys.env.getOrElse("SPARK_GRAFT_PREFLIGHT_MAX_WAIT", "180").toInt
+    // malformed values fall back to the default rather than killing the
+    // bench before pass 1; 0 (or negative) disables the preflight outright
+    val preflightMaxWaitSec =
+      scala.util.Try(sys.env("SPARK_GRAFT_PREFLIGHT_MAX_WAIT").trim.toInt)
+        .getOrElse(180)
     val preflightProbeSec = 3
     val preflightCleanIowaitSec = 0.4
     val preflightCleanDirtyBytes = 64L << 20
@@ -97,7 +101,7 @@ object Bench {
     var preflightClean = false
     var preflightLastIowait = -1.0
     var preflightLastDirty = -1L
-    var preflightDone = false
+    var preflightDone = preflightMaxWaitSec <= 0
     while (!preflightDone) {
       val (_, w0) = graft.core.DiskStats.machineCpuJiffies()
       Thread.sleep(preflightProbeSec * 1000L)
@@ -421,7 +425,10 @@ object Bench {
       jstr(k) + ":" + (math.round(v * 1000.0) / 1000.0)
     }.mkString("{", ",", "}")
     println(full)
-    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","startedAt":"$startedAt","queries":$qsShort,"nErrors":${errors.size},"fullRecord":"BENCH_LOCAL.json","sf":"$sfDir"}""")
+    // preflight rides the COMPACT line too (~80 chars): the graded
+    // snapshot parses only this line, and a dirty-window run must
+    // self-identify THERE, not just in the full record file
+    println(s"""{"metric":"total","value":${math.round(total * 1000.0) / 1000.0},"unit":"sec","startedAt":"$startedAt","preflight":$pf,"queries":$qsShort,"nErrors":${errors.size},"fullRecord":"BENCH_LOCAL.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

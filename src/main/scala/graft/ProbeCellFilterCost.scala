@@ -6,10 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.core.CellMath
 import graft.engine.{LopqIndexStore, ReleaseShape}
 
-/** Dev probe (r18): is the batch ANN join's ~59k-literal cell INSET filter
-  * on the codes scan worth its per-row cost when it prunes almost nothing?
-  * Times three shapes of the same scan: unfiltered, INSET-filtered, and
-  * bucket-INSET-only. Usage: runMain graft.ProbeCellFilterCost [v2|v3|v4] [n] */
+/** Dev probe (r18): is the batch ANN join's many-thousand-literal cell
+  * INSET filter on the codes scan worth its per-row cost when it prunes
+  * almost nothing? Times three shapes of the same scan: unfiltered,
+  * INSET-filtered, and bucket-INSET-only.
+  *
+  * Plan parity with production: annJoin's `ensureInPushdown` caps the
+  * parquet IN-pushdown threshold at [[LopqSearcher.MaxStackSafeInPushdown]]
+  * (512), and every union measured here is far past it — so in BOTH the
+  * probe and the production plan the IN-list stays Catalyst-side (InSet,
+  * no parquet row-group pruning); the probe times the same physical shape
+  * the batch join runs. Usage: runMain graft.ProbeCellFilterCost [v2|v3|v4] [n] */
 object ProbeCellFilterCost {
   def main(args: Array[String]): Unit = {
     val s = args.headOption match {

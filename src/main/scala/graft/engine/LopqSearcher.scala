@@ -516,8 +516,16 @@ object LopqSearcher {
     // filter is applied only when it actually prunes: skipping it is
     // result-identical because the fan-out equi-join on cell_id discards
     // non-visited cells' rows anyway.
-    val rowsInUnion = cellRows.iterator
-      .map { case (c, _) => index.cellCounts.countOf(c) }.sum
+    // one histogram walk serves both driver-side gates below: this
+    // selectivity gate (Σ counts over the union) and the balance gate's
+    // fan-out estimate (Σ nq·count)
+    var rowsInUnion = 0L
+    var fanOutRows = 0L
+    cellRows.foreach { case (c, nq) =>
+      val n = index.cellCounts.countOf(c)
+      rowsInUnion += n
+      fanOutRows += nq * n
+    }
     val totalRows = index.cellCounts.total
     val keepFraction = if (totalRows > 0) rowsInUnion.toDouble / totalRows else 1.0
     val maxKeep = spark.conf
@@ -595,8 +603,6 @@ object LopqSearcher {
     // skew balancing is bought exactly when there is stage CPU to balance.
     val balanceMinRows = spark.conf
       .get(AnnJoinBalanceMinFanOutRowsConf, DefaultAnnJoinBalanceMinFanOutRows.toString).toLong
-    val fanOutRows = cellRows.iterator
-      .map { case (c, nq) => nq * index.cellCounts.countOf(c) }.sum
     note(spark, "fanOutRows", fanOutRows)
     note(spark, "balanced", fanOutRows > balanceMinRows)
     val prunedBalanced =

@@ -570,44 +570,57 @@ object ShingleHashesExpr {
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     // token boundaries: maximal runs of non-space bytes (0x20 never occurs
     // inside a multi-byte UTF-8 sequence, so byte-splitting == the HOF
-    // chain's split-on-" "-then-drop-empties)
-    val starts = new java.util.ArrayList[Integer]()
-    val ends = new java.util.ArrayList[Integer]()
+    // chain's split-on-" "-then-drop-empties). Primitive growable arrays
+    // throughout — this is the fused hot path, boxed collections would
+    // reintroduce per-token allocation.
+    var starts = new Array[Int](64)
+    var ends = new Array[Int](64)
+    var nTok = 0
     var i = 0
     val len = bytes.length
     while (i < len) {
       if (bytes(i) != 0x20) {
         val s = i
         while (i < len && bytes(i) != 0x20) i += 1
-        starts.add(s); ends.add(i)
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          ends = java.util.Arrays.copyOf(ends, nTok * 2)
+        }
+        starts(nTok) = s; ends(nTok) = i; nTok += 1
       } else i += 1
     }
-    val nTok = starts.size()
     val md = md5Local.get()
-    val out = new java.util.ArrayList[java.lang.Long]()
+    var out = new Array[Long](math.max(8, math.min(nTok, 1 << 12)))
+    var nOut = 0
     val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
-    val buf = new java.io.ByteArrayOutputStream(64)
+    var buf = new Array[Byte](64)
     def addShingle(fromTok: Int, toTok: Int): Unit = { // tokens [fromTok, toTok)
-      buf.reset()
+      var sLen = 0
       var t = fromTok
       while (t < toTok) {
-        if (t > fromTok) buf.write(0x20)
-        buf.write(bytes, starts.get(t), ends.get(t) - starts.get(t))
+        val tl = ends(t) - starts(t)
+        val need = sLen + tl + (if (t > fromTok) 1 else 0)
+        if (need > buf.length)
+          buf = java.util.Arrays.copyOf(buf, math.max(need, buf.length * 2))
+        if (t > fromTok) { buf(sLen) = 0x20; sLen += 1 }
+        System.arraycopy(bytes, starts(t), buf, sLen, tl)
+        sLen += tl
         t += 1
       }
-      val sb = buf.toByteArray
-      if (seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(sb)))
-        out.add(md5Mod(md, sb, 0, sb.length))
+      val sb = java.util.Arrays.copyOfRange(buf, 0, sLen)
+      if (seen.add(org.apache.spark.unsafe.types.UTF8String.fromBytes(sb))) {
+        if (nOut == out.length) out = java.util.Arrays.copyOf(out, nOut * 2)
+        out(nOut) = md5Mod(md, sb, 0, sLen)
+        nOut += 1
+      }
     }
     if (nTok < n) addShingle(0, nTok) // the whole-text single shingle
     else {
       var s = 0
       while (s + n <= nTok) { addShingle(s, s + n); s += 1 }
     }
-    val arr = new Array[Long](out.size())
-    var j = 0
-    while (j < arr.length) { arr(j) = out.get(j); j += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, nOut))
   }
 }
 

@@ -273,7 +273,14 @@ private[graft] object SideStoreFold {
     * ladder — O(ladder bytes) — and the immediately-following major
     * would rewrite the same bytes again; the major's `dedup(base ∪ runs)`
     * subsumes any merge work, so that double-pay firing skips straight
-    * to it. */
+    * to it.
+    *
+    * CONTRACT: a valve that calls minorFold must follow with
+    * [[majorFoldIfDue]] in the same firing (both production valves do —
+    * [[TextSigStore.maybeCompact]], [[IngestOps.maybeCompactVectors]]).
+    * On a base-less store the major is due by definition (baseBytes=0),
+    * so the cascade is always skipped there; a caller that never majors
+    * would accumulate one unmerged run per firing. */
   def minorFold(spark: SparkSession, fs: FileSystem, root: String,
       deltas: Seq[Path], key: String): Unit = {
     healAll(fs, root)
