@@ -21,6 +21,8 @@ import graft.ops.{EngineOps, Extract, Tables}
 final class GraftApi(spark: SparkSession, sfDir: String,
     searcherName: String = "lopq") {
 
+  graft.core.SessionDefaults(spark) // engine scan defaults on the caller's session
+
   private def vectors: DataFrame = Tables(spark, sfDir, "embeddings")
 
   /** Conf-driven searcher selection, like the reference's `get_searcher`

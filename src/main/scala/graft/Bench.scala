@@ -34,16 +34,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // r18, guide §6/§9: 512 MB scan splits for the large staged lookup
-      // tables. Spark floors the split size at totalBytes/minPartitionNum
-      // (minPartitionNum defaults to the session's core count), so this
-      // only changes scans of tables past 4 GB × cores/32 — at this
-      // workload the 32 GB v4 / 16 GB wide rerank stores, whose 128 MB
-      // default splits cost ~256 task launches per 100-id lookup (measured
-      // r18: v4 rerank 2.4 s → 1.7 s per 5-query pass). Scale-adaptive by
-      // construction: the floor keeps small-table parallelism at the core
-      // count whatever SPARK_GRAFT_CPUS is.
-      .config("spark.sql.files.maxPartitionBytes", (512L << 20).toString)
+      // r19 (VERDICT r18 #2): the 512 MB scan-split default that lived here
+      // in r18 moved into the shared engine path (graft.core.SessionDefaults,
+      // applied by Tables.apply / LopqIndexStore.load*/GraftApi) so
+      // Verify/Api/production scans run the same plan this bench times;
+      // Bench now INHERITS it through the queries it runs.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -68,21 +68,35 @@ object ProbeServeBreakdown {
         val rot = LopqIndexStore.rotationSlices(spark, idx.dir, keys)
         tSlices += ms(t0)
 
+        // r19: searchSlim's ADC tables now ride a broadcast VARIABLE read
+        // by a codegen'd lookup expression (VERDICT r18 #3) — no per-query
+        // LocalRelation encode, no BroadcastExchange. The probe composes
+        // the same pieces so its phase split measures the shipped path.
         t0 = System.nanoTime()
-        val tablesDf = cells.map { cell =>
+        val m = slim.m
+        val flat = new java.util.HashMap[Integer, Array[Double]](cells.size * 2)
+        cells.foreach { cell =>
           val cc = CellMath.unpackCell(cell, slim.v)
-          (cell, slim.adcTables(aq, cc, (sp, c) => rot((sp, c))).map(_.toSeq).toSeq)
-        }.toDF("cell_id", "adc_tables")
+          val t = slim.adcTables(aq, cc, (sp, c) => rot((sp, c)))
+          val s = t(0).length
+          val f = new Array[Double](m * s)
+          var mi = 0
+          while (mi < m) { System.arraycopy(t(mi), 0, f, mi * s, s); mi += 1 }
+          flat.put(cell, f)
+        }
+        val bcTables = spark.sparkContext.broadcast(flat)
         tTables += ms(t0)
 
         // approx stage plan + execution via the same shape searchSlim uses
         t0 = System.nanoTime()
         LopqSearcher.ensureInPushdown(spark, cells.size)
+        import org.apache.spark.sql.graft.GraftBridge
         val approx = idx.codes
           .where(LopqIndexStore.cellFilter(cells, idx.cellBuckets))
-          .join(broadcast(tablesDf), "cell_id")
-          .withColumn("adc_dist", graft.functions.VectorFunctions
-            .adcDistance(col("fine"), col("adc_tables")))
+          .withColumn("adc_dist", GraftBridge.column(
+            graft.functions.BroadcastAdcTablesDistExpr(
+              GraftBridge.expression(col("cell_id")),
+              GraftBridge.expression(col("fine")), bcTables, m)))
           .orderBy(col("adc_dist"), col("id"))
           .limit(ReleaseShape.RerankK)
           .select("id", "cell_id", "adc_dist")

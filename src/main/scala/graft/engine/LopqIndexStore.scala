@@ -703,6 +703,7 @@ object LopqIndexStore {
     * Both sides of the check are metadata-only parquet reads. */
   def load(spark: SparkSession, dir: String): Option[LopqIndex] =
     readMeta(dir).map { meta =>
+      graft.core.SessionDefaults(spark) // store scans get the engine splits
       val (model, pca) = loadModel(spark, dir)
       val codes = readCodes(spark, dir)
       LopqIndex(model, pca, codes, healedCounts(spark, dir, codes), dir, bucketsOf(meta))
@@ -711,6 +712,7 @@ object LopqIndexStore {
   /** [[load]] without the rotation tensor — the serve-path handle. */
   def loadSlim(spark: SparkSession, dir: String): Option[LopqSlimIndex] =
     readMeta(dir).map { meta =>
+      graft.core.SessionDefaults(spark) // store scans get the engine splits
       val (slim, pca) = loadModelSlim(spark, dir)
       val codes = readCodes(spark, dir)
       LopqSlimIndex(slim, pca, codes, healedCounts(spark, dir, codes), dir, bucketsOf(meta))

@@ -158,17 +158,30 @@ final case class SlimLopqModel(
     * (VERDICT r7 "What's wrong #3"). */
   def projectWith(x: Array[Float], cc: (Int, Int),
       rot: (Int, Int) => Array[Array[Float]]): Array[Float] = {
-    val s = VectorOps.splits(x, numCoarseSplits)
     val out = new Array[Float](halfDim * numCoarseSplits)
     var split = 0
     while (split < numCoarseSplits) {
       val c = if (split == 0) cc._1 else cc._2
-      val r = VectorOps.subtract(VectorOps.subtract(s(split), coarse(split)(c)), mus(split)(c))
-      val px = VectorOps.matVec(rot(split, c), r)
+      val px = projectHalfWith(x, split, c, rot)
       System.arraycopy(px, 0, out, split * halfDim, halfDim)
       split += 1
     }
     out
+  }
+
+  /** ONE half of [[projectWith]] — the local projection of split `split`
+    * into cluster `c`'s frame (halfDim floats). A cell's projection is
+    * exactly `projectHalfWith(x, 0, c0) ++ projectHalfWith(x, 1, c1)`
+    * (projectWith is now literally that concatenation, so the two can
+    * never drift), and a query's ~hundreds of visited cells share a few
+    * dozen DISTINCT (split, cluster) halves — the r19 batch-join halves
+    * dictionary broadcasts these instead of a px per (query, cell)
+    * (VERDICT r18 next-round #1). */
+  def projectHalfWith(x: Array[Float], split: Int, c: Int,
+      rot: (Int, Int) => Array[Array[Float]]): Array[Float] = {
+    val s = VectorOps.splits(x, numCoarseSplits)
+    val r = VectorOps.subtract(VectorOps.subtract(s(split), coarse(split)(c)), mus(split)(c))
+    VectorOps.matVec(rot(split, c), r)
   }
 
   /** ADC distance of one code row given the [[projectWith]] projection:

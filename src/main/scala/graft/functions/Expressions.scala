@@ -498,6 +498,239 @@ case class BroadcastL2DistSqExpr(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** One query's half-projection dictionary: sorted packed keys
+  * (`split · V + cluster`) with the matching [[graft.engine.SlimLopqModel
+  * .projectHalfWith]] halves (halfDim floats each). Keys are the DISTINCT
+  * (split, cluster) pairs among the query's visited cells — a query
+  * visiting hundreds of cells holds a few dozen halves, which is the whole
+  * point of the r19 batch-join dictionary mode. Lookup is a binary search
+  * over the (tiny) key array. */
+final class QueryHalves(val keys: Array[Int], val halves: Array[Array[Float]])
+    extends Serializable {
+  def get(key: Int): Array[Float] = {
+    val i = java.util.Arrays.binarySearch(keys, key)
+    if (i < 0) null else halves(i)
+  }
+}
+
+/** Projection-mode ADC distance read through a BROADCAST per-query
+  * half-projection dictionary (r19, VERDICT r18 next-round #1 — the
+  * builder's own top lever). The batch ANN join's projection mode shipped
+  * a D-float `px` per (query, visited cell) through the fan-out join's
+  * broadcast — 243 MB/pass at the v3 release shape (232k pairs × 1 KB),
+  * ~1.4 s of broadcast build plus a 232k-pair projection stage — while
+  * `px` is the CONCATENATION of two per-(query, split, cluster) halves
+  * and a query's ~232 visited cells share ~2×30 distinct halves. This
+  * expression reconstructs the per-row distance from the two halves
+  * looked up map-side (q_id → [[QueryHalves]], key = split·V + cluster),
+  * so the join side carries only `(q_id, cell_id)`.
+  *
+  * Numeric contract (bit-parity, spec-pinned): EXACTLY
+  * [[AdcProjectionExpr]] over `px = half0 ++ half1` — the same per-`mi`
+  * two-level fold (`t = px[i] − cb[i]; d += t·t` per sub-vector, `acc += d`
+  * in `mi` order) with `px[mi·subDim + i]` read from `half0[mi·subDim + i]`
+  * for `mi < m/2` and `half1[(mi − m/2)·subDim + i]` past it — and
+  * [[graft.engine.SlimLopqModel.projectWith]] IS that concatenation of
+  * [[graft.engine.SlimLopqModel.projectHalfWith]] halves, so the floats
+  * are identical, not just close. Nullable: a probe id or cluster absent
+  * from the dictionary yields null (cannot happen when the dictionary is
+  * built from the same batch's visited cells). */
+case class BroadcastAdcHalvesExpr(first: Expression, second: Expression,
+    third: Expression,
+    dict: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, QueryHalves]],
+    codebook: Array[Float], m: Int, subDim: Int, v: Int)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  // first = q_id (integral), second = cell_id INT, third = fine ARRAY<SHORT>
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bcast_adc_halves"
+
+  private val numFineSplits = m / 2 // two coarse splits, always
+  private val halfLen = numFineSplits * subDim
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType | IntegerType, IntegerType, ArrayType(ShortType, _))
+          if m >= 2 && m % 2 == 0 && subDim >= 1 && v >= 1 &&
+            codebook.length % (m * subDim) == 0 =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (BIGINT|INT q_id, INT cell_id, ARRAY<SMALLINT> fine), " +
+          s"even m ≥ 2 and a codebook of m·s·subDim floats; " +
+          s"got ${a.simpleString}, ${b.simpleString}, ${c.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val qh = dict.value.get(a.asInstanceOf[Number].longValue())
+    if (qh == null) return null
+    val cell = b.asInstanceOf[Int]
+    val h0 = qh.get(cell / v)
+    val h1 = qh.get(v + cell % v)
+    if (h0 == null || h1 == null || h0.length != halfLen || h1.length != halfLen)
+      return null
+    val fine = c.asInstanceOf[ArrayData]
+    if (fine.numElements() != m) return null
+    val sClusters = codebook.length / (m * subDim)
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      val h = if (mi < numFineSplits) h0 else h1
+      val pbase = (if (mi < numFineSplits) mi else mi - numFineSplits) * subDim
+      val base = ((mi * sClusters) + fine.getShort(mi).toInt) * subDim
+      var d = 0.0
+      var i = 0
+      while (i < subDim) {
+        val t = h(pbase + i).toDouble - codebook(base + i).toDouble
+        d += t * t
+        i += 1
+      }
+      acc += d
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("adcHalvesDict", dict,
+      "org.apache.spark.broadcast.Broadcast")
+    val mapVar = ctx.addMutableState("java.util.HashMap", "adcHalvesMap",
+      vn => s"$vn = (java.util.HashMap) $bRef.value();")
+    val cbRef = ctx.addReferenceObj("adcHalvesCb", codebook, "float[]")
+    val sClusters = codebook.length / (m * subDim)
+    nullSafeCodeGen(ctx, ev, (qid, cell, fine) => {
+      val qh = ctx.freshName("qh")
+      val h0 = ctx.freshName("h0")
+      val h1 = ctx.freshName("h1")
+      val h = ctx.freshName("h")
+      val mi = ctx.freshName("mi")
+      val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
+      val pbase = ctx.freshName("pbase")
+      val d = ctx.freshName("d")
+      val t = ctx.freshName("t")
+      val acc = ctx.freshName("acc")
+      val cls = classOf[QueryHalves].getName
+      s"""
+         |final $cls $qh = ($cls) $mapVar.get(java.lang.Long.valueOf((long) $qid));
+         |final float[] $h0 = $qh == null ? null : $qh.get($cell / $v);
+         |final float[] $h1 = $qh == null ? null : $qh.get($v + $cell % $v);
+         |if ($h0 == null || $h1 == null || $h0.length != $halfLen ||
+         |    $h1.length != $halfLen || $fine.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    final float[] $h = $mi < $numFineSplits ? $h0 : $h1;
+         |    final int $pbase = ($mi < $numFineSplits ? $mi : $mi - $numFineSplits) * $subDim;
+         |    final int $base = (($mi * $sClusters) + (int) $fine.getShort($mi)) * $subDim;
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      final double $t = (double) $h[$pbase + $i] - (double) $cbRef[$base + $i];
+         |      $d += $t * $t;
+         |    }
+         |    $acc += $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
+/** ADC distance of one code row from BROADCAST per-cell distance tables —
+  * the per-query serve path's inner loop (r19, VERDICT r18 #3/builder's
+  * lever #2). `searchSlim`/`search` previously shipped the visited cells'
+  * ADC tables as a per-query LocalRelation (a ~3.7 MB `(cell, M×S
+  * doubles)` DataFrame built through the Seq row encoder, ~60 ms/query at
+  * the v3 release shape) broadcast-JOINED on `cell_id`, plus the per-query
+  * `BroadcastExchange` and the interpreted `aggregate`/`zip_with` HOF
+  * lookup-sum per row. This expression reads the same doubles from a
+  * plain broadcast variable (cell_id → flattened M·S table, mi-major) and
+  * does the lookup-sum in one codegen'd loop — no row encode, no exchange,
+  * no join, no HOF.
+  *
+  * Numeric contract (spec-pinned): Σ_mi tables[mi·S + fine[mi]] summed
+  * from 0.0 in `mi` order — bit-identical to
+  * `aggregate(zip_with(tables, fine, (t, c) => element_at(t, c + 1)),
+  * 0.0, _+_)` over the per-cell ARRAY<ARRAY<DOUBLE>> column, which sums
+  * the SAME doubles in the SAME order. Null semantics mirror the join
+  * form on every reachable input: a cell absent from the map → null
+  * (the inner join DROPPED such rows; callers filter the scan to exactly
+  * the map's cells, so none exist), `fine` null → null, a fine count ≠ m
+  * or an out-of-range code → null (zip_with pads with null → the
+  * aggregate folds to null). */
+case class BroadcastAdcTablesDistExpr(left: Expression, right: Expression,
+    tables: org.apache.spark.broadcast.Broadcast[java.util.HashMap[Integer, Array[Double]]],
+    m: Int) extends BinaryExpression {
+  // left = cell_id INT, right = fine ARRAY<SHORT>
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_bcast_adc"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (IntegerType, ArrayType(ShortType, _)) if m >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (INT cell_id, ARRAY<SMALLINT> fine) and m ≥ 1, " +
+        s"got ${l.simpleString} and ${r.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val t = tables.value.get(a.asInstanceOf[Integer])
+    if (t == null) return null
+    val fine = b.asInstanceOf[ArrayData]
+    if (fine.numElements() != m) return null
+    val s = t.length / m
+    var acc = 0.0
+    var mi = 0
+    while (mi < m) {
+      if (fine.isNullAt(mi)) return null
+      val code = fine.getShort(mi).toInt
+      if (code < 0 || code >= s) return null
+      acc += t(mi * s + code)
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("adcTablesBroadcast", tables,
+      "org.apache.spark.broadcast.Broadcast")
+    // one map fetch per partition, not per row
+    val mapVar = ctx.addMutableState("java.util.HashMap", "adcTablesMap",
+      v => s"$v = (java.util.HashMap) $bRef.value();")
+    nullSafeCodeGen(ctx, ev, (cell, fine) => {
+      val t = ctx.freshName("t")
+      val s = ctx.freshName("s")
+      val mi = ctx.freshName("mi")
+      val code = ctx.freshName("code")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final double[] $t = (double[]) $mapVar.get(java.lang.Integer.valueOf($cell));
+         |if ($t == null || $fine.numElements() != $m) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $s = $t.length / $m;
+         |  double $acc = 0.0;
+         |  for (int $mi = 0; $mi < $m; $mi++) {
+         |    if ($fine.isNullAt($mi)) { ${ev.isNull} = true; break; }
+         |    final int $code = (int) $fine.getShort($mi);
+         |    if ($code < 0 || $code >= $s) { ${ev.isNull} = true; break; }
+         |    $acc += $t[$mi * $s + $code];
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Distinct word-shingle hashes of a text in ONE fused pass (r18):
   * tokenize on single spaces (empties dropped), form the contiguous
   * `n`-gram shingles (or ONE whole-text shingle when the text has fewer
@@ -523,21 +756,41 @@ case class BroadcastL2DistSqExpr(left: Expression, right: Expression,
   * through every step). Empty/whitespace-only text yields the single
   * empty-string shingle's hash, matching `concat_ws` over an empty token
   * array. */
-case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "graft_shingle_hashes"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // n validated separately so a bad n is reported as such, not as a
+    // (valid) input-type failure (ADVICE r18 #2)
     case StringType if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires n ≥ 1, got n = $n")
     case dt => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires STRING and n ≥ 1, got ${dt.simpleString}")
+      s"$prettyName requires STRING, got ${dt.simpleString}")
   }
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
     ShingleHashesExpr.distinctShingleHashes(bytes, n)
+  }
+
+  /** r19 (VERDICT r18 #3/#4): a call into the same fused pass the
+    * interpreted path runs — identical results by construction — so the
+    * projection stays inside one WholeStageCodegen span instead of the
+    * r18 CodegenFallback punching a hole (per-row boxing at the expression
+    * boundary) into every plan that hashes text. The companion MODULE
+    * rides a codegen reference object: a Scala object whose companion
+    * class exists gets no Java static forwarders, so Janino cannot
+    * resolve `ShingleHashesExpr.distinctShingleHashes` as a static call
+    * (and a failed codegen compile would silently fall the whole stage
+    * back to the interpreted path — the spec pins fallback=off). */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("shingleHashesModule", ShingleHashesExpr,
+      "graft.functions.ShingleHashesExpr$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $mod.distinctShingleHashes($c.getBytes(), $n);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =
@@ -640,8 +893,7 @@ object ShingleHashesExpr {
   * all ASCII, so byte counting is exact; the final round replicates
   * Spark's `Round` (BigDecimal HALF_UP at scale 6); the double
   * arithmetic folds in the same order. NULL text → NULL. */
-case class QualityScoreExpr(child: Expression) extends UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+case class QualityScoreExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_quality_score"
@@ -652,8 +904,30 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression
       s"$prettyName requires STRING, got ${dt.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+  override def nullSafeEval(input: Any): Any =
+    QualityScoreExpr.score(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  /** r19 (VERDICT r18 #3/#4): a call into the same fused pass the
+    * interpreted path runs — the projection stays inside one
+    * WholeStageCodegen span (the r18 CodegenFallback broke the span and
+    * boxed per row at the expression boundary). Module reference object,
+    * not a static call — see [[ShingleHashesExpr.doGenCode]]. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mod = ctx.addReferenceObj("qualityScoreModule", QualityScoreExpr,
+      "graft.functions.QualityScoreExpr$")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $mod.score($c.getBytes());")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object QualityScoreExpr {
+  /** The fused pass itself — shared verbatim by the interpreted eval and
+    * the generated code (one implementation, zero parity surface). */
+  def score(bytes: Array[Byte]): Double = {
     var nTok = 0L
     var sumTokChars = 0L
     var alphaChars = 0L
@@ -686,9 +960,6 @@ case class QualityScoreExpr(child: Expression) extends UnaryExpression
     java.math.BigDecimal.valueOf(q)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression =
-    copy(child = c)
 }
 
 /** Registration of the graft expressions, two ways:

@@ -78,6 +78,10 @@ object Tables {
     // Idempotent; makes graft_* native expressions resolvable on ANY session
     // the driver hands us (not just ones built with GraftExtensions).
     graft.functions.GraftFunctions.register(spark)
+    // engine-level scan defaults on ANY session that reads through the
+    // library (r19 — VERDICT r18 #2: moved out of the Bench harness so
+    // Verify/Api/production scans run the plan the bench times)
+    graft.core.SessionDefaults(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }

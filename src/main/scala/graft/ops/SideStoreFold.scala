@@ -329,6 +329,17 @@ private[graft] object SideStoreFold {
     // cascade in the firing where the major is already due (ADVICE r17)
     if (majorDue(spark, fs, root, runs.map(_._2).toSeq)) {
       if (runs.size >= 2) note(spark, root, "cascade skipped (major due)")
+      // Contract tripwire (ADVICE r18 #3): a valve that calls minorFold
+      // without the contractual majorFoldIfDue follow-up accumulates one
+      // unmerged run per firing forever (on a base-less store majorDue is
+      // true by definition). Both production valves comply, so the ladder
+      // can only be a few runs deep when this skip fires; a deep ladder
+      // here means a new caller broke the pairing — make it loud instead
+      // of silently degrading read fan-in.
+      if (runs.size >= 8)
+        System.err.println(s"[side-store] WARNING: cascade skipped with " +
+          s"${runs.size} unmerged runs at $root — a minorFold caller is " +
+          "not following with majorFoldIfDue (see the minorFold contract)")
       return
     }
     var more = true

@@ -476,14 +476,34 @@ object TextOps {
     val bands = simhashBandRowsOf(sig, bits)
     val ham = graft.functions.TextFunctions
       .hammingDistance(col("a.sh"), col("b.sh"))
+    // Min-band emission instead of DISTINCT (r19, VERDICT r18 #5 /
+    // builder's lever #3): a pair within the hamming radius collides in
+    // 1..SimBands bands and the bucket join emits it once PER colliding
+    // band; the old `.distinct()` folded those copies with a full
+    // aggregation — an Exchange + 2×HashAggregate over every verified
+    // pair. Since both signatures ride the join output, "is this the
+    // LOWEST colliding band?" is a per-row predicate on sh_a XOR sh_b:
+    // keep the row iff every band BELOW the joining one differs. Each
+    // qualifying pair then surfaces exactly once (hamming ≤ maxHamming
+    // < SimBands guarantees ≥ 1 colliding band by pigeonhole), and
+    // (id_a, id_b, hamming) is a function of the pair alone — the row SET
+    // is identical to the DISTINCT's (oracle hash unchanged, spec-pinned
+    // against the distinct formulation), with zero shuffle.
+    val bandBits = bits / SimBands
+    val bandMask = (1L << bandBits) - 1
+    val x = col("a.sh").bitwiseXOR(col("b.sh"))
+    val lowestCollidingBand = (0 until SimBands - 1).map { bp =>
+      when(col("a.band") > bp,
+        shiftright(x, bp * bandBits).bitwiseAND(lit(bandMask)) =!= 0)
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
           && col("a.doc_id") < col("b.doc_id"))
-      .where(ham <= simMaxHamming(d.sparkSession))
+      .where(ham <= simMaxHamming(d.sparkSession) && lowestCollidingBand)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         ham.as("hamming"))
-      .distinct()
   }
 
   /** SimHash signatures `(doc_id, sh)` at the given width — the
@@ -1699,7 +1719,13 @@ object TextOps {
         // count is determined by the token count (shingles() emits
         // max(size - 2, …) n-grams, or ONE whole-text shingle under 3
         // tokens). Values are bit-identical to
-        // size(array_distinct(sh)) / size(sh) over sh = shingles(text, 3).
+        // size(array_distinct(sh)) / size(sh) over sh = shingles(text, 3)
+        // for every NON-NULL text. NULL-text divergence (ADVICE r18 #4):
+        // size(NULL) = -1 makes the old form 1 − (−1/−1) = 0.0 while this
+        // form gives 1 − (−1/1) = 2.0 — unobservable here because the
+        // quality >= 0.5 predicate below already drops NULL-text rows
+        // (NULL quality fails the filter); a future consumer surfacing
+        // dup_ratio UNFILTERED must not rely on its NULL-text value.
         size(distinctShingleHashes(col("text"), 3)).as("n_dist_sh"))
       .withColumn("dup_ratio",
         round(lit(1.0) - col("n_dist_sh").cast("double") /

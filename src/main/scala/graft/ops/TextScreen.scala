@@ -470,6 +470,12 @@ object TextScreen {
       bits: Int): DataFrame = {
     val spark = batchSims.sparkSession
     val maxH = TextOps.simMaxHamming(spark) // store-validated by requireParams
+    // lazy pin is safe DESPITE the newNew self-join below (ADVICE r18 #1):
+    // the first materializing action is `gated`'s count() — a single full
+    // scan (the checkpoint blocks column pruning below itself), run
+    // eagerly at plan-build time — so the checkpoint is already
+    // materialized before either join side reads it; the self-join never
+    // races a double-compute. Same reasoning at screenImpl's batch pins.
     val batchBands = TextOps.simhashBandRowsOf(batchSims, bits)
       .localCheckpoint(false)
     val corpusBands = TextOps.simhashBandRowsOf(corpusSims, bits)
@@ -499,6 +505,12 @@ object TextScreen {
     val spark = batch.sparkSession
     val p = TextOps.lshParams(spark)
     val (reps, stars) = TextOps.exactRepsOf(batch)
+    // both lazy pins are safe despite batchBands' newNew SELF-join below
+    // (ADVICE r18 #1): their first materializing action is `gated`'s
+    // count() on batchBands — ONE full scan (computing batchSigs inside
+    // it), run eagerly at plan-build time below — so both checkpoints are
+    // materialized before any join scans them twice; the dual-scan race
+    // the eager rule guards against cannot start un-materialized here.
     val batchSigs = TextOps.minhashSigsOf(reps, p).localCheckpoint(false)
     val batchBands = TextOps.bandRowsOf(batchSigs, p).localCheckpoint(false)
     val corpusBands = TextOps.bandRowsOf(corpusSigs, p)

@@ -113,11 +113,25 @@ class AnnJoinSpec extends SparkSpec {
     here + kids.map(shuffleWriteBytes).sum
   }
 
-  test("projection ship mode is bit-identical to the table mode") {
+  test("halves-dictionary and projection ship modes are bit-identical to the table mode") {
     val base = joinResults(7)
+    assert(LopqSearcher.lastPlanNotes(spark)("shipMode") === "tables")
     spark.conf.set(LopqSearcher.AnnJoinShipTablesMaxBytesConf, "0")
-    try assert(joinResults(7) === base)
-    finally spark.conf.unset(LopqSearcher.AnnJoinShipTablesMaxBytesConf)
+    try {
+      // r19: past the tables threshold the default is the half-projection
+      // DICTIONARY (VERDICT r18 next-round #1) — same floats through
+      // BroadcastAdcHalvesExpr's pinned fold, so bit-identical results
+      assert(joinResults(7) === base)
+      assert(LopqSearcher.lastPlanNotes(spark)("shipMode") === "halvesDict")
+      assert(LopqSearcher.lastPlanNotes(spark)("dictBytes").toLong > 0L)
+      // dictionary disabled → the r8 per-(query, cell) px fallback
+      spark.conf.set(LopqSearcher.AnnJoinHalvesDictMaxBytesConf, "0")
+      assert(joinResults(7) === base)
+      assert(LopqSearcher.lastPlanNotes(spark)("shipMode") === "projection")
+    } finally {
+      spark.conf.unset(LopqSearcher.AnnJoinHalvesDictMaxBytesConf)
+      spark.conf.unset(LopqSearcher.AnnJoinShipTablesMaxBytesConf)
+    }
   }
 
   test("projection mode shuffles fewer bytes than table mode through the codes join") {
@@ -140,6 +154,10 @@ class AnnJoinSpec extends SparkSpec {
     // hint); force the genuinely-huge-batch regime where it must shuffle —
     // that is where the O(pairs·D) vs O(pairs·M·S) payload pin matters
     spark.conf.set(LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf, "0")
+    // r19: force the px FALLBACK (dictionary off) — this pin is about the
+    // shuffled per-pair projection payload, the plan a dictionary-ineligible
+    // batch (non-integral ids, or past the collect clamp) still runs
+    spark.conf.set(LopqSearcher.AnnJoinHalvesDictMaxBytesConf, "0")
     try {
       val tableBytes = totalShuffle()
       spark.conf.set(LopqSearcher.AnnJoinShipTablesMaxBytesConf, "0")
@@ -151,6 +169,7 @@ class AnnJoinSpec extends SparkSpec {
       assert(projBytes < tableBytes,
         s"projection mode shuffled MORE: $projBytes >= $tableBytes")
     } finally {
+      spark.conf.unset(LopqSearcher.AnnJoinHalvesDictMaxBytesConf)
       spark.conf.unset(LopqSearcher.AnnJoinShipTablesMaxBytesConf)
       spark.conf.unset(LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf)
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
@@ -247,7 +266,10 @@ class AnnJoinSpec extends SparkSpec {
     try {
       // force every gate across its threshold: projection ship, balanced
       // fan-out, SMJ query side, shuffle rerank — the million-probe regime
+      // (r19: the halves dictionary is also past its collect clamp there,
+      // so force it off too — the px fallback is the regime under test)
       spark.conf.set(LopqSearcher.AnnJoinShipTablesMaxBytesConf, "0")
+      spark.conf.set(LopqSearcher.AnnJoinHalvesDictMaxBytesConf, "0")
       spark.conf.set(LopqSearcher.AnnJoinBalanceMinFanOutRowsConf, "0")
       spark.conf.set(LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf, "0")
       spark.conf.set(RerankShape.ThresholdConf, "0")
@@ -283,6 +305,7 @@ class AnnJoinSpec extends SparkSpec {
       assert(notes("exactShape") == "broadcastQvec")
     } finally {
       Seq(LopqSearcher.AnnJoinShipTablesMaxBytesConf,
+        LopqSearcher.AnnJoinHalvesDictMaxBytesConf,
         LopqSearcher.AnnJoinBalanceMinFanOutRowsConf,
         LopqSearcher.AnnJoinBroadcastQueriesMaxBytesConf,
         RerankShape.ThresholdConf,

@@ -43,6 +43,34 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  /** r19 (VERDICT r18 #5): q64's `.distinct()` over the bucket join's
+    * multi-band duplicates became a min-band filter (each pair emitted
+    * once, from its lowest colliding band) — zero shuffle instead of an
+    * Exchange + 2×HashAggregate. The row SET must be exactly the DISTINCT
+    * formulation's: rebuilt here from the same band rows, independent of
+    * the shipped plan. */
+  test("q64 min-band emission ≡ the DISTINCT formulation, row for row") {
+    import graft.ops.TextOps
+    import graft.functions.TextFunctions
+    val got = SparkEntry.queries("q64_simhash_hamming_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === got.toSet.size, "a pair surfaced from two bands")
+    val docs = graft.ops.Tables(spark, sf, "documents")
+    val sig = TextOps.simhashSigsOf(docs, 32).localCheckpoint()
+    val bands = TextOps.simhashBandRowsOf(sig, 32)
+    val ham = TextFunctions.hammingDistance(col("a.sh"), col("b.sh"))
+    val want = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig")
+          && col("a.doc_id") < col("b.doc_id"))
+      .where(ham <= 3)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        ham.as("hamming"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === want.toSet)
+  }
+
   test("q33 LSH near-dup candidates are a subset of exact near-dups (q32)") {
     val lsh = SparkEntry.queries("q33_lsh_neardup")(spark, sf)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
