@@ -129,7 +129,8 @@ object ProbeAnnJoinStages {
   /** Fused-path job census: run the REAL [[LopqSearcher.annJoin]] and print
     * every Spark job's wall-clock — where does the end-to-end pass go?
     * Usage: runMain graft.ProbeAnnJoinStages fused [v2|v3] [n] [passes] */
-  private def fusedMain(args: Array[String]): Unit = {
+  private def fusedMain(args0: Array[String]): Unit = {
+    val (confArgs, args) = args0.partition(_.startsWith("conf:"))
     val s = args.headOption match {
       case Some("v3") => ReleaseShape.V3
       case Some("v4") => ReleaseShape.V4
@@ -145,6 +146,12 @@ object ProbeAnnJoinStages {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    confArgs.foreach { a =>
+      a.stripPrefix("conf:").split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v); println(s"[probe-fused] conf $k=$v")
+        case _ => sys.error(s"bad conf arg (want conf:key=value): $a")
+      }
+    }
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =

@@ -73,7 +73,13 @@ class ReleaseShapeSpec extends SparkSpec {
     assert(pf.contains("cell_bucket"), plan.take(3000))
     assert(plan.contains("PushedFilters: [In(cell_id"),
       "cell IN-list must reach row-group stats inside each bucket:\n" + plan.take(3000))
-    assert(plan.contains("BroadcastHashJoin"), "ADC tables must ride a broadcast join")
+    // r19 (VERDICT r18 #3): the per-query ADC tables ride a BROADCAST
+    // VARIABLE read by graft_bcast_adc — the per-query LocalRelation +
+    // BroadcastExchange + join are gone from the plan entirely
+    assert(plan.contains("graft_bcast_adc"),
+      "ADC tables must be read through the broadcast-variable expression")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "the per-query ADC broadcast JOIN should be gone:\n" + plan.take(3000))
     // constant-size plan: at V=4096/S=256 an inlined literal table would be
     // megabytes of codegen; the broadcast keeps the plan O(1)
     assert(plan.length < 50000, s"plan string is ${plan.length} chars — literal bomb?")
