@@ -4,9 +4,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run one catalog query at a given SF dir, print timing and
   * (optionally) the formatted physical plan.
-  * Usage: runMain graft.Probe <sfDir> <queryName> [explain|noop]
+  * Usage: runMain graft.Probe <sfDir> <queryName> [explain|noop|execplan]
   *   - `noop`: materialize via a noop write (all columns computed — what
   *     Bench times) instead of count() (which lets Catalyst prune).
+  *   - `execplan` (r19): materialize, then print the EXECUTED plan —
+  *     the only dump that shows final WholeStageCodegen `*(n)` spans
+  *     (formatted explain under AQE prints `isFinalPlan=false` without
+  *     codegen ids), the witness VERDICT r18 #4 asks for.
   */
 object Probe {
   def main(args0: Array[String]): Unit = {
@@ -15,6 +19,7 @@ object Probe {
     val names = args(1).split(",").toSeq
     val doExplain = args.length > 2 && args(2) == "explain"
     val doNoop = args.length > 2 && args(2) == "noop"
+    val doExecPlan = args.length > 2 && args(2) == "execplan"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,7 +43,14 @@ object Probe {
         val tBuilt = System.nanoTime()
         val n =
           if (doNoop) { df.write.format("noop").mode("overwrite").save(); -1L }
-          else df.count()
+          else if (doExecPlan) {
+            // collect() executes THIS QueryExecution, so the AQE plan
+            // below is the FINAL one with its codegen `*(n)` spans (a
+            // noop write runs a separate QueryExecution and would leave
+            // df's own plan unexecuted / isFinalPlan=false)
+            df.collect().length.toLong
+          } else df.count()
+        if (doExecPlan) println(df.queryExecution.executedPlan.toString.take(30000))
         val tDone = System.nanoTime()
         println(f"[probe] $dir $name rows=$n build=${(tBuilt - t0) / 1e9}%.3f s " +
           f"exec=${(tDone - tBuilt) / 1e9}%.3f s")
