@@ -44,14 +44,15 @@ object Probe {
         val n =
           if (doNoop) { df.write.format("noop").mode("overwrite").save(); -1L }
           else if (doExecPlan) {
-            // collect() executes THIS QueryExecution, so the AQE plan
-            // below is the FINAL one with its codegen `*(n)` spans (a
-            // noop write runs a separate QueryExecution and would leave
-            // df's own plan unexecuted / isFinalPlan=false)
-            df.collect().length.toLong
+            // execute THIS QueryExecution (not a separate noop write's),
+            // so the AQE plan below is the FINAL one with its codegen
+            // `*(n)` spans; toRdd.count() finalizes it without collecting
+            // the result set to the driver
+            df.queryExecution.toRdd.count()
           } else df.count()
-        if (doExecPlan) println(df.queryExecution.executedPlan.toString.take(30000))
         val tDone = System.nanoTime()
+        if (doExecPlan) // outside the timed window: stringifying a big plan is not exec time
+          println(df.queryExecution.executedPlan.toString.take(30000))
         println(f"[probe] $dir $name rows=$n build=${(tBuilt - t0) / 1e9}%.3f s " +
           f"exec=${(tDone - tBuilt) / 1e9}%.3f s")
       }

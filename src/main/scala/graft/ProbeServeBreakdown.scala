@@ -73,18 +73,11 @@ object ProbeServeBreakdown {
         // LocalRelation encode, no BroadcastExchange. The probe composes
         // the same pieces so its phase split measures the shipped path.
         t0 = System.nanoTime()
-        val m = slim.m
-        val flat = new java.util.HashMap[Integer, Array[Double]](cells.size * 2)
-        cells.foreach { cell =>
+        val tables = cells.map { cell =>
           val cc = CellMath.unpackCell(cell, slim.v)
-          val t = slim.adcTables(aq, cc, (sp, c) => rot((sp, c)))
-          val s = t(0).length
-          val f = new Array[Double](m * s)
-          var mi = 0
-          while (mi < m) { System.arraycopy(t(mi), 0, f, mi * s, s); mi += 1 }
-          flat.put(cell, f)
+          cell -> slim.adcTables(aq, cc, (sp, c) => rot((sp, c)))
         }
-        val bcTables = spark.sparkContext.broadcast(flat)
+        val (bcTables, m) = LopqSearcher.broadcastFlatTables(spark, tables)
         tTables += ms(t0)
 
         // approx stage plan + execution via the same shape searchSlim uses

@@ -200,10 +200,18 @@ object LopqSearcher {
     * bit-identical (same doubles summed in the same order, spec-pinned,
     * and every row surviving the cell filter has its cell in the map, so
     * the inner join dropped nothing this form keeps). */
-  private def approxOverCells(codes: DataFrame, cells: Seq[Int],
-      tables: Seq[(Int, Array[Array[Double]])], k: Int, cellBuckets: Int): DataFrame = {
-    val spark = codes.sparkSession
-    ensureInPushdown(spark, cells.size)
+  /** Flatten per-cell ADC tables (mi-major, M·S doubles per cell) onto a
+    * broadcast variable — shared by the serve path and
+    * `ProbeServeBreakdown` so the probe measures exactly the shipped
+    * layout. Lifecycle parity with the broadcast JOIN this replaced: the
+    * old per-query LocalRelation also materialized as a per-query
+    * TorrentBroadcast (the `BroadcastExchange`), released by the
+    * ContextCleaner once the plan became unreachable — same here, so a
+    * long-running serve process accretes no more broadcast state than it
+    * did before r19. */
+  private[graft] def broadcastFlatTables(spark: org.apache.spark.sql.SparkSession,
+      tables: Seq[(Int, Array[Array[Double]])])
+      : (org.apache.spark.broadcast.Broadcast[java.util.HashMap[Integer, Array[Double]]], Int) = {
     val m = tables.head._2.length
     val flat = new java.util.HashMap[Integer, Array[Double]](tables.size * 2)
     tables.foreach { case (cell, t) =>
@@ -213,7 +221,14 @@ object LopqSearcher {
       while (mi < m) { System.arraycopy(t(mi), 0, f, mi * s, s); mi += 1 }
       flat.put(cell, f)
     }
-    val bc = spark.sparkContext.broadcast(flat)
+    (spark.sparkContext.broadcast(flat), m)
+  }
+
+  private def approxOverCells(codes: DataFrame, cells: Seq[Int],
+      tables: Seq[(Int, Array[Array[Double]])], k: Int, cellBuckets: Int): DataFrame = {
+    val spark = codes.sparkSession
+    ensureInPushdown(spark, cells.size)
+    val (bc, m) = broadcastFlatTables(spark, tables)
     import org.apache.spark.sql.graft.GraftBridge
     codes
       .where(LopqIndexStore.cellFilter(cells, cellBuckets)) // → partition pruning on disk
@@ -638,10 +653,15 @@ object LopqSearcher {
         val dictMax =
           if (maxResultBytes > 0L) math.min(dictMaxConf, maxResultBytes / 2)
           else dictMaxConf
+        // eligibility is a separate flag, NOT a sentinel byte value: with
+        // maxResultSize=0 and an unbounded conf, dictMax can itself be
+        // Long.MaxValue, and a sentinel would compare "eligible" for a
+        // non-integral-q_id batch (self-review r19)
+        val dictEligible = qIdIntegral && dictMax > 0L
         // ≤ 2 distinct halves per counted (query, cell) pair — driver-known
         val dictUb = satMul(satMul(2L, nPairs), halfEntryBytes)
         val dictBytes: Long =
-          if (!qIdIntegral || dictMax <= 0L) Long.MaxValue
+          if (!dictEligible) Long.MaxValue
           else if (dictUb <= dictMax) dictUb
           else {
             // exact distinct-halves count, one skinny agg on cached qcells
@@ -652,7 +672,7 @@ object LopqSearcher {
                   c => pmod(c, lit(vCoarse))))))).head()
             if (n.isNullAt(0)) 0L else satMul(n.getLong(0), halfEntryBytes)
           }
-        if (dictBytes <= dictMax) {
+        if (dictEligible && dictBytes <= dictMax) {
           val halvesU = udf { (aq: Seq[Float], cells: Seq[Int]) =>
             val x = aq.toArray
             val sm = slimB.value

@@ -179,8 +179,15 @@ final case class SlimLopqModel(
     * (VERDICT r18 next-round #1). */
   def projectHalfWith(x: Array[Float], split: Int, c: Int,
       rot: (Int, Int) => Array[Array[Float]]): Array[Float] = {
-    val s = VectorOps.splits(x, numCoarseSplits)
-    val r = VectorOps.subtract(VectorOps.subtract(s(split), coarse(split)(c)), mus(split)(c))
+    // slice only THIS half — identical floats to VectorOps.splits(x, n)(split)
+    // (both are plain copies), without allocating the other half per call
+    // (projectWith calls this once per split; the px fallback runs it per
+    // (query, cell) pair)
+    val w = x.length / numCoarseSplits
+    require(x.length % numCoarseSplits == 0,
+      s"dim ${x.length} not divisible by $numCoarseSplits")
+    val half = java.util.Arrays.copyOfRange(x, split * w, (split + 1) * w)
+    val r = VectorOps.subtract(VectorOps.subtract(half, coarse(split)(c)), mus(split)(c))
     VectorOps.matVec(rot(split, c), r)
   }
 
